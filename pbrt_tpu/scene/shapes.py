@@ -1,0 +1,313 @@
+"""Vectorized shape intersection & area sampling.
+
+TPU-native counterpart of ``src/shapes/`` + the ``Shape`` interface
+(core/shape.h:51-80). Shapes live in SoA arrays; every routine is batched
+over rays (and usually over primitives too, as an all-pairs (R, P) test that
+maps onto the VPU — the BVH in scene/bvh.py narrows P for large scenes).
+
+Implemented shape families and their reference counterparts:
+- triangles    — shapes/triangle.cpp (watertight Möller–Trumbore variant)
+- spheres      — shapes/sphere.cpp (full spheres; world-space center/radius)
+- aaplanes     — shapes/plane.cpp (fork's AAPlaneShape :15-115)
+- disks        — shapes/disk.cpp
+- cylinders    — shapes/cylinder.cpp
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from pbrt_tpu.core import vecmath
+from pbrt_tpu.core.vecmath import absdot, cross, dot, length_squared, normalize
+from pbrt_tpu.core.sampling import (uniform_sample_sphere,
+                                    uniform_sample_triangle,
+                                    uniform_sample_cone, uniform_cone_pdf)
+
+Array = Any
+BIG = 1e30
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class Hit:
+    """Batched hit records — SurfaceInteraction's SoA analogue
+    (core/interaction.h; wavelength fields ride on the integrator state)."""
+    valid: Array    # (R,) bool
+    t: Array        # (R,)
+    p: Array        # (R,3)
+    ng: Array       # (R,3) geometric normal
+    ns: Array       # (R,3) shading normal
+    uv: Array       # (R,2)
+    prim_id: Array  # (R,) global primitive index (-1 = miss)
+
+
+# ---------------------------------------------------------------------------
+# Triangles (shapes/triangle.cpp)
+# ---------------------------------------------------------------------------
+
+def intersect_triangles(o: Array, d: Array, tmax: Array,
+                        v0: Array, v1: Array, v2: Array):
+    """All-pairs ray×triangle test.
+
+    o,d: (R,3); v0..v2: (T,3). Returns (t, u, v, hit): each (R,T).
+    Möller–Trumbore with backface hits allowed (pbrt intersects both sides).
+    """
+    e1 = v1 - v0                          # (T,3)
+    e2 = v2 - v0
+    ro = o[:, None, :] - v0[None, :, :]   # (R,T,3)
+    rd = d[:, None, :]                    # (R,1,3)
+    pvec = jnp.cross(rd, e2[None])        # (R,T,3)
+    det = jnp.sum(e1[None] * pvec, axis=-1)
+    inv_det = jnp.where(jnp.abs(det) > 1e-12, 1.0 / det, 0.0)
+    u = jnp.sum(ro * pvec, axis=-1) * inv_det
+    qvec = jnp.cross(ro, e1[None])
+    v = jnp.sum(rd * qvec, axis=-1) * inv_det
+    t = jnp.sum(e2[None] * qvec, axis=-1) * inv_det
+    hit = ((jnp.abs(det) > 1e-12) & (u >= 0.0) & (v >= 0.0)
+           & (u + v <= 1.0) & (t > 1e-4) & (t < tmax[:, None]))
+    return t, u, v, hit
+
+
+def triangle_normal(v0: Array, v1: Array, v2: Array) -> Array:
+    return normalize(cross(v1 - v0, v2 - v0))
+
+
+def triangle_area(v0: Array, v1: Array, v2: Array) -> Array:
+    return 0.5 * vecmath.length(cross(v1 - v0, v2 - v0))
+
+
+def sample_triangle(v0, v1, v2, u):
+    """Uniform area sampling (triangle.cpp Triangle::Sample).
+    v0..v2, u broadcastable; returns (p, n, area_pdf_times_area=1/area)."""
+    b = uniform_sample_triangle(u)
+    p = (b[..., 0:1] * v0 + b[..., 1:2] * v1
+         + (1.0 - b[..., 0:1] - b[..., 1:2]) * v2)
+    n = triangle_normal(v0, v1, v2)
+    area = triangle_area(v0, v1, v2)
+    return p, n, 1.0 / jnp.maximum(area, 1e-20)
+
+
+# ---------------------------------------------------------------------------
+# Spheres (shapes/sphere.cpp) — world-space center + radius
+# ---------------------------------------------------------------------------
+
+def intersect_spheres(o: Array, d: Array, tmax: Array,
+                      center: Array, radius: Array):
+    """All-pairs ray×sphere. o,d: (R,3); center: (S,3), radius: (S,).
+    Returns (t, hit): (R,S). Stable quadratic per sphere.cpp:141-150."""
+    oc = o[:, None, :] - center[None, :, :]           # (R,S,3)
+    a = jnp.sum(d * d, axis=-1)[:, None]              # (R,1)
+    b = 2.0 * jnp.sum(oc * d[:, None, :], axis=-1)
+    c = jnp.sum(oc * oc, axis=-1) - (radius * radius)[None, :]
+    disc = b * b - 4.0 * a * c
+    ok = disc >= 0.0
+    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    q = -0.5 * (b + jnp.sign(b) * sq)
+    q = jnp.where(b == 0.0, -0.5 * sq, q)
+    t0 = q / jnp.maximum(a, 1e-20)
+    t1 = c / jnp.where(jnp.abs(q) > 1e-20, q, 1e-20)
+    tn = jnp.minimum(t0, t1)
+    tf = jnp.maximum(t0, t1)
+    t = jnp.where(tn > 1e-4, tn, tf)
+    hit = ok & (t > 1e-4) & (t < tmax[:, None])
+    return t, hit
+
+
+def sphere_normal_uv(p: Array, center: Array, radius: Array):
+    n = normalize(p - center)
+    phi = vecmath.spherical_phi(n)
+    theta = vecmath.spherical_theta(n)
+    uv = jnp.stack([phi * (0.5 / jnp.pi), theta / jnp.pi], axis=-1)
+    return n, uv
+
+
+def sample_sphere_from_ref(center, radius, ref_p, u):
+    """Cone sampling toward the sphere from a reference point
+    (sphere.cpp Sphere::Sample(ref,u) — solid-angle strategy).
+    Falls back to uniform-area when ref is inside. Batched over ref_p/u.
+    Returns (p, n, pdf_solid_angle)."""
+    dc = center - ref_p
+    dist2 = length_squared(dc)
+    inside = dist2 <= radius * radius * (1.0 + 1e-4)
+
+    # --- outside: sample cone of directions subtending the sphere
+    dist = jnp.sqrt(jnp.maximum(dist2, 1e-20))
+    sin_theta_max2 = jnp.clip(radius * radius / dist2, 0.0, 1.0)
+    cos_theta_max = jnp.sqrt(jnp.maximum(0.0, 1.0 - sin_theta_max2))
+    wc = normalize(dc)
+    wcx, wcy = vecmath.coordinate_system(wc)
+    dir_local = uniform_sample_cone(u, cos_theta_max)
+    w = (dir_local[..., 0:1] * wcx + dir_local[..., 1:2] * wcy
+         + dir_local[..., 2:3] * wc)
+    # project to sphere surface: find t of closest approach hit
+    cos_theta = dir_local[..., 2]
+    ds = (dist * cos_theta
+          - jnp.sqrt(jnp.maximum(
+              radius * radius - dist2 * (1.0 - cos_theta * cos_theta), 0.0)))
+    p_out = ref_p + ds[..., None] * w
+    n_out = normalize(p_out - center)
+    pdf_out = uniform_cone_pdf(cos_theta_max)
+
+    # --- inside: uniform area sampling, pdf converted to solid angle
+    d_sph = uniform_sample_sphere(u)
+    p_in = center + radius[..., None] * d_sph if jnp.ndim(radius) \
+        else center + radius * d_sph
+    n_in = d_sph
+    wi = p_in - ref_p
+    d2 = length_squared(wi)
+    wi = normalize(wi)
+    area = 4.0 * jnp.pi * radius * radius
+    pdf_in = d2 / jnp.maximum(absdot(n_in, -wi) * area, 1e-12)
+
+    p = jnp.where(inside[..., None], p_in, p_out)
+    n = jnp.where(inside[..., None], n_in, n_out)
+    pdf = jnp.where(inside, pdf_in, pdf_out)
+    return p, n, pdf
+
+
+def sphere_pdf_wi(center, radius, ref_p, wi):
+    """Pdf of sample_sphere_from_ref w.r.t. solid angle for direction wi,
+    assuming wi actually hits the sphere (caller masks)."""
+    dc = center - ref_p
+    dist2 = length_squared(dc)
+    inside = dist2 <= radius * radius * (1.0 + 1e-4)
+    sin_theta_max2 = jnp.clip(radius * radius / jnp.maximum(dist2, 1e-20),
+                              0.0, 1.0)
+    cos_theta_max = jnp.sqrt(jnp.maximum(0.0, 1.0 - sin_theta_max2))
+    pdf_cone = uniform_cone_pdf(cos_theta_max)
+    # inside: area-based conversion (approximate with first hit)
+    t, hit = intersect_spheres(ref_p, wi,
+                               jnp.full(ref_p.shape[:-1], BIG),
+                               center[None] if center.ndim == 1 else center,
+                               jnp.atleast_1d(radius))
+    t = t[:, 0]
+    hit = hit[:, 0]
+    p = ref_p + t[..., None] * wi
+    n = normalize(p - center)
+    area = 4.0 * jnp.pi * radius * radius
+    pdf_area = (t * t) / jnp.maximum(absdot(n, -wi) * area, 1e-12)
+    pdf = jnp.where(inside, pdf_area, pdf_cone)
+    return jnp.where(hit, pdf, 0.0)
+
+
+# ---------------------------------------------------------------------------
+# AAPlane (fork: shapes/plane.cpp:15-115)
+# ---------------------------------------------------------------------------
+
+def _axis_onehot(ax: Array) -> Array:
+    return jax.nn.one_hot(ax, 3, dtype=jnp.float32)
+
+
+def aaplane_axes(ax: Array):
+    """Return (ax0, ax1) per plane.cpp's ctor:
+    ax0 = {z:0, x:1, y:2}[axis], ax1 = {z:1, x:2, y:0}[axis]."""
+    ax0 = jnp.where(ax == 2, 0, jnp.where(ax == 0, 1, 2))
+    ax1 = jnp.where(ax == 2, 1, jnp.where(ax == 0, 2, 0))
+    return ax0, ax1
+
+
+def aaplane_normal(ax: Array, facing_fw: Array) -> Array:
+    """plane.cpp:95-104 Normal(): +axis, negated when not facing forward."""
+    n = _axis_onehot(ax)
+    return jnp.where(facing_fw[..., None], n, -n)
+
+
+def aaplane_area(lo: Array, hi: Array, ax: Array) -> Array:
+    ax0, ax1 = aaplane_axes(ax)
+    d = hi - lo
+    take = lambda v, i: jnp.take_along_axis(v, i[..., None], axis=-1)[..., 0]
+    return take(d, ax0) * take(d, ax1)
+
+
+def intersect_aaplanes(o: Array, d: Array, tmax: Array,
+                       lo: Array, hi: Array, ax: Array):
+    """All-pairs ray×axis-aligned-rectangle (plane.cpp:15-55).
+    o,d: (R,3); lo,hi: (P,3); ax: (P,). Returns (t, u, v, hit): (R,P)."""
+    axo = _axis_onehot(ax)                                  # (P,3)
+    d_ax = jnp.sum(d[:, None, :] * axo[None], axis=-1)      # (R,P)
+    o_ax = jnp.sum(o[:, None, :] * axo[None], axis=-1)
+    lo_ax = jnp.sum(lo * axo, axis=-1)                      # (P,)
+    t = (lo_ax[None] - o_ax) / jnp.where(jnp.abs(d_ax) > 1e-12, d_ax, 1e-12)
+    p = o[:, None, :] + t[..., None] * d[:, None, :]        # (R,P,3)
+    ax0, ax1 = aaplane_axes(ax)
+    take_p = lambda i: jnp.take_along_axis(
+        p, jnp.broadcast_to(i[None, :, None], t.shape + (1,)), axis=-1)[..., 0]
+    take_b = lambda b, i: jnp.take_along_axis(b, i[..., None], axis=-1)[..., 0]
+    p0, p1 = take_p(ax0), take_p(ax1)
+    lo0, lo1 = take_b(lo, ax0), take_b(lo, ax1)
+    hi0, hi1 = take_b(hi, ax0), take_b(hi, ax1)
+    u = (p0 - lo0[None]) / jnp.maximum(hi0 - lo0, 1e-12)[None]
+    v = (p1 - lo1[None]) / jnp.maximum(hi1 - lo1, 1e-12)[None]
+    hit = ((jnp.abs(d_ax) > 1e-12) & (t > 1e-4) & (t < tmax[:, None])
+           & (p0 > lo0[None]) & (p0 < hi0[None])
+           & (p1 > lo1[None]) & (p1 < hi1[None]))
+    return t, u, v, hit
+
+
+def sample_aaplane(lo, hi, ax, facing_fw, u):
+    """Uniform area sampling (plane.cpp:57-78 Sample).
+    lo,hi: (...,3); u: (...,2). Returns (p, n, area_pdf)."""
+    ax0, ax1 = aaplane_axes(ax)
+    take = lambda v, i: jnp.take_along_axis(v, i[..., None], axis=-1)[..., 0]
+    oh = _axis_onehot(ax)
+    oh0 = jax.nn.one_hot(ax0, 3, dtype=jnp.float32)
+    oh1 = jax.nn.one_hot(ax1, 3, dtype=jnp.float32)
+    p = (oh * jnp.sum(lo * oh, axis=-1, keepdims=True)
+         + oh0 * (take(lo, ax0)
+                  + (take(hi, ax0) - take(lo, ax0)) * u[..., 0])[..., None]
+         + oh1 * (take(lo, ax1)
+                  + (take(hi, ax1) - take(lo, ax1)) * u[..., 1])[..., None])
+    n = aaplane_normal(ax, facing_fw)
+    pdf = 1.0 / jnp.maximum(aaplane_area(lo, hi, ax), 1e-20)
+    return p, n, pdf
+
+
+def aaplane_in_front(p: Array, lo: Array, ax: Array, facing_fw: Array
+                     ) -> Array:
+    """plane.cpp:109-115 InFront half-space test; batched over p."""
+    take = lambda v, i: jnp.take_along_axis(v, i[..., None], axis=-1)[..., 0]
+    p_ax = jnp.sum(p * _axis_onehot(ax), axis=-1)
+    lo_ax = take(lo, ax) if lo.ndim == p.ndim else jnp.sum(
+        lo * _axis_onehot(ax), axis=-1)
+    return jnp.where(facing_fw, p_ax > lo_ax, p_ax < lo_ax)
+
+
+def aaplane_corners(lo: Array, hi: Array, ax: Array):
+    """V0..V3 corner accessors (plane.cpp:85-107): V0=lo, V2=hi,
+    V1 = lo with ax1 from hi, V3 = lo with ax0 from hi."""
+    ax0, ax1 = aaplane_axes(ax)
+    oh = _axis_onehot(ax)
+    oh0 = jax.nn.one_hot(ax0, 3, dtype=jnp.float32)
+    oh1 = jax.nn.one_hot(ax1, 3, dtype=jnp.float32)
+    v0 = lo
+    v2 = hi
+    v1 = oh * jnp.sum(lo * oh, -1, keepdims=True) \
+        + oh0 * jnp.sum(lo * oh0, -1, keepdims=True) \
+        + oh1 * jnp.sum(hi * oh1, -1, keepdims=True)
+    v3 = oh * jnp.sum(lo * oh, -1, keepdims=True) \
+        + oh0 * jnp.sum(hi * oh0, -1, keepdims=True) \
+        + oh1 * jnp.sum(lo * oh1, -1, keepdims=True)
+    return v0, v1, v2, v3
+
+
+# ---------------------------------------------------------------------------
+# Disks (shapes/disk.cpp) — world-space center/normal/radius
+# ---------------------------------------------------------------------------
+
+def intersect_disks(o: Array, d: Array, tmax: Array,
+                    center: Array, normal: Array, radius: Array,
+                    inner_radius: Array):
+    """All-pairs ray×disk. center,normal: (D,3); radius: (D,)."""
+    denom = jnp.sum(d[:, None, :] * normal[None], axis=-1)   # (R,D)
+    t = jnp.sum((center[None] - o[:, None, :]) * normal[None], axis=-1) \
+        / jnp.where(jnp.abs(denom) > 1e-12, denom, 1e-12)
+    p = o[:, None, :] + t[..., None] * d[:, None, :]
+    r2 = jnp.sum((p - center[None]) ** 2, axis=-1)
+    hit = ((jnp.abs(denom) > 1e-12) & (t > 1e-4) & (t < tmax[:, None])
+           & (r2 <= (radius * radius)[None])
+           & (r2 >= (inner_radius * inner_radius)[None]))
+    return t, hit

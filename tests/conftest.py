@@ -1,0 +1,17 @@
+"""Test configuration: run everything on a virtual 8-device CPU mesh.
+
+The container's interpreter boot hook (sitecustomize) registers a remote TPU
+PJRT plugin and pins JAX_PLATFORMS=axon, which would route every tiny test
+compile through the remote-compile tunnel. Tests instead run on a virtual
+8-device CPU mesh (mirrors the driver's multi-chip dry-run environment).
+The plugin is only *registered* at boot — backends initialize lazily — so
+overriding the platform here, before any test touches jax, is sufficient.
+"""
+
+import os
+
+import jax
+
+os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                           + " --xla_force_host_platform_device_count=8")
+jax.config.update("jax_platforms", "cpu")
