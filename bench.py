@@ -1,0 +1,94 @@
+"""Benchmark: Mrays/s/chip forward+backward on the cornell portal scene.
+
+Driver metric (BASELINE.json): "Mrays/s/chip fwd+bwd (cornell portal scene,
+64spp)". The reference publishes no numbers (BASELINE.md); this self-measured
+figure is tracked across rounds.
+
+Ray accounting: the wavefront integrator traces, per sample per bounce, one
+path-extension closest-hit plus two NEE closest-hits (light strategy +
+BSDF-strategy MIS). All lanes do this work regardless of masks (no
+compaction), so traced rays = W*H*spp*bounces*3 for the forward pass; the
+backward pass re-traverses the same rays (VJP through every trace), counted
+once more. Prints ONE JSON line.
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    import __graft_entry__ as ge
+    from pbrt_tpu.integrators.render import RenderConfig, render_pass
+    from pbrt_tpu.scene import film as film_mod
+
+    W = H = 256
+    SPP = 64
+    CHUNK = 8
+    MAX_DEPTH = 4          # bounces = max_depth + 1 loop iterations
+    scene = ge._portal_scene()
+    cam = ge._camera((W, H))
+    filt = film_mod.make_filter("box")
+    cfg = RenderConfig(integrator="path", max_depth=MAX_DEPTH)
+
+    # ---- forward
+    def fwd(off):
+        return render_pass(scene, cam, filt, cfg, W, H, CHUNK, off)
+
+    img = fwd(jnp.asarray(0, jnp.uint32))
+    img.block_until_ready()  # compile
+    n_passes = SPP // CHUNK
+    t0 = time.perf_counter()
+    acc = None
+    for i in range(n_passes):
+        out = fwd(jnp.asarray(i * CHUNK, jnp.uint32))
+        acc = out if acc is None else acc + out
+    acc.block_until_ready()
+    t_fwd = time.perf_counter() - t0
+
+    # ---- forward+backward (gradient w.r.t. materials + emitter)
+    import dataclasses as dc
+
+    def loss_fn(kd, emit, off):
+        s = dc.replace(scene,
+                       materials=dc.replace(scene.materials, kd=kd),
+                       lights=dc.replace(scene.lights, emit=emit))
+        return jnp.mean(render_pass(s, cam, filt, cfg, W, H, CHUNK, off))
+
+    grad_fn = jax.jit(jax.value_and_grad(loss_fn, argnums=(0, 1)))
+    kd, emit = scene.materials.kd, scene.lights.emit
+    v, g = grad_fn(kd, emit, jnp.asarray(0, jnp.uint32))
+    jax.block_until_ready((v, g))
+    t0 = time.perf_counter()
+    for i in range(n_passes):
+        v, g = grad_fn(kd, emit, jnp.asarray(i * CHUNK, jnp.uint32))
+    jax.block_until_ready((v, g))
+    t_fwdbwd = time.perf_counter() - t0
+
+    bounces = MAX_DEPTH + 1
+    rays_fwd = W * H * SPP * bounces * 3
+    mrays_fwd = rays_fwd / t_fwd / 1e6
+    mrays_fwdbwd = rays_fwd * 2 / t_fwdbwd / 1e6
+
+    print(json.dumps({
+        "metric": "Mrays/s/chip fwd+bwd (cornell portal scene, 64spp)",
+        "value": round(mrays_fwdbwd, 3),
+        "unit": "Mrays/s",
+        "vs_baseline": None,
+        "extra": {
+            "mrays_fwd": round(mrays_fwd, 3),
+            "t_fwd_s": round(t_fwd, 3),
+            "t_fwdbwd_s": round(t_fwdbwd, 3),
+            "resolution": [W, H], "spp": SPP, "max_depth": MAX_DEPTH,
+            "device": str(jax.devices()[0]),
+            "image_mean": float(np.asarray(acc).mean() / n_passes / CHUNK),
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

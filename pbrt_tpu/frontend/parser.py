@@ -1,0 +1,630 @@
+""".pbrt scene-description parser + scene-build state machine.
+
+TPU-native counterpart of L5: the tokenizer + recursive parse() of
+``core/parser.cpp:98-1080`` and the ~40-call pbrt* API state machine of
+``core/api.cpp:367-1752`` (GraphicsState attribute stack, CTM stack,
+Make* factories), collapsed into one cold-path Python module that drives
+``SceneBuilder``.
+
+Grammar coverage: the directive/parameter subset exercised by the shipped
+scenes (scenes/cornell_dielectric.pbrt, scenes/killeroo-simple.pbrt,
+scenes/blender/*/out/*.pbrt) — LookAt/Transform/Scale/Translate/Rotate/
+ConcatTransform, Camera, Film, Sampler, PixelFilter, Integrator,
+Accelerator, WorldBegin/End, AttributeBegin/End, TransformBegin/End,
+ObjectBegin/End/Instance, ReverseOrientation, Texture,
+Material/MakeNamedMaterial/NamedMaterial, LightSource, AreaLightSource
+(incl. the fork's "portal" with portalData s-expressions), Shape
+(trianglemesh/plymesh/sphere/disk/aaplane), Include.
+"""
+
+from __future__ import annotations
+
+import copy
+import os
+import re
+from dataclasses import dataclass, field
+from typing import Any, Optional
+
+import numpy as np
+
+from pbrt_tpu.core import transform as tr
+from pbrt_tpu.core import spectrum as spec_mod
+from pbrt_tpu.frontend.sexpr import parse_portal_data
+from pbrt_tpu.scene import materials as mat_mod
+from pbrt_tpu.scene.types import SceneBuilder
+
+
+# ---------------------------------------------------------------------------
+# tokenizer (core/parser.cpp:98-203)
+# ---------------------------------------------------------------------------
+
+_TOKEN_RE = re.compile(r'"[^"]*"|\[|\]|[^\s"\[\]#]+|#[^\n]*')
+
+
+def tokenize(text: str):
+    for m in _TOKEN_RE.finditer(text):
+        t = m.group(0)
+        if t.startswith("#"):
+            continue
+        yield t
+
+
+# ---------------------------------------------------------------------------
+# ParamSet parsing (core/paramset.cpp ParseParams)
+# ---------------------------------------------------------------------------
+
+_PARAM_TYPES = {"integer", "float", "bool", "string", "point", "point3",
+                "point2", "vector", "vector3", "normal", "rgb", "color",
+                "spectrum", "texture", "blackbody", "xyz"}
+
+
+def _convert(ptype: str, vals):
+    # tolerate trailing commas in numeric lists (blender-exporter artifact
+    # that the reference's std::stof silently accepts, e.g. lamp.pbrt:75)
+    vals = [v.rstrip(",") if isinstance(v, str) else v for v in vals]
+    if ptype == "integer":
+        return np.asarray([int(float(v)) for v in vals], np.int64)
+    if ptype in ("float",):
+        return np.asarray([float(v) for v in vals], np.float64)
+    if ptype == "bool":
+        return [v.strip('"') == "true" for v in vals]
+    if ptype in ("string", "texture"):
+        return [v.strip('"') for v in vals]
+    return np.asarray([float(v) for v in vals], np.float64)
+
+
+class Params(dict):
+    """Typed parameter bag (core/paramset.h:53 FindOne* semantics)."""
+
+    def one(self, name, default=None):
+        if name not in self:
+            return default
+        ptype, vals = self[name]
+        if ptype in ("string", "texture", "bool"):
+            return vals[0]
+        if ptype == "integer":
+            return int(vals[0])
+        if ptype == "float":
+            return float(vals[0])
+        return vals
+
+    def point(self, name, default=None):
+        if name not in self:
+            return default
+        return tuple(np.asarray(self[name][1], np.float64).reshape(-1)[:3])
+
+    def spectrum_rgb(self, name, default=None):
+        """Resolve any spectrum-typed parameter to linear RGB."""
+        if name not in self:
+            return default
+        ptype, vals = self[name]
+        a = np.asarray(vals, np.float64).reshape(-1)
+        if ptype in ("rgb", "color"):
+            return tuple(a[:3])
+        if ptype == "spectrum":
+            pairs = a.reshape(-1, 2)
+            return tuple(spec_mod.spd_from_pairs(pairs[:, 0], pairs[:, 1],
+                                                 spec_mod.RGB))
+        if ptype == "blackbody":
+            lam = spec_mod.bin_centers()
+            s = np.asarray(spec_mod.blackbody_normalized(lam, a[0]))
+            scale = a[1] if len(a) > 1 else 1.0
+            rgb = np.asarray(spec_mod.spectrum_to_rgb(s * scale))
+            return tuple(rgb)
+        if ptype == "float":
+            return (a[0], a[0], a[0])
+        if ptype == "xyz":
+            return tuple(np.asarray(
+                spec_mod.xyz_to_rgb(np.asarray(a[:3]))))
+        return tuple(a[:3])
+
+
+def parse_params(tokens, peeked) -> Params:
+    """Consume '"type name" [values...]' pairs until a non-param token."""
+    params = Params()
+    while True:
+        t = peeked[0] if peeked else next(tokens, None)
+        peeked.clear()
+        if t is None:
+            break
+        if not (t.startswith('"') and len(t.split()) == 2
+                and t.strip('"').split()[0] in _PARAM_TYPES):
+            peeked.append(t)
+            break
+        ptype, name = t.strip('"').split()
+        nxt = next(tokens)
+        vals = []
+        if nxt == "[":
+            for v in tokens:
+                if v == "]":
+                    break
+                vals.append(v)
+        else:
+            vals.append(nxt)
+        params[name] = (ptype, _convert(ptype, vals))
+    return params
+
+
+# ---------------------------------------------------------------------------
+# graphics state (core/api.cpp:207 GraphicsState + CTM stack)
+# ---------------------------------------------------------------------------
+
+@dataclass
+class GraphicsState:
+    material_id: int = 0
+    area_light: Optional[dict] = None
+    reverse_orientation: bool = False
+    named_materials: dict = field(default_factory=dict)
+    textures: dict = field(default_factory=dict)
+
+
+class PbrtParser:
+    def __init__(self, spectrum_cfg=spec_mod.RGB, base_dir="."):
+        self.builder = SceneBuilder(spectrum_cfg)
+        self.base_dir = base_dir
+        self.ctm = np.eye(4)
+        self.ctm_stack = []
+        self.gs = GraphicsState()
+        self.gs_stack = []
+        self.world = False
+        self.options = {
+            "integrator": "path", "integrator_params": Params(),
+            "sampler": "halton", "spp": 16,
+            "film": {"xres": 640, "yres": 480, "filename": "out.exr"},
+            "filter": ("box", {}),
+            "camera": ("perspective", Params()),
+            "camera_to_world": np.eye(4),
+        }
+        self.object_defs = {}      # name → recorded shape list
+        self.recording = None
+        # default material (api.cpp: matte)
+        self.builder.add_material(type=mat_mod.MATTE, kd=0.5)
+
+    # -- transforms --------------------------------------------------------
+
+    def _apply(self, m):
+        self.ctm = self.ctm @ m
+
+    def _xf_point(self, p):
+        v = self.ctm @ np.append(np.asarray(p, np.float64), 1.0)
+        return tuple(v[:3] / v[3])
+
+    def _xf_vec(self, p):
+        return tuple((self.ctm[:3, :3] @ np.asarray(p, np.float64)))
+
+    def _xf_normal(self, n):
+        inv = np.linalg.inv(self.ctm[:3, :3])
+        return tuple(inv.T @ np.asarray(n, np.float64))
+
+    # -- directive dispatch ------------------------------------------------
+
+    def parse(self, text: str):
+        tokens = tokenize(text)
+        peeked = []
+
+        def nxt():
+            if peeked:
+                return peeked.pop()
+            return next(tokens, None)
+
+        while True:
+            t = nxt()
+            if t is None:
+                break
+            handler = getattr(self, "_d_" + t, None)
+            if handler is None:
+                # unknown directive: skip (+ any bracketed block)
+                continue
+            handler(tokens, peeked, nxt)
+        return self
+
+    # directives ----------------------------------------------------------
+
+    def _d_Include(self, tokens, peeked, nxt):
+        fname = nxt().strip('"')
+        path = os.path.join(self.base_dir, fname)
+        with open(path) as f:
+            sub = PbrtParser.__new__(PbrtParser)
+            sub.__dict__ = self.__dict__  # share all state
+            sub.parse(f.read())
+
+    def _d_LookAt(self, tokens, peeked, nxt):
+        v = [float(nxt()) for _ in range(9)]
+        m = np.asarray(tr.look_at(v[0:3], v[3:6], v[6:9]).m)
+        # pbrt: CTM *= world-to-camera (api.cpp pbrtLookAt)
+        self._apply(np.linalg.inv(np.asarray(m, np.float64)))
+
+    def _d_Translate(self, tokens, peeked, nxt):
+        v = [float(nxt()) for _ in range(3)]
+        m = np.eye(4)
+        m[:3, 3] = v
+        self._apply(m)
+
+    def _d_Scale(self, tokens, peeked, nxt):
+        v = [float(nxt()) for _ in range(3)]
+        self._apply(np.diag(v + [1.0]))
+
+    def _d_Rotate(self, tokens, peeked, nxt):
+        ang = float(nxt())
+        ax = [float(nxt()) for _ in range(3)]
+        self._apply(np.asarray(tr.rotate(ang, ax).m, np.float64))
+
+    def _d_Transform(self, tokens, peeked, nxt):
+        vals = self._matrix_vals(tokens, nxt)
+        self.ctm = np.asarray(vals, np.float64).reshape(4, 4).T
+
+    def _d_ConcatTransform(self, tokens, peeked, nxt):
+        vals = self._matrix_vals(tokens, nxt)
+        self._apply(np.asarray(vals, np.float64).reshape(4, 4).T)
+
+    def _d_Identity(self, tokens, peeked, nxt):
+        self.ctm = np.eye(4)
+
+    def _matrix_vals(self, tokens, nxt):
+        t = nxt()
+        vals = []
+        if t == "[":
+            for v in tokens:
+                if v == "]":
+                    break
+                vals.append(float(v))
+        else:
+            vals.append(float(t))
+            for _ in range(15):
+                vals.append(float(next(tokens)))
+        return vals
+
+    def _d_Camera(self, tokens, peeked, nxt):
+        name = nxt().strip('"')
+        params = parse_params(tokens, peeked)
+        # camera-to-world = inverse(CTM) (api.cpp pbrtCamera)
+        self.options["camera"] = (name, params)
+        self.options["camera_to_world"] = np.linalg.inv(self.ctm)
+
+    def _d_Film(self, tokens, peeked, nxt):
+        nxt()  # "image"
+        p = parse_params(tokens, peeked)
+        self.options["film"] = {
+            "xres": p.one("xresolution", 640),
+            "yres": p.one("yresolution", 480),
+            "filename": p.one("filename", "out.exr")}
+
+    def _d_Sampler(self, tokens, peeked, nxt):
+        name = nxt().strip('"')
+        p = parse_params(tokens, peeked)
+        self.options["sampler"] = name
+        self.options["spp"] = p.one("pixelsamples", 16)
+
+    def _d_PixelFilter(self, tokens, peeked, nxt):
+        name = nxt().strip('"')
+        p = parse_params(tokens, peeked)
+        kw = {}
+        if p.one("xwidth") is not None:
+            kw["xwidth"] = p.one("xwidth")
+        if p.one("ywidth") is not None:
+            kw["ywidth"] = p.one("ywidth")
+        self.options["filter"] = (name, kw)
+
+    def _d_Integrator(self, tokens, peeked, nxt):
+        name = nxt().strip('"')
+        p = parse_params(tokens, peeked)
+        self.options["integrator"] = name
+        self.options["integrator_params"] = p
+
+    def _d_Accelerator(self, tokens, peeked, nxt):
+        nxt()
+        parse_params(tokens, peeked)
+
+    def _d_WorldBegin(self, tokens, peeked, nxt):
+        self.world = True
+        self.ctm = np.eye(4)
+
+    def _d_WorldEnd(self, tokens, peeked, nxt):
+        pass
+
+    def _d_AttributeBegin(self, tokens, peeked, nxt):
+        self.gs_stack.append(copy.deepcopy(self.gs))
+        self.ctm_stack.append(self.ctm.copy())
+
+    def _d_AttributeEnd(self, tokens, peeked, nxt):
+        self.gs = self.gs_stack.pop()
+        self.ctm = self.ctm_stack.pop()
+
+    _d_TransformBegin = _d_AttributeBegin
+    _d_TransformEnd = _d_AttributeEnd
+
+    def _d_ObjectBegin(self, tokens, peeked, nxt):
+        self._d_AttributeBegin(tokens, peeked, nxt)
+        self.recording = nxt().strip('"')
+        self.object_defs[self.recording] = []
+
+    def _d_ObjectEnd(self, tokens, peeked, nxt):
+        self.recording = None
+        self._d_AttributeEnd(tokens, peeked, nxt)
+
+    def _d_ObjectInstance(self, tokens, peeked, nxt):
+        name = nxt().strip('"')
+        for entry in self.object_defs.get(name, []):
+            saved = self.ctm
+            self.ctm = self.ctm @ entry["ctm"]
+            self._emit_shape(entry["name"], entry["params"], entry["gs"])
+            self.ctm = saved
+
+    def _d_ReverseOrientation(self, tokens, peeked, nxt):
+        self.gs.reverse_orientation = not self.gs.reverse_orientation
+
+    def _d_Texture(self, tokens, peeked, nxt):
+        name = nxt().strip('"')
+        _type = nxt().strip('"')
+        klass = nxt().strip('"')
+        p = parse_params(tokens, peeked)
+        self.gs.textures[name] = (klass, p)
+
+    def _d_Material(self, tokens, peeked, nxt):
+        name = nxt().strip('"')
+        p = parse_params(tokens, peeked)
+        self.gs.material_id = self._make_material(name, p)
+
+    def _d_MakeNamedMaterial(self, tokens, peeked, nxt):
+        name = nxt().strip('"')
+        p = parse_params(tokens, peeked)
+        mtype = p.one("type", "matte")
+        self.gs.named_materials[name] = self._make_material(mtype, p)
+
+    def _d_NamedMaterial(self, tokens, peeked, nxt):
+        name = nxt().strip('"')
+        self.gs.material_id = self.gs.named_materials.get(name, 0)
+
+    def _d_LightSource(self, tokens, peeked, nxt):
+        name = nxt().strip('"')
+        p = parse_params(tokens, peeked)
+        b = self.builder
+        scale = p.spectrum_rgb("scale", (1.0, 1.0, 1.0))
+        if name == "point":
+            b.add_light(type="point", I=p.spectrum_rgb("I", (1, 1, 1)),
+                        scale=scale,
+                        pos=self._xf_point(p.point("from", (0, 0, 0))))
+        elif name == "spot":
+            frm = p.point("from", (0, 0, 0))
+            to = p.point("to", (0, 0, 1))
+            d = np.asarray(self._xf_point(to)) - np.asarray(
+                self._xf_point(frm))
+            b.add_light(type="spot", I=p.spectrum_rgb("I", (1, 1, 1)),
+                        scale=scale, pos=self._xf_point(frm), dir=tuple(d),
+                        cone_angle=p.one("coneangle", 30.0),
+                        cone_delta=p.one("conedeltaangle", 5.0))
+        elif name == "distant":
+            frm = np.asarray(p.point("from", (0, 0, 0)))
+            to = np.asarray(p.point("to", (0, 0, 1)))
+            d = np.asarray(self._xf_vec(to - frm))
+            b.add_light(type="distant", L=p.spectrum_rgb("L", (1, 1, 1)),
+                        scale=scale, dir=tuple(d))
+        elif name in ("infinite", "exinfinite"):
+            env = None
+            mapname = p.one("mapname")
+            if mapname:
+                from pbrt_tpu.utils import imageio
+                env = imageio.read_image(
+                    os.path.join(self.base_dir, mapname))
+            b.add_light(type="infinite", L=p.spectrum_rgb("L", (1, 1, 1)),
+                        scale=scale,
+                        env_map=env if env is not None
+                        else np.ones((1, 1, 3), np.float32))
+
+    def _d_AreaLightSource(self, tokens, peeked, nxt):
+        name = nxt().strip('"')
+        p = parse_params(tokens, peeked)
+        self.gs.area_light = {"kind": name, "params": p}
+
+    def _d_Shape(self, tokens, peeked, nxt):
+        name = nxt().strip('"')
+        params = parse_params(tokens, peeked)
+        if self.recording is not None:
+            self.object_defs[self.recording].append(dict(
+                name=name, params=params, ctm=self.ctm.copy(),
+                gs=copy.deepcopy(self.gs)))
+            return
+        self._emit_shape(name, params, self.gs)
+
+    # -- construction helpers ---------------------------------------------
+
+    def _make_material(self, name: str, p: Params) -> int:
+        b = self.builder
+        tmap = {"matte": mat_mod.MATTE, "mirror": mat_mod.MIRROR,
+                "glass": mat_mod.GLASS, "plastic": mat_mod.PLASTIC,
+                "metal": mat_mod.METAL,
+                "dispersive_glass": mat_mod.DISPERSIVE_GLASS,
+                "uber": mat_mod.UBER, "substrate": mat_mod.SUBSTRATE,
+                "translucent": mat_mod.TRANSLUCENT,
+                "none": mat_mod.NONE, "": mat_mod.NONE}
+        mtype = tmap.get(name, mat_mod.MATTE)
+        kw = dict(type=mtype)
+        if p.spectrum_rgb("Kd") is not None:
+            kw["kd"] = p.spectrum_rgb("Kd")
+        if p.spectrum_rgb("Ks") is not None:
+            kw["ks"] = p.spectrum_rgb("Ks")
+        if p.spectrum_rgb("Kr") is not None:
+            kw["kr"] = p.spectrum_rgb("Kr")
+        if p.spectrum_rgb("Kt") is not None:
+            kw["kt"] = p.spectrum_rgb("Kt")
+        if p.one("sigma") is not None:
+            kw["sigma"] = p.one("sigma")
+        if p.one("roughness") is not None:
+            kw["roughness"] = p.one("roughness")
+        if p.one("index") is not None:
+            kw["eta"] = p.one("index")
+        if p.one("eta") is not None and name == "glass":
+            kw["eta"] = p.one("eta")
+        if name == "metal":
+            if p.spectrum_rgb("eta") is not None:
+                kw["metal_eta"] = p.spectrum_rgb("eta")
+            if p.spectrum_rgb("k") is not None:
+                kw["metal_k"] = p.spectrum_rgb("k")
+        if name == "dispersive_glass":
+            # Cauchy from (etaMin, etaMax) endpoints
+            # (materials/dispersive_glass.cpp:62-64)
+            eta_min = p.one("etaMin", 1.5)
+            eta_max = p.one("etaMax", 1.6)
+            l_min = spec_mod.LAMBDA_START * 1e-3
+            l_max = spec_mod.LAMBDA_END * 1e-3
+            cc = (eta_max - eta_min) / (1.0 / (l_min * l_min)
+                                        - 1.0 / (l_max * l_max))
+            bb = eta_min - cc / (l_max * l_max)
+            kw["cauchy_b"] = bb
+            kw["cauchy_c"] = cc
+            kw["eta"] = bb + cc / (0.55 * 0.55)
+        return b.add_material(**kw)
+
+    def _emit_light_for_shape(self, gs, n_prims_before):
+        """Bind an AreaLightSource to the prims just added."""
+        al = gs.area_light
+        if al is None:
+            return -1
+        p = al["params"]
+        kw = dict(type="area",
+                  L=p.spectrum_rgb("L", (1, 1, 1)),
+                  scale=p.spectrum_rgb("scale", (1, 1, 1)),
+                  two_sided=(p.one("twosided", "false") in (True, "true")),
+                  prim=-1)
+        if al["kind"] == "portal":
+            kw["strategy"] = p.one("strategy", "light")
+            pd = p.one("portalData", "")
+            kw["portals"] = parse_portal_data(pd) if pd else []
+        return self.builder.add_light(**kw)
+
+    def _emit_shape(self, name, p: Params, gs: GraphicsState):
+        b = self.builder
+        mat = gs.material_id
+        if name == "trianglemesh":
+            idx = np.asarray(p["indices"][1], np.int32).reshape(-1, 3)
+            pts = np.asarray(p["P"][1], np.float64).reshape(-1, 3)
+            pts_w = np.stack([self._xf_point(q) for q in pts])
+            normals = None
+            if "N" in p:
+                ns = np.asarray(p["N"][1], np.float64).reshape(-1, 3)
+                normals = np.stack([self._xf_normal(q) for q in ns])
+            uvs = None
+            for uk in ("st", "uv"):
+                if uk in p:
+                    uvs = np.asarray(p[uk][1], np.float64).reshape(-1, 2)
+            light = -1
+            if gs.area_light is not None:
+                # one light row per triangle (pbrt: one DiffuseAreaLight
+                # per Triangle shape)
+                for f in idx:
+                    li = self._emit_light_for_shape(gs, 0)
+                    tid = b.add_triangle(
+                        pts_w[f[0]], pts_w[f[1]], pts_w[f[2]], mat, li,
+                        n0=None if normals is None else normals[f[0]],
+                        n1=None if normals is None else normals[f[1]],
+                        n2=None if normals is None else normals[f[2]],
+                        uv0=(0, 0) if uvs is None else tuple(uvs[f[0]]),
+                        uv1=(1, 0) if uvs is None else tuple(uvs[f[1]]),
+                        uv2=(1, 1) if uvs is None else tuple(uvs[f[2]]))
+                    b.light_rows[li]["prim"] = b.prim_index("tri", tid)
+            else:
+                b.add_mesh(pts_w, idx, mat=mat, light=-1, normals=normals,
+                           uvs=uvs)
+        elif name == "loopsubdiv":
+            from pbrt_tpu.frontend.loopsubdiv import loop_subdivide
+            idx = np.asarray(p["indices"][1], np.int32).reshape(-1, 3)
+            pts = np.asarray(p["P"][1], np.float64).reshape(-1, 3)
+            sv, sf = loop_subdivide(pts, idx, p.one("nlevels", 3))
+            pts_w = np.stack([self._xf_point(q) for q in sv])
+            b.add_mesh(pts_w, sf, mat=mat)
+        elif name == "plymesh":
+            from pbrt_tpu.frontend.ply import read_ply
+            mesh = read_ply(os.path.join(self.base_dir,
+                                         p.one("filename")))
+            pts_w = np.stack([self._xf_point(q)
+                              for q in mesh["vertices"]])
+            normals = None
+            if "normals" in mesh:
+                normals = np.stack([self._xf_normal(q)
+                                    for q in mesh["normals"]])
+            b.add_mesh(pts_w, mesh["indices"], mat=mat,
+                       normals=normals, uvs=mesh.get("uvs"))
+        elif name == "sphere":
+            r = p.one("radius", 1.0)
+            c = self._xf_point((0, 0, 0))
+            # uniform scale assumed for spheres (world-space repr)
+            s = np.cbrt(abs(np.linalg.det(self.ctm[:3, :3])))
+            sid = b.add_sphere(c, r * s, mat=mat)
+            if gs.area_light is not None:
+                li = self._emit_light_for_shape(gs, 0)
+                b.spheres[sid]["light"] = li
+                b.light_rows[li]["prim"] = b.prim_index("sph", sid)
+        elif name == "disk":
+            r = p.one("radius", 1.0)
+            h = p.one("height", 0.0)
+            c = self._xf_point((0, 0, h))
+            n = np.asarray(self._xf_normal((0, 0, 1)))
+            n = n / max(np.linalg.norm(n), 1e-12)
+            did = b.add_disk(c, tuple(n), r, p.one("innerradius", 0.0),
+                             mat=mat)
+            if gs.area_light is not None:
+                li = self._emit_light_for_shape(gs, 0)
+                b.disks[did]["light"] = li
+                b.light_rows[li]["prim"] = b.prim_index("dsk", did)
+        elif name == "aaplane":
+            lo = p.point("lo", (0, 0, 0))
+            hi = p.point("hi", (0, 0, 0))
+            ax = p.one("axis", 2)
+            facing = p.one("facingFw", "true") in (True, "true")
+            lo_w = self._xf_point(lo)
+            hi_w = self._xf_point(hi)
+            pid = b.add_aaplane(tuple(np.minimum(lo_w, hi_w)),
+                                tuple(np.maximum(lo_w, hi_w)), ax,
+                                facing_fw=facing, mat=mat)
+            if gs.area_light is not None:
+                li = self._emit_light_for_shape(gs, 0)
+                b.planes[pid]["light"] = li
+                b.light_rows[li]["prim"] = b.prim_index("pln", pid)
+        # unknown shapes: ignored with a note (curve/nurbs/etc → later)
+
+
+# ---------------------------------------------------------------------------
+# public API
+# ---------------------------------------------------------------------------
+
+def parse_pbrt_string(text: str, base_dir=".", spectrum_cfg=spec_mod.RGB):
+    """Parse scene text → (scene, camera, options dict)."""
+    ps = PbrtParser(spectrum_cfg, base_dir)
+    ps.parse(text)
+    scene = ps.builder.build()
+
+    from pbrt_tpu.scene import camera as cam_mod
+    name, cp = ps.options["camera"]
+    c2w_np = np.asarray(ps.options["camera_to_world"], np.float64)
+    # pbrt camera space is left-handed (+z forward); our look_at builds the
+    # same convention, so use the matrix directly
+    import jax.numpy as jnp
+    c2w = tr.Transform(jnp.asarray(c2w_np, jnp.float32),
+                       jnp.asarray(np.linalg.inv(c2w_np), jnp.float32))
+    res = (ps.options["film"]["xres"], ps.options["film"]["yres"])
+    if name == "perspective":
+        cam = cam_mod.make_perspective(
+            c2w, cp.one("fov", 90.0), res,
+            lens_radius=cp.one("lensradius", 0.0),
+            focal_distance=cp.one("focaldistance", 1e6))
+    elif name == "orthographic":
+        cam = cam_mod.make_orthographic(c2w, res)
+    else:
+        cam = cam_mod.make_environment(c2w, res)
+
+    imap = {"path": "path", "directlighting": "direct", "whitted": "whitted",
+            "ambientocclusion": "ao", "mypath": "mypath",
+            "hero_path": "hero_path", "hero_path_mis": "hero_path_mis",
+            "volpath": "volpath", "bdpt": "bdpt", "mlt": "mlt",
+            "sppm": "sppm", "hero": "hero_path"}
+    opts = dict(ps.options)
+    opts["integrator"] = imap.get(ps.options["integrator"], "path")
+    opts["max_depth"] = ps.options["integrator_params"].one("maxdepth", 5)
+    return scene, cam, opts
+
+
+def load_pbrt(path: str, spectrum_cfg=spec_mod.RGB):
+    with open(path) as f:
+        text = f.read()
+    return parse_pbrt_string(text, base_dir=os.path.dirname(path) or ".",
+                             spectrum_cfg=spectrum_cfg)

@@ -1,0 +1,197 @@
+"""Shared integrator machinery: light selection, NEE with MIS, portal
+dispatch, shading frames.
+
+TPU-native counterpart of ``core/integrator.cpp``'s helpers —
+UniformSampleOneLight (:100-122), EstimateDirect (:124-258 incl. the portal
+dynamic-dispatch at :130-133) — and ``core/lightdistrib.{h,cpp}``'s
+Uniform/Power distributions.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax.numpy as jnp
+
+from pbrt_tpu.core import vecmath
+from pbrt_tpu.core.sampling import (power_heuristic,
+                                    sample_distribution_1d_discrete)
+from pbrt_tpu.core.vecmath import absdot, dot, normalize
+from pbrt_tpu.scene import intersect as isect_mod
+from pbrt_tpu.scene import lights as lights_mod
+from pbrt_tpu.scene import materials as mat_mod
+from pbrt_tpu.scene import portals as portals_mod
+from pbrt_tpu.scene.lights import AREA, STRAT_LIGHT, STRAT_PORTAL, \
+    STRAT_PROJECTION
+
+Array = Any
+
+
+# ---------------------------------------------------------------------------
+# shading frames
+# ---------------------------------------------------------------------------
+
+def make_frame(ns: Array):
+    """Orthonormal (t1, t2, ns) basis per shading point."""
+    t1, t2 = vecmath.coordinate_system(ns)
+    return t1, t2
+
+
+def to_local(t1, t2, n, w):
+    return jnp.stack([dot(w, t1), dot(w, t2), dot(w, n)], axis=-1)
+
+
+def to_world(t1, t2, n, w):
+    return w[..., 0:1] * t1 + w[..., 1:2] * t2 + w[..., 2:3] * n
+
+
+# ---------------------------------------------------------------------------
+# light selection (lightdistrib.h Uniform/Power)
+# ---------------------------------------------------------------------------
+
+def choose_light(scene, u: Array, power_distr=None):
+    """Pick a light per ray. Returns (idx (R,), select_pmf (R,))."""
+    n = scene.lights.n
+    if power_distr is not None:
+        idx, pmf = sample_distribution_1d_discrete(power_distr, u)
+        return idx, pmf
+    idx = jnp.minimum((u * n).astype(jnp.int32), n - 1)
+    return idx, jnp.full(u.shape, 1.0 / n)
+
+
+# ---------------------------------------------------------------------------
+# traced emission: radiance arriving from the first hit along wi
+# ---------------------------------------------------------------------------
+
+def trace_radiance(scene, p: Array, ns: Array, wi: Array):
+    """Closest-hit trace from (offset) p along wi; returns
+    (hit, Le (R,C)) where Le is the emission of whatever was hit, toward p
+    (lightIsect.Le(-wi) in portal_arealight.cpp:140-148)."""
+    o = vecmath.offset_ray_origin(p, ns, wi)
+    hit = isect_mod.intersect(scene, o, wi,
+                              jnp.full(p.shape[0], vecmath.INF))
+    light_id = scene.prim_light[jnp.clip(hit.prim_id, 0,
+                                         scene.n_prims - 1)]
+    light_id = jnp.where(hit.valid, light_id, -1)
+    g = lights_mod.gather_lights(scene.lights, jnp.maximum(light_id, 0))
+    le = lights_mod.area_light_L(g.emit, g.two_sided, hit.ng, -wi)
+    le = jnp.where((light_id >= 0)[..., None], le, 0.0)
+    return hit, le, light_id
+
+
+# ---------------------------------------------------------------------------
+# EstimateDirect (core/integrator.cpp:124-258 + portal dispatch :130-133)
+# ---------------------------------------------------------------------------
+
+def estimate_direct(scene, hit, mp, wo_world: Array,
+                    u_select: Array, u_light: Array, u_scatter: Array,
+                    u_bsdf_lobe: Array, power_distr=None,
+                    with_bsdf_half: bool = True):
+    """One-light NEE estimate at shading points ``hit`` with materials
+    ``mp`` (gathered rows). Returns Ld (R,C).
+
+    Standard lights: two-sample MIS (light strategy + BSDF strategy) exactly
+    as EstimateDirect; portal area lights (fork): strategy-dispatched single
+    sample estimators per portal_arealight.cpp:29-239 (no MIS), including
+    the behind-all-portals fallback to plain light sampling.
+    """
+    R = hit.p.shape[0]
+    C = scene.n_channels
+    lt = scene.lights
+
+    light_idx, sel_pmf = choose_light(scene, u_select, power_distr)
+    g = lights_mod.gather_lights(lt, light_idx)
+    is_portal_light = (g.ltype == AREA) & (g.n_portals > 0)
+
+    t1, t2 = make_frame(hit.ns)
+    wo = to_local(t1, t2, hit.ns, wo_world)
+
+    # ---- light-strategy sample (Sample_Li)
+    ls = lights_mod.sample_li(scene, light_idx, hit.p, u_light)
+
+    # ---- portal strategy directions
+    in_front = portals_mod.portals_in_front(hit.p, g)
+    pidx, psel_pdf, behind_all = portals_mod.select_visible_portal(
+        in_front, u_select)
+    ap = lights_mod.gather_area_prim(scene, g.prim_id)
+    wi_port, pdf_port, _ = portals_mod.sample_portal(g, pidx, hit.p, u_light)
+    # projection needs the light rect (aaplane-backed portal lights)
+    wi_proj, pdf_proj, _ = portals_mod.sample_projection(
+        g, pidx, ap.lo, ap.hi, ap.ax, hit.p, u_light)
+
+    use_portal_dir = (is_portal_light & ~behind_all
+                      & (g.strategy != STRAT_LIGHT))
+    use_proj = use_portal_dir & (g.strategy == STRAT_PROJECTION)
+    wi_nee = jnp.where(use_portal_dir[..., None],
+                       jnp.where(use_proj[..., None], wi_proj, wi_port),
+                       ls["wi"])
+    pdf_nee = jnp.where(use_portal_dir,
+                        jnp.where(use_proj, pdf_proj, pdf_port),
+                        ls["pdf"])
+
+    # ---- one closest-hit trace serves visibility AND portal emission
+    hit2, le2, hit2_light = trace_radiance(scene, hit.p, hit.ns, wi_nee)
+
+    # received radiance per branch
+    dist = vecmath.length(ls["p_light"] - hit.p)
+    blocked_delta = hit2.valid & (hit2.t < dist * (1.0 - 1e-3))
+    li_delta = jnp.where(blocked_delta[..., None], 0.0, ls["li"])
+    li_area = jnp.where((hit2_light == light_idx)[..., None], ls["li"], 0.0)
+    li_inf = jnp.where(hit2.valid[..., None], 0.0, ls["li"])
+    is_inf = g.ltype == lights_mod.INFINITE
+    li_std = jnp.where(ls["is_delta"][..., None], li_delta,
+                       jnp.where(is_inf[..., None], li_inf, li_area))
+    # portal estimators: whatever emitter the ray hits
+    li = jnp.where(is_portal_light[..., None], le2, li_std)
+
+    # ---- BSDF at the sampled direction
+    wi_loc = to_local(t1, t2, hit.ns, wi_nee)
+    f = mat_mod.bsdf_f(mp, wo, wi_loc) * absdot(wi_nee, hit.ns)[..., None]
+    scatter_pdf = mat_mod.bsdf_pdf(mp, wo, wi_loc)
+
+    # ---- combine
+    ok = (pdf_nee > 0.0) & hit.valid
+    # standard: delta lights weight 1; area/inf lights power-heuristic MIS
+    w_mis = jnp.where(ls["is_delta"], 1.0,
+                      power_heuristic(1.0, pdf_nee, 1.0, scatter_pdf))
+    ld_std = f * li * (w_mis / jnp.maximum(pdf_nee, 1e-20))[..., None]
+
+    # portal single-sample estimators
+    #   strategy 'portal': f*Li/pdf (NOT divided by selection pmf —
+    #   portal_arealight.cpp:103-109 returns EstimateDirectPortal directly)
+    #   strategy 'projection': (f*Li/pdf) / portalPdf (:108)
+    #   strategy 'light' or behind-all: f*Li/lightPdf (:115-160)
+    ld_portal = f * li / jnp.maximum(pdf_nee, 1e-20)[..., None]
+    ld_portal = jnp.where(use_proj[..., None],
+                          ld_portal / jnp.maximum(psel_pdf, 1e-20)[..., None],
+                          ld_portal)
+
+    ld = jnp.where(is_portal_light[..., None], ld_portal, ld_std)
+    ld = jnp.where(ok[..., None], ld, 0.0)
+
+    # ---- BSDF-strategy half of two-sample MIS (non-portal, non-delta)
+    if with_bsdf_half:
+        wi_b_loc, f_b, pdf_b, flags = mat_mod.bsdf_sample(
+            mp, wo, u_bsdf_lobe, u_scatter)
+        wi_b = to_world(t1, t2, hit.ns, wi_b_loc)
+        is_spec = (flags & mat_mod.FLAG_SPECULAR) > 0
+        f_b = f_b * absdot(wi_b, hit.ns)[..., None]
+        hit3, le3, hit3_light = trace_radiance(scene, hit.p, hit.ns, wi_b)
+        # radiance only counts when this very light is hit (or escapes to
+        # the chosen infinite light)
+        li_b = jnp.where((hit3_light == light_idx)[..., None], le3, 0.0)
+        li_b = jnp.where((is_inf & ~hit3.valid)[..., None],
+                         lights_mod.escaped_radiance(scene, wi_b), li_b)
+        light_pdf_b = lights_mod.pdf_li(scene, light_idx, hit.p, wi_b)
+        w_b = power_heuristic(1.0, pdf_b, 1.0, light_pdf_b)
+        ld_b = f_b * li_b * (w_b / jnp.maximum(pdf_b, 1e-20))[..., None]
+        # EstimateDirect samples with BSDF_ALL & ~BSDF_SPECULAR
+        # (integrator.cpp:128,186) — specular lobes are handled by the path
+        # continuation, so exclude them here
+        ld_b = jnp.where((hit.valid & ~ls["is_delta"] & ~is_portal_light
+                          & (pdf_b > 0) & ~is_spec)[..., None], ld_b, 0.0)
+        ld = ld + ld_b
+
+    # divide by light-selection pmf (UniformSampleOneLight,
+    # integrator.cpp:116-121)
+    return ld / jnp.maximum(sel_pmf, 1e-20)[..., None]

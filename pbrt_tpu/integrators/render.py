@@ -1,0 +1,307 @@
+"""Render driver + the sampler-integrator family as wavefront programs.
+
+TPU-native counterpart of SamplerIntegrator::Render's tile loop
+(core/integrator.cpp:526-637) and the integrators `directlighting`
+(integrators/directlighting.cpp), `path` (integrators/path.cpp), `mypath`
+(fork, integrators/mypath.cpp), `whitted` (whitted.cpp) and
+`ambientocclusion` (ao.cpp).
+
+Structure: one jitted ``render_pass`` evaluates a batch of (pixel, sample)
+camera rays fully — the per-bounce recursion of Li() becomes a
+``lax.fori_loop`` with active masks — and accumulates into the film. The
+host loops over spp chunks to bound memory; pbrt's 16×16 tile pool
+(integrator.cpp:533-546) maps to the sample-batch axis, which
+pbrt_tpu/parallel shards across devices.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pbrt_tpu.core import vecmath
+from pbrt_tpu.core.vecmath import absdot, dot
+from pbrt_tpu.integrators import common
+from pbrt_tpu.scene import camera as cam_mod
+from pbrt_tpu.scene import film as film_mod
+from pbrt_tpu.scene import intersect as isect_mod
+from pbrt_tpu.scene import lights as lights_mod
+from pbrt_tpu.scene import materials as mat_mod
+from pbrt_tpu.samplers import make_sampler
+
+Array = Any
+
+# per-bounce sample-dimension layout (after 0-4: pixel xy, lens xy, time)
+_DIM_BASE = 5
+_DIM_STRIDE = 10
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    integrator: str = "path"       # path | direct | whitted | ao | mypath
+    sampler: str = "independent"
+    max_depth: int = 5
+    rr_threshold: float = 1.0
+    light_strategy: str = "uniform"   # uniform | power
+    ao_radius: float = 1e6
+    ao_cos_sample: bool = True
+    seed: int = 0
+
+
+def _bounce_dims(b):
+    base = _DIM_BASE + b * _DIM_STRIDE
+    return dict(select=base, light_u=(base + 1, base + 2), mis_lobe=base + 3,
+                mis_u=(base + 4, base + 5), cont_lobe=base + 6,
+                cont_u=(base + 7, base + 8), rr=base + 9)
+
+
+def _sample2(sfn, pid, sidx, dims, seed):
+    return jnp.stack([sfn(pid, sidx, dims[0], seed),
+                      sfn(pid, sidx, dims[1], seed)], axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# integrators (Li over a ray batch)
+# ---------------------------------------------------------------------------
+
+def li_direct(scene, o, d, pid, sidx, sfn, cfg: RenderConfig, power_distr):
+    """`directlighting` with UniformSampleOne strategy
+    (integrators/directlighting.cpp:49-101) + specular recursion up to
+    max_depth via the wavefront loop."""
+    return _li_loop(scene, o, d, pid, sidx, sfn, cfg, power_distr,
+                    nee=True, indirect=False)
+
+
+def li_path(scene, o, d, pid, sidx, sfn, cfg: RenderConfig, power_distr):
+    """`path` (integrators/path.cpp): NEE every bounce + BSDF continuation,
+    emission collected on camera/specular vertices only, Russian roulette."""
+    return _li_loop(scene, o, d, pid, sidx, sfn, cfg, power_distr,
+                    nee=True, indirect=True)
+
+
+def li_mypath(scene, o, d, pid, sidx, sfn, cfg: RenderConfig, power_distr):
+    """fork `mypath` (integrators/mypath.cpp:31-142): path tracing whose
+    direct estimation is light-sampling only (no BSDF half) — portal
+    dispatch intact."""
+    return _li_loop(scene, o, d, pid, sidx, sfn, cfg, power_distr,
+                    nee=True, indirect=True, bsdf_half=False)
+
+
+def li_whitted(scene, o, d, pid, sidx, sfn, cfg: RenderConfig, power_distr):
+    """`whitted` (integrators/whitted.cpp): direct from all lights (delta
+    semantics retained via the same NEE estimator) + specular recursion."""
+    return _li_loop(scene, o, d, pid, sidx, sfn, cfg, power_distr,
+                    nee=True, indirect=False)
+
+
+def li_ao(scene, o, d, pid, sidx, sfn, cfg: RenderConfig, power_distr):
+    """`ambientocclusion` (integrators/ao.cpp:57-103)."""
+    R = o.shape[0]
+    C = scene.n_channels
+    hit = isect_mod.intersect(scene, o, d, jnp.full(R, vecmath.INF))
+    dims = _bounce_dims(0)
+    u = _sample2(sfn, pid, sidx, dims["light_u"], cfg.seed)
+    from pbrt_tpu.core.sampling import (cosine_sample_hemisphere,
+                                        uniform_sample_hemisphere, INV_PI)
+    t1, t2 = common.make_frame(hit.ns)
+    if cfg.ao_cos_sample:
+        w_loc = cosine_sample_hemisphere(u)
+        ratio = jnp.ones(R)  # cos/pi / (cos/pi)
+    else:
+        w_loc = uniform_sample_hemisphere(u)
+        ratio = 2.0 * w_loc[..., 2]  # cos/(pi) / (1/2pi)
+    w = common.to_world(t1, t2, hit.ns, w_loc)
+    o2 = vecmath.offset_ray_origin(hit.p, hit.ns, w)
+    occ = isect_mod.intersect_p(scene, o2, w,
+                                jnp.full(R, cfg.ao_radius))
+    vis = jnp.where(hit.valid, (~occ).astype(jnp.float32) * ratio, 0.0)
+    return jnp.broadcast_to(vis[..., None], (R, C))
+
+
+def _li_loop(scene, o, d, pid, sidx, sfn, cfg: RenderConfig, power_distr,
+             nee=True, indirect=True, bsdf_half=True):
+    """Shared wavefront loop (PathIntegrator::Li shape, path.cpp /
+    mypath.cpp:31-142). Bounce count is a static unroll via fori_loop with
+    per-bounce dims."""
+    R = o.shape[0]
+    C = scene.n_channels
+    # derive initial carries from o so their vma type matches the loop
+    # outputs under shard_map (constants are mesh-invariant; loop outputs
+    # aren't — see shard_map scan-vma docs)
+    zero_r = o[..., 0] * 0.0
+    L = jnp.zeros((R, C)) + zero_r[..., None]
+    beta = jnp.ones((R, C)) + zero_r[..., None]
+    active = zero_r == 0.0
+    specular = zero_r == 0.0  # bounce 0 counts emission
+    eta_scale = jnp.ones(R) + zero_r
+    o_cur, d_cur = o, d
+
+    n_bounces = cfg.max_depth + 1 if indirect else min(cfg.max_depth + 1, 8)
+
+    def body(b, state):
+        L, beta, active, specular, eta_scale, o_cur, d_cur = state
+        dims = _bounce_dims(b)
+        hit = isect_mod.intersect(scene, o_cur, d_cur,
+                                  jnp.full(R, vecmath.INF))
+
+        # emitted radiance at camera/specular vertices (path.cpp:291-310)
+        light_id = scene.prim_light[jnp.clip(hit.prim_id, 0,
+                                             scene.n_prims - 1)]
+        light_id = jnp.where(hit.valid, light_id, -1)
+        gl = lights_mod.gather_lights(scene.lights,
+                                      jnp.maximum(light_id, 0))
+        le = lights_mod.area_light_L(gl.emit, gl.two_sided, hit.ng, -d_cur)
+        le = jnp.where((light_id >= 0)[..., None], le, 0.0)
+        env = lights_mod.escaped_radiance(scene, d_cur)
+        emit = jnp.where(hit.valid[..., None], le, env)
+        L = L + jnp.where((active & specular)[..., None], beta * emit, 0.0)
+
+        active = active & hit.valid
+        mp = mat_mod.gather_materials(
+            scene.materials,
+            scene.prim_mat[jnp.clip(hit.prim_id, 0, scene.n_prims - 1)])
+
+        # NEE
+        if nee:
+            u_sel = sfn(pid, sidx, dims["select"], cfg.seed)
+            u_l = _sample2(sfn, pid, sidx, dims["light_u"], cfg.seed)
+            u_ml = sfn(pid, sidx, dims["mis_lobe"], cfg.seed)
+            u_mu = _sample2(sfn, pid, sidx, dims["mis_u"], cfg.seed)
+            ld = common.estimate_direct(
+                scene, hit, mp, -d_cur, u_sel, u_l, u_mu, u_ml,
+                power_distr=power_distr, with_bsdf_half=bsdf_half)
+            L = L + jnp.where(active[..., None], beta * ld, 0.0)
+
+        # continuation (path.cpp:320-360)
+        t1, t2 = common.make_frame(hit.ns)
+        wo = common.to_local(t1, t2, hit.ns, -d_cur)
+        u_cl = sfn(pid, sidx, dims["cont_lobe"], cfg.seed)
+        u_cu = _sample2(sfn, pid, sidx, dims["cont_u"], cfg.seed)
+        wi_loc, f, pdf, flags = mat_mod.bsdf_sample(mp, wo, u_cl, u_cu)
+        wi = common.to_world(t1, t2, hit.ns, wi_loc)
+        is_spec = (flags & mat_mod.FLAG_SPECULAR) > 0
+        is_trans = (flags & mat_mod.FLAG_TRANSMISSION) > 0
+        if not indirect:
+            # whitted/direct continue through *specular* lobes only
+            cont_ok = is_spec
+        else:
+            cont_ok = jnp.ones(R, bool)
+        throughput = f * (absdot(wi, hit.ns)
+                          / jnp.maximum(pdf, 1e-20))[..., None]
+        beta_new = beta * throughput
+        alive = (active & cont_ok & (pdf > 0)
+                 & (jnp.max(beta_new, axis=-1) > 0))
+        # eta scaling for russian roulette (path.cpp:344-352)
+        eta = mp.eta
+        entering = dot(-d_cur, hit.ng) > 0
+        eta_sc = jnp.where(is_spec & is_trans,
+                           jnp.where(entering, eta * eta,
+                                     1.0 / jnp.maximum(eta * eta, 1e-9)),
+                           1.0)
+        eta_scale = eta_scale * jnp.where(alive, eta_sc, 1.0)
+
+        # russian roulette (path.cpp:362-370)
+        if indirect:
+            rr_beta_max = jnp.max(beta_new, axis=-1) * eta_scale
+            q = jnp.maximum(0.05, 1.0 - rr_beta_max)
+            u_rr = sfn(pid, sidx, dims["rr"], cfg.seed)
+            do_rr = (b > 3) & (rr_beta_max < cfg.rr_threshold)
+            killed = do_rr & (u_rr < q)
+            beta_new = jnp.where((do_rr & ~killed)[..., None],
+                                 beta_new / jnp.maximum(1.0 - q, 1e-6)[
+                                     ..., None], beta_new)
+            alive = alive & ~killed
+
+        o_next = vecmath.offset_ray_origin(hit.p, hit.ng, wi)
+        beta = jnp.where(alive[..., None], beta_new, beta)
+        o_cur = jnp.where(alive[..., None], o_next, o_cur)
+        d_cur = jnp.where(alive[..., None], wi, d_cur)
+        specular = jnp.where(alive, is_spec if nee else True, specular)
+        active = alive
+        return (L, beta, active, specular, eta_scale, o_cur, d_cur)
+
+    state = (L, beta, active, specular, eta_scale, o_cur, d_cur)
+    # fori_loop: one traced bounce body (dims are computed from the traced
+    # bounce index — counter-based sampling makes this free), keeping
+    # compile time flat in max_depth
+    state = jax.lax.fori_loop(0, n_bounces, body, state)
+    return state[0]
+
+
+_INTEGRATORS = {"path": li_path, "direct": li_direct,
+                "directlighting": li_direct, "whitted": li_whitted,
+                "ao": li_ao, "ambientocclusion": li_ao, "mypath": li_mypath}
+
+
+# ---------------------------------------------------------------------------
+# render pass (one spp chunk over the full image) + driver
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("cfg", "width", "height",
+                                             "chunk"))
+def render_pass(scene, cam, filt, cfg: RenderConfig, width: int, height: int,
+                chunk: int, spp_offset):
+    """Evaluate `chunk` samples for every pixel; returns (H,W,C) sum of
+    filter-weighted radiance (divide by total spp outside)."""
+    n_pix = width * height
+    pid = jnp.tile(jnp.arange(n_pix, dtype=jnp.uint32), chunk)
+    sidx = (jnp.repeat(jnp.arange(chunk, dtype=jnp.uint32), n_pix)
+            + spp_offset.astype(jnp.uint32))
+    sfn = make_sampler(cfg.sampler)
+
+    px = (pid % width).astype(jnp.float32)
+    py = (pid // width).astype(jnp.float32)
+    u_film = _sample2(sfn, pid, sidx, (0, 1), cfg.seed)
+    off, w_filt = film_mod.sample_filter_offset(filt, u_film)
+    p_film = jnp.stack([px + 0.5, py + 0.5], axis=-1) + off
+
+    u_lens = _sample2(sfn, pid, sidx, (2, 3), cfg.seed)
+    u_time = sfn(pid, sidx, 4, cfg.seed)
+    rays = cam_mod.generate_rays(cam, p_film, u_lens, u_time)
+
+    power_distr = (lights_mod.power_distribution(scene.lights)
+                   if cfg.light_strategy == "power" else None)
+    li_fn = _INTEGRATORS[cfg.integrator]
+    L = li_fn(scene, rays.o, rays.d, pid, sidx, sfn, cfg, power_distr)
+
+    # clamp NaN/negative/inf to black (integrator.cpp:592-613)
+    bad = (~jnp.isfinite(L)).any(-1) | (jnp.sum(L, -1) < -1e-5)
+    L = jnp.where(bad[..., None], 0.0, L)
+
+    contrib = L * w_filt[..., None]
+    img = jnp.sum(contrib.reshape(chunk, n_pix, -1), axis=0)
+    return img.reshape(height, width, -1)
+
+
+def render(scene, cam, spp: int = 16, integrator: str = "path",
+           sampler: str = "independent", filter_name: str = "box",
+           filter_kwargs: dict = None, max_depth: int = 5, seed: int = 0,
+           chunk_spp: int = None, light_strategy: str = "uniform",
+           rr_threshold: float = 1.0) -> jnp.ndarray:
+    """Full render → (H, W, C) radiance image. Host loop over spp chunks."""
+    res = np.asarray(cam.resolution)
+    width, height = int(res[0]), int(res[1])
+    filt = film_mod.make_filter(filter_name, **(filter_kwargs or {}))
+    cfg = RenderConfig(integrator=integrator, sampler=sampler,
+                       max_depth=max_depth, seed=seed,
+                       light_strategy=light_strategy,
+                       rr_threshold=rr_threshold)
+    if chunk_spp is None:
+        # bound rays/pass to ~2M
+        chunk_spp = max(1, min(spp, int(2_000_000 // (width * height)) or 1))
+    img = jnp.zeros((height, width, scene.n_channels))
+    done = 0
+    while done < spp:
+        c = min(chunk_spp, spp - done)
+        img = img + render_pass(scene, cam, filt, cfg, width, height, c,
+                                jnp.asarray(done, jnp.uint32))
+        done += c
+    return img / spp
+
+
+render_image = render

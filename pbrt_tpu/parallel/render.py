@@ -1,0 +1,162 @@
+"""Sharded render + distributed inverse-rendering step.
+
+Parallel decomposition (replaces ParallelFor2D's 16×16 tile pool,
+core/integrator.cpp:533-546):
+
+- **dp** (data/sample axis): samples-per-pixel are split across mesh axis
+  'dp'; every device renders the full image at spp/|dp| samples. Zero
+  communication during tracing; one psum merges films (the FilmTile mutex
+  merge, core/film.h:93, becomes a collective).
+- **sp** (spatial axis): image rows are split across mesh axis 'sp'; each
+  device owns a contiguous row-slab (no communication at all for the
+  forward pass; all_gather only to assemble the final image).
+
+Gradients: the scene pytree is replicated; the transpose of replication
+through shard_map is an automatic psum of per-shard parameter gradients —
+which is exactly "all-reduce gradients overlapped with backward" in XLA's
+hands.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from pbrt_tpu.integrators.render import (RenderConfig as _RenderConfig,
+                                         _INTEGRATORS)
+from pbrt_tpu.samplers import make_sampler
+from pbrt_tpu.scene import camera as cam_mod
+from pbrt_tpu.scene import film as film_mod
+from pbrt_tpu.scene import lights as lights_mod
+
+Array = Any
+
+
+def make_mesh(n_devices: int = None, axes=("dp", "sp")) -> Mesh:
+    """Build a (dp, sp) mesh over available devices (dp major)."""
+    devs = jax.devices()
+    n = n_devices or len(devs)
+    devs = devs[:n]
+    if len(axes) == 1:
+        return Mesh(np.array(devs), axes)
+    # factor n into (dp, sp) as square as possible with dp >= sp
+    sp = 1
+    for cand in range(int(np.sqrt(n)), 0, -1):
+        if n % cand == 0:
+            sp = cand
+            break
+    dp = n // sp
+    return Mesh(np.array(devs).reshape(dp, sp), axes)
+
+
+def _pass_shard(scene, cam, filt, spp_offset, *, cfg, width, height, chunk,
+                dp_size, sp_size):
+    """Per-device body: render `chunk` samples of this device's row-slab.
+    Runs inside shard_map; psums over 'dp' so every device exits with the
+    full-spp film for its slab."""
+    dp_idx = jax.lax.axis_index("dp")
+    sp_idx = jax.lax.axis_index("sp")
+    rows = height // sp_size
+    row0 = sp_idx * rows
+
+    n_pix = width * rows
+    pid_local = jnp.arange(n_pix, dtype=jnp.uint32)
+    px = (pid_local % width).astype(jnp.float32)
+    py = (pid_local // width).astype(jnp.float32) + row0
+    pid = (py.astype(jnp.uint32) * width + px.astype(jnp.uint32))
+
+    pid_t = jnp.tile(pid, chunk)
+    px_t = jnp.tile(px, chunk)
+    py_t = jnp.tile(py, chunk)
+    sidx = (jnp.repeat(jnp.arange(chunk, dtype=jnp.uint32), n_pix)
+            + spp_offset.astype(jnp.uint32) + dp_idx.astype(jnp.uint32)
+            * chunk)
+
+    sfn = make_sampler(cfg.sampler)
+    u_film = jnp.stack([sfn(pid_t, sidx, 0, cfg.seed),
+                        sfn(pid_t, sidx, 1, cfg.seed)], -1)
+    off, w_filt = film_mod.sample_filter_offset(filt, u_film)
+    p_film = jnp.stack([px_t + 0.5, py_t + 0.5], axis=-1) + off
+    u_lens = jnp.stack([sfn(pid_t, sidx, 2, cfg.seed),
+                        sfn(pid_t, sidx, 3, cfg.seed)], -1)
+    u_time = sfn(pid_t, sidx, 4, cfg.seed)
+    rays = cam_mod.generate_rays(cam, p_film, u_lens, u_time)
+
+    power_distr = (lights_mod.power_distribution(scene.lights)
+                   if cfg.light_strategy == "power" else None)
+    li_fn = _INTEGRATORS[cfg.integrator]
+    L = li_fn(scene, rays.o, rays.d, pid_t, sidx, sfn, cfg, power_distr)
+    bad = (~jnp.isfinite(L)).any(-1) | (jnp.sum(L, -1) < -1e-5)
+    L = jnp.where(bad[..., None], 0.0, L)
+    contrib = L * w_filt[..., None]
+    img = jnp.sum(contrib.reshape(chunk, n_pix, -1), axis=0)
+    img = img.reshape(rows, width, -1)
+    # merge sample-parallel films (FilmTile merge → collective)
+    return jax.lax.psum(img, "dp")
+
+
+def render_sharded(scene, cam, mesh: Mesh, spp: int = 16,
+                   integrator: str = "path", sampler: str = "independent",
+                   filter_name: str = "box", max_depth: int = 5,
+                   seed: int = 0, light_strategy: str = "uniform"):
+    """Multi-device render → (H, W, C) image (replicated)."""
+    res = np.asarray(cam.resolution)
+    width, height = int(res[0]), int(res[1])
+    dp_size = mesh.shape["dp"]
+    sp_size = mesh.shape.get("sp", 1)
+    assert height % sp_size == 0, "height must divide sp axis"
+    assert spp % dp_size == 0, "spp must divide dp axis"
+    chunk = spp // dp_size
+    filt = film_mod.make_filter(filter_name)
+    cfg = _RenderConfig(
+        integrator=integrator, sampler=sampler, max_depth=max_depth,
+        seed=seed, light_strategy=light_strategy)
+
+    fn = jax.shard_map(
+        functools.partial(_pass_shard, cfg=cfg, width=width, height=height,
+                          chunk=chunk, dp_size=dp_size, sp_size=sp_size),
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P()),
+        out_specs=P("sp", None, None))
+    img = jax.jit(fn)(scene, cam, filt, jnp.asarray(0, jnp.uint32))
+    return img / spp
+
+
+# ---------------------------------------------------------------------------
+# distributed inverse-rendering training step (BASELINE.json config 4)
+# ---------------------------------------------------------------------------
+
+def inverse_render_step(scene, cam, mesh: Mesh, target, params, lr=0.1,
+                        spp=4, integrator="path", max_depth=3, seed=0):
+    """One SGD step on differentiable scene parameters.
+
+    ``params``: dict with optional keys 'kd' (materials.kd), 'emit'
+    (lights.emit) — the leaves gradients flow into. Loss = MSE(render,
+    target) computed on the sharded film; parameter grads psum across the
+    mesh automatically (transpose of replication).
+    Returns (new_params, loss).
+    """
+    import dataclasses as dc
+
+    def set_params(scene, p):
+        mats = dc.replace(scene.materials, kd=p["kd"]) \
+            if "kd" in p else scene.materials
+        lts = dc.replace(scene.lights, emit=p["emit"]) \
+            if "emit" in p else scene.lights
+        return dc.replace(scene, materials=mats, lights=lts)
+
+    def loss_fn(p):
+        s = set_params(scene, p)
+        img = render_sharded(s, cam, mesh, spp=spp, integrator=integrator,
+                             max_depth=max_depth, seed=seed)
+        return jnp.mean((img - target) ** 2)
+
+    loss, grads = jax.value_and_grad(loss_fn)(params)
+    new_params = jax.tree_util.tree_map(
+        lambda v, g: v - lr * g, params, grads)
+    return new_params, loss

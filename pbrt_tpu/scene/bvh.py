@@ -1,0 +1,275 @@
+"""BVH: host-side binned-SAH build + flattened on-device traversal.
+
+TPU-native counterpart of ``accelerators/bvh.{h,cpp}``: the recursive
+pointer-based build (bvh.cpp:203-260) runs on host (numpy, cold path) and is
+flattened into the depth-first LinearBVHNode array layout (bvh.cpp:223,
+bvh.h:88) as SoA device arrays; traversal is the reference's iterative
+stack walk (bvh.cpp FlattenBVHTree consumers) expressed as a
+``lax.while_loop`` vmapped over the ray batch.
+
+The BVH covers the *triangle* family only — the only family that grows to
+10^5+ primitives (killeroo-simple has ~100k tris); spheres/aaplanes/disks
+(a handful per scene) stay on the all-pairs path.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pbrt_tpu.core import vecmath
+from pbrt_tpu.scene import shapes
+
+Array = Any
+
+LEAF_MAX = 4
+STACK_DEPTH = 64
+N_BUCKETS = 12
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class FlatBVH:
+    lo: Array          # (N,3) node bounds
+    hi: Array          # (N,3)
+    right: Array       # (N,) interior: index of 2nd child; leaf: prim offset
+    count: Array       # (N,) 0 = interior, else leaf prim count
+    axis: Array        # (N,) split axis
+    prim_order: Array  # (P,) triangle index permutation
+    # leaf-ordered triangle copies for contiguous gathers
+    v0: Array          # (P,3)
+    v1: Array
+    v2: Array
+
+
+def build_bvh(builder, scene) -> FlatBVH:
+    """Binned-SAH build (BVHAccel::recursiveBuild with SAH splitMethod,
+    bvh.cpp:203+), iterative with an explicit stack; flattened directly."""
+    v0 = np.asarray(scene.geom.tri_v0)[:scene.n_tri]
+    v1 = np.asarray(scene.geom.tri_v1)[:scene.n_tri]
+    v2 = np.asarray(scene.geom.tri_v2)[:scene.n_tri]
+    n = v0.shape[0]
+    lo_p = np.minimum(np.minimum(v0, v1), v2)
+    hi_p = np.maximum(np.maximum(v0, v1), v2)
+    cent = 0.5 * (lo_p + hi_p)
+
+    order = np.arange(n)
+    nodes = []  # dicts: lo, hi, right, count, axis, offset
+
+    def make_leaf(lo, hi, start, count):
+        nodes.append(dict(lo=lo, hi=hi, right=start, count=count, axis=0))
+        return len(nodes) - 1
+
+    # stack entries: (range_start, range_end, parent_idx, is_second_child)
+    stack = [(0, n, -1, False)]
+    while stack:
+        start, end, parent, second = stack.pop()
+        idxs = order[start:end]
+        lo = lo_p[idxs].min(0)
+        hi = hi_p[idxs].max(0)
+        my_idx = len(nodes)
+        if second and parent >= 0:
+            nodes[parent]["right"] = my_idx
+        count = end - start
+        if count <= LEAF_MAX:
+            make_leaf(lo, hi, start, count)
+            continue
+        c = cent[idxs]
+        clo, chi = c.min(0), c.max(0)
+        dim = int(np.argmax(chi - clo))
+        if chi[dim] - clo[dim] < 1e-12:
+            make_leaf(lo, hi, start, count)
+            continue
+        # binned SAH
+        b = np.minimum(((c[:, dim] - clo[dim]) / (chi[dim] - clo[dim])
+                        * N_BUCKETS).astype(np.int32), N_BUCKETS - 1)
+        costs = np.full(N_BUCKETS - 1, np.inf)
+        for split in range(N_BUCKETS - 1):
+            left = b <= split
+            nl = left.sum()
+            nr = count - nl
+            if nl == 0 or nr == 0:
+                continue
+            llo = lo_p[idxs[left]].min(0)
+            lhi = hi_p[idxs[left]].max(0)
+            rlo = lo_p[idxs[~left]].min(0)
+            rhi = hi_p[idxs[~left]].max(0)
+            sa = lambda a, bb: max(1e-12, 2.0 * (
+                (bb[0] - a[0]) * (bb[1] - a[1]) + (bb[1] - a[1])
+                * (bb[2] - a[2]) + (bb[2] - a[2]) * (bb[0] - a[0])))
+            costs[split] = nl * sa(llo, lhi) + nr * sa(rlo, rhi)
+        split = int(np.argmin(costs))
+        if not np.isfinite(costs[split]):
+            mid = start + count // 2
+        else:
+            left_mask = b <= split
+            left_ids = idxs[left_mask]
+            right_ids = idxs[~left_mask]
+            order[start:start + len(left_ids)] = left_ids
+            order[start + len(left_ids):end] = right_ids
+            mid = start + len(left_ids)
+        nodes.append(dict(lo=lo, hi=hi, right=-1, count=0, axis=dim))
+        # push right first so left is processed next (depth-first: left
+        # child = my_idx + 1)
+        stack.append((mid, end, my_idx, True))
+        stack.append((start, mid, my_idx, False))
+
+    N = len(nodes)
+    lo_a = np.stack([nd["lo"] for nd in nodes]).astype(np.float32)
+    hi_a = np.stack([nd["hi"] for nd in nodes]).astype(np.float32)
+    right_a = np.asarray([nd["right"] for nd in nodes], np.int32)
+    count_a = np.asarray([nd["count"] for nd in nodes], np.int32)
+    axis_a = np.asarray([nd["axis"] for nd in nodes], np.int32)
+    return FlatBVH(
+        lo=jnp.asarray(lo_a), hi=jnp.asarray(hi_a),
+        right=jnp.asarray(right_a), count=jnp.asarray(count_a),
+        axis=jnp.asarray(axis_a), prim_order=jnp.asarray(order, jnp.int32),
+        v0=jnp.asarray(v0[order]), v1=jnp.asarray(v1[order]),
+        v2=jnp.asarray(v2[order]))
+
+
+# ---------------------------------------------------------------------------
+# traversal
+# ---------------------------------------------------------------------------
+
+def _traverse(bvh: FlatBVH, o, d, tmax, any_hit: bool):
+    """Single-ray stack traversal; vmapped. Returns (t, leaf_prim_idx)."""
+    inv_d = 1.0 / jnp.where(jnp.abs(d) > 1e-12, d, 1e-12)
+
+    def cond(state):
+        sp, _, _, _, stop = state
+        return (sp > 0) & ~stop
+
+    def step(state):
+        sp, stack, best_t, best_i, stop = state
+        sp = sp - 1
+        node = stack[sp]
+        n_lo = bvh.lo[node]
+        n_hi = bvh.hi[node]
+        hit_box = vecmath.bounds_intersect_p(n_lo, n_hi, o, inv_d, best_t)
+
+        cnt = bvh.count[node]
+        is_leaf = cnt > 0
+
+        # leaf: test up to LEAF_MAX triangles
+        off = bvh.right[node]
+
+        def leaf_body(k, carry):
+            bt, bi = carry
+            pi = off + k
+            valid = k < cnt
+            t, _, _, h = shapes.intersect_triangle_paired(
+                o[None], d[None], bt[None], bvh.v0[pi][None],
+                bvh.v1[pi][None], bvh.v2[pi][None])
+            h = h[0] & valid
+            t = t[0]
+            upd = h & (t < bt)
+            return (jnp.where(upd, t, bt), jnp.where(upd, pi, bi))
+
+        bt2, bi2 = jax.lax.fori_loop(0, LEAF_MAX, leaf_body,
+                                     (best_t, best_i))
+        take_leaf = hit_box & is_leaf
+        best_t = jnp.where(take_leaf, bt2, best_t)
+        best_i = jnp.where(take_leaf, bi2, best_i)
+
+        # interior: push children, near child on top
+        near_second = d[bvh.axis[node]] < 0.0
+        c1 = node + 1
+        c2 = bvh.right[node]
+        first = jnp.where(near_second, c2, c1)
+        second = jnp.where(near_second, c1, c2)
+        do_push = hit_box & ~is_leaf
+        stack = stack.at[sp].set(jnp.where(do_push, second, stack[sp]))
+        stack = stack.at[sp + 1].set(jnp.where(do_push, first,
+                                               stack[sp + 1]))
+        sp = jnp.where(do_push, sp + 2, sp)
+
+        stop = any_hit & (best_i >= 0)
+        return (sp, stack, best_t, best_i, stop)
+
+    stack0 = jnp.zeros(STACK_DEPTH, jnp.int32)
+    state = (jnp.int32(1), stack0, tmax, jnp.int32(-1), jnp.bool_(False))
+    _, _, t, i, _ = jax.lax.while_loop(cond, step, state)
+    return t, i
+
+
+def bvh_intersect_tris(bvh: FlatBVH, o, d, tmax):
+    """Closest triangle hit via BVH. Returns (t, global_tri_idx, hit)."""
+    t, leaf_i = jax.vmap(lambda oo, dd, tt: _traverse(bvh, oo, dd, tt,
+                                                      False))(o, d, tmax)
+    hit = leaf_i >= 0
+    tri_idx = jnp.where(hit, bvh.prim_order[jnp.maximum(leaf_i, 0)], -1)
+    return t, tri_idx, hit
+
+
+def bvh_intersect_p_tris(bvh: FlatBVH, o, d, tmax):
+    _, leaf_i = jax.vmap(lambda oo, dd, tt: _traverse(bvh, oo, dd, tt,
+                                                      True))(o, d, tmax)
+    return leaf_i >= 0
+
+
+# ---------------------------------------------------------------------------
+# scene-level entry points (dispatched from scene/intersect.py)
+# ---------------------------------------------------------------------------
+
+def intersect_bvh(scene, o, d, tmax):
+    from pbrt_tpu.scene import intersect as isect_mod
+    g = scene.geom
+    R = o.shape[0]
+    best_t = jnp.minimum(tmax, isect_mod.BIG)
+    prim_id = jnp.full(R, -1, jnp.int32)
+
+    t, tri_idx, h = bvh_intersect_tris(scene.bvh, o, d, best_t)
+    upd = h & (t < best_t)
+    best_t = jnp.where(upd, t, best_t)
+    prim_id = jnp.where(upd, tri_idx, prim_id)
+
+    # non-triangle families: brute force
+    if scene.n_sph:
+        ts, hs = shapes.intersect_spheres(o, d, best_t, g.sph_center,
+                                          g.sph_radius)
+        tb, idx, anyh = isect_mod._family_best(ts, hs)
+        upd = anyh & (tb < best_t)
+        best_t = jnp.where(upd, tb, best_t)
+        prim_id = jnp.where(upd, scene.n_tri + idx, prim_id)
+    if scene.n_pln:
+        tp, _, _, hp = shapes.intersect_aaplanes(o, d, best_t, g.pln_lo,
+                                                 g.pln_hi, g.pln_ax)
+        tb, idx, anyh = isect_mod._family_best(tp, hp)
+        upd = anyh & (tb < best_t)
+        best_t = jnp.where(upd, tb, best_t)
+        prim_id = jnp.where(upd, scene.n_tri + scene.n_sph + idx, prim_id)
+    if scene.n_dsk:
+        td, hd = shapes.intersect_disks(o, d, best_t, g.dsk_center,
+                                        g.dsk_normal, g.dsk_radius,
+                                        g.dsk_inner)
+        tb, idx, anyh = isect_mod._family_best(td, hd)
+        upd = anyh & (tb < best_t)
+        best_t = jnp.where(upd, tb, best_t)
+        prim_id = jnp.where(
+            upd, scene.n_tri + scene.n_sph + scene.n_pln + idx, prim_id)
+
+    return isect_mod.finalize_hit(scene, o, d, best_t, prim_id)
+
+
+def intersect_p_bvh(scene, o, d, tmax):
+    g = scene.geom
+    occ = bvh_intersect_p_tris(scene.bvh, o, d, tmax)
+    if scene.n_sph:
+        _, h = shapes.intersect_spheres(o, d, tmax, g.sph_center,
+                                        g.sph_radius)
+        occ |= h.any(-1)
+    if scene.n_pln:
+        _, _, _, h = shapes.intersect_aaplanes(o, d, tmax, g.pln_lo,
+                                               g.pln_hi, g.pln_ax)
+        occ |= h.any(-1)
+    if scene.n_dsk:
+        _, h = shapes.intersect_disks(o, d, tmax, g.dsk_center,
+                                      g.dsk_normal, g.dsk_radius,
+                                      g.dsk_inner)
+        occ |= h.any(-1)
+    return occ

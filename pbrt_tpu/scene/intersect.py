@@ -1,0 +1,207 @@
+"""Unified ray–scene intersection over all primitive families.
+
+TPU-native counterpart of Scene::Intersect/IntersectP (core/scene.{h,cpp})
++ BVHAccel traversal (accelerators/bvh.cpp).
+
+Two paths:
+- **Brute force**: all-pairs (R, P) tests min-reduced per family — pure VPU
+  work, optimal for small scenes (a cornell box is ~32 primitives; the
+  whole test fits in registers/VMEM and beats any tree).
+- **BVH**: for large meshes; flattened-node traversal in scene/bvh.py,
+  dispatched here when ``scene.bvh`` is present.
+
+All routines return SoA Hit records; shading normals are interpolated for
+triangles (triangle.cpp:231-260).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from pbrt_tpu.core import vecmath
+from pbrt_tpu.core.vecmath import normalize
+from pbrt_tpu.scene import shapes
+from pbrt_tpu.scene.shapes import Hit
+
+Array = Any
+BIG = 1e30
+
+
+def intersect(scene, o: Array, d: Array, tmax: Array) -> Hit:
+    """Closest-hit query. o,d: (R,3); tmax: (R,). Returns Hit (R,...)."""
+    if scene.bvh is not None:
+        from pbrt_tpu.scene import bvh as bvh_mod
+        return bvh_mod.intersect_bvh(scene, o, d, tmax)
+    return _intersect_brute(scene, o, d, tmax)
+
+
+def intersect_p(scene, o: Array, d: Array, tmax: Array) -> Array:
+    """Any-hit (shadow) query → occluded mask (R,)."""
+    if scene.bvh is not None:
+        from pbrt_tpu.scene import bvh as bvh_mod
+        return bvh_mod.intersect_p_bvh(scene, o, d, tmax)
+    return _intersect_p_brute(scene, o, d, tmax)
+
+
+def _family_best(t: Array, hit: Array):
+    """Reduce an all-pairs (R,P) result to per-ray best (t, idx, any)."""
+    t_masked = jnp.where(hit, t, BIG)
+    idx = jnp.argmin(t_masked, axis=-1)
+    tbest = jnp.take_along_axis(t_masked, idx[:, None], axis=-1)[:, 0]
+    return tbest, idx, tbest < BIG
+
+
+def _intersect_brute(scene, o: Array, d: Array, tmax: Array) -> Hit:
+    g = scene.geom
+    R = o.shape[0]
+    best_t = jnp.minimum(tmax, BIG)
+    prim_id = jnp.full(R, -1, jnp.int32)
+
+    results = {}
+    if scene.n_tri:
+        t, u, v, h = shapes.intersect_triangles(o, d, best_t, g.tri_v0,
+                                                g.tri_v1, g.tri_v2)
+        tb, idx, any_h = _family_best(t, h)
+        ub = jnp.take_along_axis(u, idx[:, None], axis=-1)[:, 0]
+        vb = jnp.take_along_axis(v, idx[:, None], axis=-1)[:, 0]
+        results["tri"] = (tb, idx, any_h, ub, vb)
+        upd = any_h & (tb < best_t)
+        best_t = jnp.where(upd, tb, best_t)
+        prim_id = jnp.where(upd, idx, prim_id)
+    if scene.n_sph:
+        t, h = shapes.intersect_spheres(o, d, best_t, g.sph_center,
+                                        g.sph_radius)
+        tb, idx, any_h = _family_best(t, h)
+        results["sph"] = (tb, idx, any_h)
+        upd = any_h & (tb < best_t)
+        best_t = jnp.where(upd, tb, best_t)
+        prim_id = jnp.where(upd, scene.n_tri + idx, prim_id)
+    if scene.n_pln:
+        t, u, v, h = shapes.intersect_aaplanes(o, d, best_t, g.pln_lo,
+                                               g.pln_hi, g.pln_ax)
+        tb, idx, any_h = _family_best(t, h)
+        ub = jnp.take_along_axis(u, idx[:, None], axis=-1)[:, 0]
+        vb = jnp.take_along_axis(v, idx[:, None], axis=-1)[:, 0]
+        results["pln"] = (tb, idx, any_h, ub, vb)
+        upd = any_h & (tb < best_t)
+        best_t = jnp.where(upd, tb, best_t)
+        prim_id = jnp.where(upd, scene.n_tri + scene.n_sph + idx, prim_id)
+    if scene.n_dsk:
+        t, h = shapes.intersect_disks(o, d, best_t, g.dsk_center,
+                                      g.dsk_normal, g.dsk_radius,
+                                      g.dsk_inner)
+        tb, idx, any_h = _family_best(t, h)
+        results["dsk"] = (tb, idx, any_h)
+        upd = any_h & (tb < best_t)
+        best_t = jnp.where(upd, tb, best_t)
+        prim_id = jnp.where(upd,
+                            scene.n_tri + scene.n_sph + scene.n_pln + idx,
+                            prim_id)
+
+    return finalize_hit(scene, o, d, best_t, prim_id, results)
+
+
+def finalize_hit(scene, o, d, t, prim_id, results=None) -> Hit:
+    """Compute hit attributes (p, ng, ns, uv) from (t, prim_id)."""
+    g = scene.geom
+    R = o.shape[0]
+    valid = prim_id >= 0
+    p = o + t[..., None] * d
+    ng = jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0]), (R, 3))
+    ns = ng
+    uv = jnp.zeros((R, 2))
+
+    nt, nsp, npl = scene.n_tri, scene.n_sph, scene.n_pln
+    if nt:
+        ti = jnp.clip(prim_id, 0, nt - 1)
+        is_tri = valid & (prim_id < nt)
+        ngt = shapes.triangle_normal(g.tri_v0[ti], g.tri_v1[ti],
+                                     g.tri_v2[ti])
+        # recompute barycentrics at hit point (cheap, avoids carrying u,v
+        # through BVH traversal): project onto triangle basis
+        e1 = g.tri_v1[ti] - g.tri_v0[ti]
+        e2 = g.tri_v2[ti] - g.tri_v0[ti]
+        rp = p - g.tri_v0[ti]
+        d00 = vecmath.dot(e1, e1)
+        d01 = vecmath.dot(e1, e2)
+        d11 = vecmath.dot(e2, e2)
+        d20 = vecmath.dot(rp, e1)
+        d21 = vecmath.dot(rp, e2)
+        denom = jnp.maximum(d00 * d11 - d01 * d01, 1e-20)
+        bu = (d11 * d20 - d01 * d21) / denom
+        bv = (d00 * d21 - d01 * d20) / denom
+        bu = jnp.clip(bu, 0.0, 1.0)
+        bv = jnp.clip(bv, 0.0, 1.0)
+        w = jnp.clip(1.0 - bu - bv, 0.0, 1.0)
+        nst = normalize(w[..., None] * g.tri_n0[ti]
+                        + bu[..., None] * g.tri_n1[ti]
+                        + bv[..., None] * g.tri_n2[ti])
+        uvt = (w[..., None] * g.tri_uv0[ti] + bu[..., None] * g.tri_uv1[ti]
+               + bv[..., None] * g.tri_uv2[ti])
+        ng = jnp.where(is_tri[..., None], ngt, ng)
+        ns = jnp.where(is_tri[..., None], nst, ns)
+        uv = jnp.where(is_tri[..., None], uvt, uv)
+    if nsp:
+        si = jnp.clip(prim_id - nt, 0, nsp - 1)
+        is_sph = valid & (prim_id >= nt) & (prim_id < nt + nsp)
+        nsph, uvs = shapes.sphere_normal_uv(p, g.sph_center[si],
+                                            g.sph_radius[si])
+        ng = jnp.where(is_sph[..., None], nsph, ng)
+        ns = jnp.where(is_sph[..., None], nsph, ns)
+        uv = jnp.where(is_sph[..., None], uvs, uv)
+    if npl:
+        pi = jnp.clip(prim_id - nt - nsp, 0, npl - 1)
+        is_pln = valid & (prim_id >= nt + nsp) & (prim_id < nt + nsp + npl)
+        npln = shapes.aaplane_normal(g.pln_ax[pi], g.pln_facing[pi])
+        ng = jnp.where(is_pln[..., None], npln, ng)
+        ns = jnp.where(is_pln[..., None], npln, ns)
+    if scene.n_dsk:
+        di = jnp.clip(prim_id - nt - nsp - npl, 0, scene.n_dsk - 1)
+        is_dsk = valid & (prim_id >= nt + nsp + npl)
+        nd = g.dsk_normal[di]
+        ng = jnp.where(is_dsk[..., None], nd, ng)
+        ns = jnp.where(is_dsk[..., None], nd, ns)
+
+    # orient geometric normal to the shading normal's hemisphere is NOT done
+    # (pbrt keeps ng independent); shading normal faceforwarded to ng
+    ns = vecmath.face_forward(ns, ng)
+    return Hit(valid=valid, t=t, p=p, ng=ng, ns=ns, uv=uv,
+               prim_id=jnp.where(valid, prim_id, -1))
+
+
+def _intersect_p_brute(scene, o: Array, d: Array, tmax: Array) -> Array:
+    g = scene.geom
+    occluded = jnp.zeros(o.shape[0], bool)
+    if scene.n_tri:
+        _, _, _, h = shapes.intersect_triangles(o, d, tmax, g.tri_v0,
+                                                g.tri_v1, g.tri_v2)
+        occluded |= h.any(-1)
+    if scene.n_sph:
+        _, h = shapes.intersect_spheres(o, d, tmax, g.sph_center,
+                                        g.sph_radius)
+        occluded |= h.any(-1)
+    if scene.n_pln:
+        _, _, _, h = shapes.intersect_aaplanes(o, d, tmax, g.pln_lo,
+                                               g.pln_hi, g.pln_ax)
+        occluded |= h.any(-1)
+    if scene.n_dsk:
+        _, h = shapes.intersect_disks(o, d, tmax, g.dsk_center,
+                                      g.dsk_normal, g.dsk_radius,
+                                      g.dsk_inner)
+        occluded |= h.any(-1)
+    return occluded
+
+
+def unoccluded(scene, p0: Array, n0: Array, p1: Array) -> Array:
+    """VisibilityTester::Unoccluded (core/light.cpp:56-62): segment test
+    between offset endpoints."""
+    d = p1 - p0
+    o = vecmath.offset_ray_origin(p0, n0, d)
+    dist = vecmath.length(d)
+    dn = d / jnp.maximum(dist, 1e-12)[..., None]
+    # shorten to avoid re-hitting the light itself
+    tmax = dist * (1.0 - 1e-3)
+    return ~intersect_p(scene, o, dn, tmax)

@@ -1,0 +1,545 @@
+"""Material table + branchless BSDF evaluation/sampling in local frames.
+
+TPU-native counterpart of ``core/reflection.{h,cpp}`` (BSDF/BxDF :164-221 and
+the lobe zoo §2.4 of SURVEY.md) + ``src/materials/``. pbrt allocates per-hit
+BSDF objects with virtual lobes; here materials are rows of an SoA table,
+shading points gather their row, and f/pdf/sample are computed for *all*
+implemented lobe families then combined with type masks — no branches, pure
+VPU code.
+
+Local frame convention (reflection.h): z = shading normal; wo, wi unit
+vectors; cos_theta = z component.
+
+Material types (MakeMaterial, core/api.cpp:497-583):
+  MATTE (lambertian / Oren–Nayar), MIRROR, GLASS (smooth or rough dielectric),
+  PLASTIC (lambert + TR microfacet w/ dielectric fresnel), METAL (TR
+  microfacet w/ conductor fresnel), DISPERSIVE_GLASS (fork,
+  materials/dispersive_glass.cpp — Cauchy eta(λ)), UBER, SUBSTRATE
+  (FresnelBlend), TRANSLUCENT, MIX, NONE (pass-through).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pbrt_tpu.core import vecmath
+from pbrt_tpu.core.sampling import (INV_PI, concentric_sample_disk,
+                                    cosine_sample_hemisphere)
+
+Array = Any
+
+# material type tags
+MATTE = 0
+MIRROR = 1
+GLASS = 2
+PLASTIC = 3
+METAL = 4
+DISPERSIVE_GLASS = 5
+UBER = 6
+SUBSTRATE = 7
+TRANSLUCENT = 8
+NONE = 9          # medium interface / null material → pass-through
+
+# sampled-lobe flags (BxDFType analogue, reflection.h:70-80)
+FLAG_SPECULAR = 1
+FLAG_TRANSMISSION = 2
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class MaterialTable:
+    """(M, ...) SoA of material parameters; C = spectrum channels."""
+    mtype: Array       # (M,) int32
+    kd: Array          # (M,C) diffuse reflectance
+    ks: Array          # (M,C) glossy reflectance
+    kr: Array          # (M,C) specular reflection scale
+    kt: Array          # (M,C) specular transmission scale
+    eta: Array         # (M,) dielectric IOR (scalar)
+    metal_eta: Array   # (M,C) conductor eta
+    metal_k: Array     # (M,C) conductor absorption
+    roughness: Array   # (M,) TR alpha (already remapped)
+    sigma: Array       # (M,) Oren–Nayar sigma (degrees)
+    cauchy_b: Array    # (M,) dispersive glass: eta(λ)=B + C/λ², λ in µm
+    cauchy_c: Array    # (M,)
+    # texture hooks (−1 = constant): resolved by scene/textures.py
+    kd_tex: Array      # (M,) int32
+    sigma_tex: Array   # (M,) int32
+    bump_tex: Array    # (M,) int32
+
+
+def make_material_table(rows: list[dict], n_channels: int) -> MaterialTable:
+    """Host-side builder from a list of parameter dicts."""
+    m = max(1, len(rows))
+    f = lambda k, d: np.array(
+        [r.get(k, d) for r in rows] or [d], np.float32)
+    fc = lambda k, d: np.array(
+        [np.broadcast_to(np.asarray(r.get(k, d), np.float32), (n_channels,))
+         for r in rows] or [np.full(n_channels, d, np.float32)], np.float32)
+    i32 = lambda k, d: np.array([r.get(k, d) for r in rows] or [d], np.int32)
+    return MaterialTable(
+        mtype=jnp.asarray(i32("type", MATTE)),
+        kd=jnp.asarray(fc("kd", 0.5)),
+        ks=jnp.asarray(fc("ks", 0.25)),
+        kr=jnp.asarray(fc("kr", 1.0)),
+        kt=jnp.asarray(fc("kt", 1.0)),
+        eta=jnp.asarray(f("eta", 1.5)),
+        metal_eta=jnp.asarray(fc("metal_eta", 0.2)),
+        metal_k=jnp.asarray(fc("metal_k", 3.9)),
+        roughness=jnp.asarray(f("roughness", 0.1)),
+        sigma=jnp.asarray(f("sigma", 0.0)),
+        cauchy_b=jnp.asarray(f("cauchy_b", 1.5)),
+        cauchy_c=jnp.asarray(f("cauchy_c", 0.0)),
+        kd_tex=jnp.asarray(i32("kd_tex", -1)),
+        sigma_tex=jnp.asarray(i32("sigma_tex", -1)),
+        bump_tex=jnp.asarray(i32("bump_tex", -1)),
+    )
+
+
+def gather_materials(table: MaterialTable, mat_id: Array) -> MaterialTable:
+    """Gather per-ray material rows (mat_id: (R,))."""
+    mid = jnp.clip(mat_id, 0, table.mtype.shape[0] - 1)
+    return jax.tree_util.tree_map(lambda a: a[mid], table)
+
+
+# ---------------------------------------------------------------------------
+# local-frame helpers (reflection.h:47-124)
+# ---------------------------------------------------------------------------
+
+def cos_theta(w):
+    return w[..., 2]
+
+
+def abs_cos_theta(w):
+    return jnp.abs(w[..., 2])
+
+
+def same_hemisphere(wo, wi):
+    return wo[..., 2] * wi[..., 2] > 0.0
+
+
+def roughness_to_alpha(rough):
+    """TrowbridgeReitzDistribution::RoughnessToAlpha (microfacet.h:122)."""
+    rough = jnp.maximum(rough, 1e-3)
+    x = jnp.log(rough)
+    return (1.62142 + 0.819955 * x + 0.1734 * x * x
+            + 0.0171201 * x ** 3 + 0.000640711 * x ** 4)
+
+
+# ---------------------------------------------------------------------------
+# Fresnel (reflection.h:281-318)
+# ---------------------------------------------------------------------------
+
+def fr_dielectric(cos_theta_i: Array, eta_i: Array, eta_t: Array) -> Array:
+    """Exact dielectric Fresnel (reflection.cpp FrDielectric), batched.
+    Handles both sides via sign of cos_theta_i."""
+    ci = jnp.clip(cos_theta_i, -1.0, 1.0)
+    entering = ci > 0.0
+    ei = jnp.where(entering, eta_i, eta_t)
+    et = jnp.where(entering, eta_t, eta_i)
+    ci = jnp.abs(ci)
+    si = jnp.sqrt(jnp.maximum(0.0, 1.0 - ci * ci))
+    st = ei / et * si
+    tir = st >= 1.0
+    ct = jnp.sqrt(jnp.maximum(0.0, 1.0 - st * st))
+    r_par = (et * ci - ei * ct) / jnp.maximum(et * ci + ei * ct, 1e-12)
+    r_perp = (ei * ci - et * ct) / jnp.maximum(ei * ci + et * ct, 1e-12)
+    f = 0.5 * (r_par * r_par + r_perp * r_perp)
+    return jnp.where(tir, 1.0, f)
+
+
+def fr_conductor(cos_theta_i: Array, eta: Array, k: Array) -> Array:
+    """Conductor Fresnel (reflection.cpp FrConductor); eta,k: (...,C)."""
+    ci = jnp.clip(jnp.abs(cos_theta_i), 0.0, 1.0)[..., None]
+    ci2 = ci * ci
+    si2 = 1.0 - ci2
+    eta2 = eta * eta
+    k2 = k * k
+    t0 = eta2 - k2 - si2
+    a2b2 = jnp.sqrt(jnp.maximum(t0 * t0 + 4.0 * eta2 * k2, 0.0))
+    t1 = a2b2 + ci2
+    a = jnp.sqrt(jnp.maximum(0.5 * (a2b2 + t0), 0.0))
+    t2 = 2.0 * a * ci
+    rs = (t1 - t2) / jnp.maximum(t1 + t2, 1e-12)
+    t3 = ci2 * a2b2 + si2 * si2
+    t4 = t2 * si2
+    rp = rs * (t3 - t4) / jnp.maximum(t3 + t4, 1e-12)
+    return 0.5 * (rp + rs)
+
+
+# ---------------------------------------------------------------------------
+# Trowbridge–Reitz (GGX) microfacet distribution (core/microfacet.{h,cpp})
+# ---------------------------------------------------------------------------
+
+def tr_d(wh: Array, alpha: Array) -> Array:
+    """Isotropic TR NDF D(wh)."""
+    c2 = wh[..., 2] ** 2
+    s2 = jnp.maximum(0.0, 1.0 - c2)
+    a2 = alpha * alpha
+    e = c2 + s2 / jnp.maximum(a2, 1e-12)
+    denom = jnp.pi * a2 * e * e
+    return jnp.where(wh[..., 2] > 0, 1.0 / jnp.maximum(denom, 1e-12), 0.0)
+
+
+def tr_lambda(w: Array, alpha: Array) -> Array:
+    c = jnp.clip(jnp.abs(w[..., 2]), 1e-6, 1.0)
+    tan2 = (1.0 - c * c) / (c * c)
+    return 0.5 * (-1.0 + jnp.sqrt(1.0 + alpha * alpha * tan2))
+
+
+def tr_g(wo: Array, wi: Array, alpha: Array) -> Array:
+    return 1.0 / (1.0 + tr_lambda(wo, alpha) + tr_lambda(wi, alpha))
+
+
+def tr_g1(w: Array, alpha: Array) -> Array:
+    return 1.0 / (1.0 + tr_lambda(w, alpha))
+
+
+def tr_sample_wh(wo: Array, u: Array, alpha: Array) -> Array:
+    """Sample the *visible* normal distribution (heitz 2018 VNDF trick),
+    matching pbrt's sampleVisibleArea=true default (microfacet.cpp:269+)."""
+    # stretch view
+    sign = jnp.sign(wo[..., 2:3] + 1e-20)
+    v = sign * wo  # operate in upper hemisphere
+    vh = vecmath.normalize(
+        jnp.stack([alpha * v[..., 0], alpha * v[..., 1], v[..., 2]], axis=-1))
+    # orthonormal basis around vh
+    lensq = vh[..., 0] ** 2 + vh[..., 1] ** 2
+    t1 = jnp.where(
+        (lensq > 1e-9)[..., None],
+        jnp.stack([-vh[..., 1], vh[..., 0], jnp.zeros_like(lensq)], axis=-1)
+        / jnp.sqrt(jnp.maximum(lensq, 1e-12))[..., None],
+        jnp.broadcast_to(jnp.array([1.0, 0.0, 0.0]), vh.shape))
+    t2 = jnp.cross(vh, t1)
+    # parameterize projected area
+    d = concentric_sample_disk(u)
+    p1 = d[..., 0]
+    p2_ = d[..., 1]
+    s = 0.5 * (1.0 + vh[..., 2])
+    p2 = (1.0 - s) * jnp.sqrt(jnp.maximum(0.0, 1.0 - p1 * p1)) + s * p2_
+    nh = (p1[..., None] * t1 + p2[..., None] * t2
+          + jnp.sqrt(jnp.maximum(0.0, 1.0 - p1 * p1 - p2 * p2))[..., None]
+          * vh)
+    wh = vecmath.normalize(
+        jnp.stack([alpha * nh[..., 0], alpha * nh[..., 1],
+                   jnp.maximum(1e-6, nh[..., 2])], axis=-1))
+    return sign * wh
+
+
+def tr_pdf_wh(wo: Array, wh: Array, alpha: Array) -> Array:
+    """VNDF pdf: D(wh) G1(wo) |wo·wh| / |cos wo| (microfacet.h:157)."""
+    return (tr_d(wh, alpha) * tr_g1(wo, alpha)
+            * jnp.abs(vecmath.dot(wo, wh))
+            / jnp.maximum(abs_cos_theta(wo), 1e-6))
+
+
+# ---------------------------------------------------------------------------
+# Lobe evaluation (non-specular lobes contribute to f/pdf)
+# ---------------------------------------------------------------------------
+
+def _oren_nayar_f(kd, sigma_deg, wo, wi):
+    """OrenNayar::f (reflection.cpp:86+); sigma in degrees."""
+    sigma = jnp.radians(sigma_deg)
+    s2 = sigma * sigma
+    A = 1.0 - s2 / (2.0 * (s2 + 0.33))
+    B = 0.45 * s2 / (s2 + 0.09)
+    sin_theta_i = jnp.sqrt(jnp.maximum(0.0, 1.0 - wi[..., 2] ** 2))
+    sin_theta_o = jnp.sqrt(jnp.maximum(0.0, 1.0 - wo[..., 2] ** 2))
+    # cos(phi_i - phi_o)
+    denom_i = jnp.maximum(sin_theta_i, 1e-6)
+    denom_o = jnp.maximum(sin_theta_o, 1e-6)
+    cos_dphi = ((wi[..., 0] * wo[..., 0] + wi[..., 1] * wo[..., 1])
+                / (denom_i * denom_o))
+    max_cos = jnp.where((sin_theta_i > 1e-4) & (sin_theta_o > 1e-4),
+                        jnp.maximum(0.0, cos_dphi), 0.0)
+    abs_ci = jnp.abs(wi[..., 2])
+    abs_co = jnp.abs(wo[..., 2])
+    sin_alpha = jnp.where(abs_ci > abs_co, sin_theta_o, sin_theta_i)
+    tan_beta = jnp.where(abs_ci > abs_co,
+                         sin_theta_i / jnp.maximum(abs_ci, 1e-6),
+                         sin_theta_o / jnp.maximum(abs_co, 1e-6))
+    return kd * (INV_PI
+                 * (A + B * max_cos * sin_alpha * tan_beta))[..., None]
+
+
+def _microfacet_reflection_f(Rs, alpha, fresnel, wo, wi):
+    """MicrofacetReflection::f (reflection.cpp:303+). ``fresnel`` maps
+    cos(wh·wi) → (...,C)."""
+    co = abs_cos_theta(wo)
+    ci = abs_cos_theta(wi)
+    wh = wo + wi
+    degenerate = (vecmath.length_squared(wh) < 1e-12) | (ci < 1e-6) \
+        | (co < 1e-6)
+    wh = vecmath.normalize(wh)
+    F = fresnel(vecmath.dot(wi, wh))
+    f = (Rs * (tr_d(wh, alpha) * tr_g(wo, wi, alpha))[..., None] * F
+         / jnp.maximum(4.0 * ci * co, 1e-6)[..., None])
+    return jnp.where(degenerate[..., None], 0.0, f)
+
+
+def _microfacet_reflection_pdf(alpha, wo, wi):
+    wh = vecmath.normalize(wo + wi)
+    pdf = tr_pdf_wh(wo, wh, alpha) / jnp.maximum(
+        4.0 * jnp.abs(vecmath.dot(wo, wh)), 1e-6)
+    return jnp.where(same_hemisphere(wo, wi), pdf, 0.0)
+
+
+@dataclasses.dataclass
+class LobeMix:
+    """Per-ray description of the effective BSDF as a mixture of primitive
+    lobes; weights already include fresnel-independent scales."""
+    diff_weight: Array    # (R,C) lambert/oren-nayar weight
+    use_oren: Array       # (R,) bool
+    gloss_weight: Array   # (R,C) microfacet reflection weight (unit fresnel)
+    gloss_fresnel: str
+    spec_weight: Array
+
+
+def _mat_alpha(mp: MaterialTable) -> Array:
+    return jnp.maximum(roughness_to_alpha(mp.roughness), 1e-4)
+
+
+def bsdf_f(mp: MaterialTable, wo: Array, wi: Array, kd_override=None
+           ) -> Array:
+    """Evaluate the non-delta part of the BSDF: f(wo, wi), (R,C).
+
+    Mirrors BSDF::f dispatch over lobes (reflection.cpp:575+): each
+    material type's non-specular lobes are evaluated and masked together.
+    """
+    t = mp.mtype
+    C = mp.kd.shape[-1]
+    refl = same_hemisphere(wo, wi)
+    kd = mp.kd if kd_override is None else kd_override
+    zero = jnp.zeros(wo.shape[:-1] + (C,))
+
+    # matte: lambertian or oren-nayar (materials/matte.cpp:55-66)
+    lamb = kd * INV_PI
+    on = _oren_nayar_f(kd, mp.sigma, wo, wi)
+    matte_f = jnp.where((mp.sigma > 0.0)[..., None], on, lamb)
+    matte_f = jnp.where(refl[..., None], matte_f, zero)
+
+    alpha = _mat_alpha(mp)
+
+    # plastic: lambert + TR microfacet with dielectric fresnel
+    fres_d = lambda c: fr_dielectric(c, jnp.ones_like(mp.eta),
+                                     mp.eta)[..., None] * jnp.ones((1, C))
+    plastic_f = matte_f + jnp.where(
+        refl[..., None],
+        _microfacet_reflection_f(mp.ks, alpha, fres_d, wo, wi), zero)
+
+    # metal: TR microfacet with conductor fresnel (materials/metal.cpp)
+    fres_c = lambda c: fr_conductor(c, mp.metal_eta, mp.metal_k)
+    metal_f = jnp.where(refl[..., None],
+                        _microfacet_reflection_f(
+                            jnp.ones_like(mp.ks), alpha, fres_c, wo, wi),
+                        zero)
+
+    # uber: kd lambert + ks microfacet (materials/uber.cpp, simplified to
+    # its non-specular lobes)
+    uber_f = plastic_f
+
+    # substrate: FresnelBlend (reflection.cpp:327+)
+    pow5 = lambda x: x * x * x * x * x
+    rd, rs = kd, mp.ks
+    diffuse = ((28.0 / (23.0 * jnp.pi)) * rd * (1.0 - rs)
+               * (1.0 - pow5(1.0 - 0.5 * abs_cos_theta(wi)))[..., None]
+               * (1.0 - pow5(1.0 - 0.5 * abs_cos_theta(wo)))[..., None])
+    wh = wo + wi
+    wh_ok = vecmath.length_squared(wh) > 1e-12
+    whn = vecmath.normalize(wh)
+    schlick = rs + pow5(
+        1.0 - jnp.abs(vecmath.dot(wi, whn)))[..., None] * (1.0 - rs)
+    spec = (tr_d(whn, alpha)
+            / jnp.maximum(4.0 * jnp.abs(vecmath.dot(wi, whn))
+                          * jnp.maximum(abs_cos_theta(wi),
+                                        abs_cos_theta(wo)), 1e-6)
+            )[..., None] * schlick
+    substrate_f = jnp.where((refl & wh_ok)[..., None], diffuse + spec, zero)
+
+    # translucent: lambertian reflection + lambertian transmission
+    trans_f = jnp.where(refl[..., None], kd * (0.5 * INV_PI),
+                        mp.kt * (0.5 * INV_PI))
+
+    # rough glass (GLASS with roughness>0): microfacet reflection part only
+    # for f-eval (transmission lobe handled in sampling; its f-eval
+    # contribution is rare in NEE and added in a later milestone)
+    rough_glass_f = jnp.where(
+        refl[..., None],
+        _microfacet_reflection_f(mp.kr, alpha, fres_d, wo, wi), zero)
+    glass_rough = (t == GLASS) & (mp.roughness > 1e-3)
+
+    out = jnp.where((t == MATTE)[..., None], matte_f, zero)
+    out = jnp.where((t == PLASTIC)[..., None], plastic_f, out)
+    out = jnp.where((t == METAL)[..., None], metal_f, out)
+    out = jnp.where((t == UBER)[..., None], uber_f, out)
+    out = jnp.where((t == SUBSTRATE)[..., None], substrate_f, out)
+    out = jnp.where((t == TRANSLUCENT)[..., None], trans_f, out)
+    out = jnp.where(glass_rough[..., None], rough_glass_f, out)
+    # MIRROR / smooth GLASS / DISPERSIVE_GLASS are pure-delta: f = 0
+    return out
+
+
+def bsdf_pdf(mp: MaterialTable, wo: Array, wi: Array) -> Array:
+    """Solid-angle pdf of bsdf_sample for non-delta materials (R,)."""
+    t = mp.mtype
+    refl = same_hemisphere(wo, wi)
+    cos_pdf = jnp.where(refl, abs_cos_theta(wi) * INV_PI, 0.0)
+    alpha = _mat_alpha(mp)
+    mf_pdf = _microfacet_reflection_pdf(alpha, wo, wi)
+
+    plastic_pdf = 0.5 * (cos_pdf + mf_pdf)
+    trans_pdf = 0.5 * abs_cos_theta(wi) * INV_PI
+    glass_rough = (t == GLASS) & (mp.roughness > 1e-3)
+
+    out = jnp.where(t == MATTE, cos_pdf, 0.0)
+    out = jnp.where((t == PLASTIC) | (t == UBER) | (t == SUBSTRATE),
+                    plastic_pdf, out)
+    out = jnp.where(t == METAL, mf_pdf, out)
+    out = jnp.where(t == TRANSLUCENT, trans_pdf, out)
+    out = jnp.where(glass_rough, mf_pdf, out)
+    return out
+
+
+def bsdf_sample(mp: MaterialTable, wo: Array, u_lobe: Array, u: Array,
+                kd_override=None, eta_override=None):
+    """Sample wi ~ BSDF (BSDF::Sample_f, reflection.cpp:605+).
+
+    Returns (wi, f, pdf, flags) with the convention that for specular lobes
+    ``f`` already includes the 1/|cos| factor removed — i.e. the caller
+    always computes ``beta *= f * |cos(wi)| / pdf`` (pdf=1 for delta lobes,
+    and f = F/|cos| folded), matching pbrt's estimator shape.
+    ``eta_override`` (R,) substitutes the dielectric IOR (dispersive glass
+    hero-wavelength path, materials/dispersive_glass.cpp:90-122).
+    """
+    t = mp.mtype
+    C = mp.kd.shape[-1]
+    R = wo.shape[:-1]
+    eta_mat = mp.eta if eta_override is None else eta_override
+    kd = mp.kd if kd_override is None else kd_override
+    alpha = _mat_alpha(mp)
+
+    # --- cosine lobe (matte & the diffuse half of plastic/uber/substrate)
+    wi_cos = cosine_sample_hemisphere(u)
+    wi_cos = wi_cos * jnp.sign(wo[..., 2:3] + 1e-20)  # same hemisphere as wo
+
+    # --- microfacet reflection lobe
+    wh = tr_sample_wh(wo, u, alpha)
+    wi_mf = vecmath.reflect(wo, wh)
+
+    # --- perfect mirror
+    wi_mirror = jnp.stack([-wo[..., 0], -wo[..., 1], wo[..., 2]], axis=-1)
+
+    # --- smooth dielectric (glass): choose reflect/refract by fresnel
+    F = fr_dielectric(cos_theta(wo), jnp.ones_like(eta_mat), eta_mat)
+    entering = cos_theta(wo) > 0.0
+    eta_ratio = jnp.where(entering, 1.0 / eta_mat, eta_mat)
+    n_loc = jnp.where(entering[..., None],
+                      jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0]), wo.shape),
+                      jnp.broadcast_to(jnp.array([0.0, 0.0, -1.0]), wo.shape))
+    wi_refr, refr_ok = vecmath.refract(wo, n_loc, eta_ratio)
+    choose_refl = (u_lobe < F) | ~refr_ok
+    wi_glass = jnp.where(choose_refl[..., None], wi_mirror, wi_refr)
+
+    # ---------------- per-type combination
+    # MATTE
+    f_matte = bsdf_f(mp, wo, wi_cos, kd_override=kd)
+    pdf_matte = abs_cos_theta(wi_cos) * INV_PI
+
+    # PLASTIC/UBER/SUBSTRATE: pick lobe by u_lobe
+    pick_mf = u_lobe >= 0.5
+    wi_pl = jnp.where(pick_mf[..., None], wi_mf, wi_cos)
+    # reject microfacet samples below horizon
+    pl_ok = same_hemisphere(wo, wi_pl)
+    f_pl = bsdf_f(mp, wo, wi_pl, kd_override=kd)
+    pdf_pl = 0.5 * (abs_cos_theta(wi_pl) * INV_PI
+                    + _microfacet_reflection_pdf(alpha, wo, wi_pl))
+    f_pl = jnp.where(pl_ok[..., None], f_pl, 0.0)
+    pdf_pl = jnp.where(pl_ok, pdf_pl, 0.0)
+
+    # METAL
+    metal_ok = same_hemisphere(wo, wi_mf)
+    f_metal = bsdf_f(mp, wo, wi_mf, kd_override=kd)
+    pdf_metal = _microfacet_reflection_pdf(alpha, wo, wi_mf)
+    f_metal = jnp.where(metal_ok[..., None], f_metal, 0.0)
+    pdf_metal = jnp.where(metal_ok, pdf_metal, 0.0)
+
+    # MIRROR: delta; f = kr * F / |cos| with fresnel noop (mirror.cpp uses
+    # FresnelNoOp → F = 1)
+    f_mirror = mp.kr / jnp.maximum(abs_cos_theta(wi_mirror), 1e-6)[..., None]
+
+    # GLASS smooth: delta; FresnelSpecular (reflection.cpp:118+)
+    # reflect: kr * F / cos ; refract: kt * (1-F) / cos * etaRatio^2
+    # (radiance transport scaling)
+    f_g_refl = mp.kr * (F / jnp.maximum(abs_cos_theta(wi_mirror),
+                                        1e-6))[..., None]
+    f_g_refr = mp.kt * (((1.0 - F) * eta_ratio * eta_ratio)
+                        / jnp.maximum(abs_cos_theta(wi_refr), 1e-6))[..., None]
+    f_glass = jnp.where(choose_refl[..., None], f_g_refl, f_g_refr)
+    pdf_glass = jnp.where(choose_refl, F, 1.0 - F)
+    # normalize the delta estimator: f/pdf handled by caller; here keep
+    # pdf as the discrete lobe probability.
+
+    # TRANSLUCENT: reflect or transmit cosine lobe
+    wi_tr = jnp.where((u_lobe < 0.5)[..., None], wi_cos,
+                      -wi_cos)
+    f_tr = bsdf_f(mp, wo, wi_tr, kd_override=kd)
+    pdf_tr = 0.5 * abs_cos_theta(wi_tr) * INV_PI
+
+    # rough glass behaves like metal-style microfacet reflection (placeholder
+    # for rough transmission, milestone: volumes round)
+    glass_rough = (t == GLASS) & (mp.roughness > 1e-3)
+
+    # ---------------- select outputs by type
+    def sel(vals, default):
+        out = default
+        for cond, v in vals:
+            c = cond
+            while c.ndim < v.ndim:
+                c = c[..., None]
+            out = jnp.where(c, v, out)
+        return out
+
+    zeroC = jnp.zeros(R + (C,))
+    wi = sel([((t == MATTE), wi_cos),
+              ((t == PLASTIC) | (t == UBER) | (t == SUBSTRATE), wi_pl),
+              ((t == METAL) | glass_rough, wi_mf),
+              ((t == MIRROR), wi_mirror),
+              (((t == GLASS) & ~glass_rough) | (t == DISPERSIVE_GLASS),
+               wi_glass),
+              ((t == TRANSLUCENT), wi_tr)], wi_cos)
+    f = sel([((t == MATTE), f_matte),
+             ((t == PLASTIC) | (t == UBER) | (t == SUBSTRATE), f_pl),
+             ((t == METAL) | glass_rough, f_metal),
+             ((t == MIRROR), f_mirror),
+             (((t == GLASS) & ~glass_rough) | (t == DISPERSIVE_GLASS),
+              f_glass),
+             ((t == TRANSLUCENT), f_tr)], zeroC)
+    pdf = sel([((t == MATTE), pdf_matte[..., None]),
+               ((t == PLASTIC) | (t == UBER) | (t == SUBSTRATE),
+                pdf_pl[..., None]),
+               ((t == METAL) | glass_rough, pdf_metal[..., None]),
+               ((t == MIRROR), jnp.ones(R + (1,))),
+               (((t == GLASS) & ~glass_rough) | (t == DISPERSIVE_GLASS),
+                pdf_glass[..., None]),
+               ((t == TRANSLUCENT), pdf_tr[..., None])],
+              pdf_matte[..., None])[..., 0]
+
+    is_specular = ((t == MIRROR) | ((t == GLASS) & ~glass_rough)
+                   | (t == DISPERSIVE_GLASS))
+    is_transmission = ((((t == GLASS) & ~glass_rough)
+                        | (t == DISPERSIVE_GLASS)) & ~choose_refl) \
+        | ((t == TRANSLUCENT) & (u_lobe >= 0.5))
+    flags = (is_specular.astype(jnp.int32) * FLAG_SPECULAR
+             | is_transmission.astype(jnp.int32) * FLAG_TRANSMISSION)
+    return wi, f, pdf, flags
+
+
+def cauchy_eta(b: Array, c: Array, wvl_nm: Array) -> Array:
+    """Dispersive glass eta(λ) = B + C/λ² with λ in µm
+    (materials/dispersive_glass.cpp:62-64, reflection.h:345-380)."""
+    lam_um = wvl_nm * 1e-3
+    return b + c / (lam_um * lam_um)

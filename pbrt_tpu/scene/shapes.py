@@ -72,6 +72,25 @@ def intersect_triangles(o: Array, d: Array, tmax: Array,
     return t, u, v, hit
 
 
+def intersect_triangle_paired(o: Array, d: Array, tmax: Array,
+                              v0: Array, v1: Array, v2: Array):
+    """Per-ray ray×triangle test (one triangle per ray; all args (R,...)).
+    Returns (t, u, v, hit): each (R,)."""
+    e1 = v1 - v0
+    e2 = v2 - v0
+    ro = o - v0
+    pvec = jnp.cross(d, e2)
+    det = jnp.sum(e1 * pvec, axis=-1)
+    inv_det = jnp.where(jnp.abs(det) > 1e-12, 1.0 / det, 0.0)
+    u = jnp.sum(ro * pvec, axis=-1) * inv_det
+    qvec = jnp.cross(ro, e1)
+    v = jnp.sum(d * qvec, axis=-1) * inv_det
+    t = jnp.sum(e2 * qvec, axis=-1) * inv_det
+    hit = ((jnp.abs(det) > 1e-12) & (u >= 0.0) & (v >= 0.0)
+           & (u + v <= 1.0) & (t > 1e-4) & (t < tmax))
+    return t, u, v, hit
+
+
 def triangle_normal(v0: Array, v1: Array, v2: Array) -> Array:
     return normalize(cross(v1 - v0, v2 - v0))
 
@@ -114,6 +133,27 @@ def intersect_spheres(o: Array, d: Array, tmax: Array,
     tf = jnp.maximum(t0, t1)
     t = jnp.where(tn > 1e-4, tn, tf)
     hit = ok & (t > 1e-4) & (t < tmax[:, None])
+    return t, hit
+
+
+def intersect_sphere_paired(o: Array, d: Array, tmax: Array,
+                            center: Array, radius: Array):
+    """Per-ray ray×sphere (one sphere per ray). Returns (t, hit): (R,)."""
+    oc = o - center
+    a = jnp.sum(d * d, axis=-1)
+    b = 2.0 * jnp.sum(oc * d, axis=-1)
+    c = jnp.sum(oc * oc, axis=-1) - radius * radius
+    disc = b * b - 4.0 * a * c
+    ok = disc >= 0.0
+    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    q = -0.5 * (b + jnp.sign(b) * sq)
+    q = jnp.where(b == 0.0, -0.5 * sq, q)
+    t0 = q / jnp.maximum(a, 1e-20)
+    t1 = c / jnp.where(jnp.abs(q) > 1e-20, q, 1e-20)
+    tn = jnp.minimum(t0, t1)
+    tf = jnp.maximum(t0, t1)
+    t = jnp.where(tn > 1e-4, tn, tf)
+    hit = ok & (t > 1e-4) & (t < tmax)
     return t, hit
 
 
@@ -180,12 +220,10 @@ def sphere_pdf_wi(center, radius, ref_p, wi):
     cos_theta_max = jnp.sqrt(jnp.maximum(0.0, 1.0 - sin_theta_max2))
     pdf_cone = uniform_cone_pdf(cos_theta_max)
     # inside: area-based conversion (approximate with first hit)
-    t, hit = intersect_spheres(ref_p, wi,
-                               jnp.full(ref_p.shape[:-1], BIG),
-                               center[None] if center.ndim == 1 else center,
-                               jnp.atleast_1d(radius))
-    t = t[:, 0]
-    hit = hit[:, 0]
+    t, hit = intersect_sphere_paired(
+        ref_p, wi, jnp.full(ref_p.shape[:-1], BIG),
+        jnp.broadcast_to(center, ref_p.shape),
+        jnp.broadcast_to(radius, ref_p.shape[:-1]))
     p = ref_p + t[..., None] * wi
     n = normalize(p - center)
     area = 4.0 * jnp.pi * radius * radius
@@ -245,6 +283,28 @@ def intersect_aaplanes(o: Array, d: Array, tmax: Array,
     hit = ((jnp.abs(d_ax) > 1e-12) & (t > 1e-4) & (t < tmax[:, None])
            & (p0 > lo0[None]) & (p0 < hi0[None])
            & (p1 > lo1[None]) & (p1 < hi1[None]))
+    return t, u, v, hit
+
+
+def intersect_aaplane_paired(o: Array, d: Array, tmax: Array,
+                             lo: Array, hi: Array, ax: Array):
+    """Per-ray ray×aaplane test (one plane per ray; all args (R,...)).
+    Returns (t, u, v, hit): each (R,)."""
+    axo = _axis_onehot(ax)                       # (R,3)
+    d_ax = jnp.sum(d * axo, axis=-1)
+    o_ax = jnp.sum(o * axo, axis=-1)
+    lo_ax = jnp.sum(lo * axo, axis=-1)
+    t = (lo_ax - o_ax) / jnp.where(jnp.abs(d_ax) > 1e-12, d_ax, 1e-12)
+    p = o + t[..., None] * d
+    ax0, ax1 = aaplane_axes(ax)
+    take = lambda v_, i: jnp.take_along_axis(v_, i[..., None], axis=-1)[..., 0]
+    p0, p1 = take(p, ax0), take(p, ax1)
+    lo0, lo1 = take(lo, ax0), take(lo, ax1)
+    hi0, hi1 = take(hi, ax0), take(hi, ax1)
+    u = (p0 - lo0) / jnp.maximum(hi0 - lo0, 1e-12)
+    v = (p1 - lo1) / jnp.maximum(hi1 - lo1, 1e-12)
+    hit = ((jnp.abs(d_ax) > 1e-12) & (t > 1e-4) & (t < tmax)
+           & (p0 > lo0) & (p0 < hi0) & (p1 > lo1) & (p1 < hi1))
     return t, u, v, hit
 
 

@@ -1,0 +1,299 @@
+"""Scene container: SoA geometry/material/light tables + host-side builder.
+
+TPU-native counterpart of ``core/scene.{h,cpp}`` + ``core/primitive.h``.
+pbrt's Scene owns an aggregate of virtually-dispatched Primitives; here the
+scene is a pytree of arrays grouped by shape family, with a *global primitive
+index space*:
+
+    [0, nT)              triangles
+    [nT, nT+nS)          spheres
+    [nT+nS, nT+nS+nP)    aaplanes (fork shapes/plane.cpp)
+    [.., +nD)            disks
+
+``prim_mat``/``prim_light`` map global prim index → material row / light row
+(−1 = not emissive), replacing GeometricPrimitive's shape+material+arealight
+triplet (core/primitive.h:51-119).
+
+Counts are static metadata so jit specializes on scene topology (geometry
+*sizes*) while positions/materials stay traced — the whole scene is
+differentiable.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pbrt_tpu.core import spectrum as spec_mod
+from pbrt_tpu.scene.materials import MaterialTable, make_material_table
+
+Array = Any
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class Geometry:
+    # triangles
+    tri_v0: Array   # (T,3)
+    tri_v1: Array
+    tri_v2: Array
+    tri_n0: Array   # (T,3) shading normals
+    tri_n1: Array
+    tri_n2: Array
+    tri_uv0: Array  # (T,2)
+    tri_uv1: Array
+    tri_uv2: Array
+    # spheres
+    sph_center: Array  # (S,3)
+    sph_radius: Array  # (S,)
+    # aaplanes (fork)
+    pln_lo: Array      # (P,3)
+    pln_hi: Array      # (P,3)
+    pln_ax: Array      # (P,) int32
+    pln_facing: Array  # (P,) bool
+    # disks
+    dsk_center: Array  # (D,3)
+    dsk_normal: Array  # (D,3)
+    dsk_radius: Array  # (D,)
+    dsk_inner: Array   # (D,)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class Scene:
+    geom: Geometry
+    prim_mat: Array     # (N,) int32
+    prim_light: Array   # (N,) int32 (−1 none)
+    materials: MaterialTable
+    lights: Any         # LightTable (scene/lights.py; Any to avoid cycle)
+    world_lo: Array     # (3,) scene bounds
+    world_hi: Array     # (3,)
+    bvh: Optional[Any]  # scene/bvh.py FlatBVH or None
+    n_tri: int = dataclasses.field(metadata=dict(static=True))
+    n_sph: int = dataclasses.field(metadata=dict(static=True))
+    n_pln: int = dataclasses.field(metadata=dict(static=True))
+    n_dsk: int = dataclasses.field(metadata=dict(static=True))
+    n_channels: int = dataclasses.field(metadata=dict(static=True))
+
+    @property
+    def n_prims(self) -> int:
+        return self.n_tri + self.n_sph + self.n_pln + self.n_dsk
+
+    def world_radius(self) -> Array:
+        return 0.5 * jnp.linalg.norm(self.world_hi - self.world_lo) + 1e-3
+
+
+class SceneBuilder:
+    """Host-side scene construction (numpy lists → device arrays).
+
+    Plays the role of the pbrt* API state machine's world block
+    (core/api.cpp:397-886) at the object level; the .pbrt parser frontend
+    drives this builder.
+    """
+
+    def __init__(self, spectrum_cfg: spec_mod.SpectrumConfig = spec_mod.RGB):
+        self.cfg = spectrum_cfg
+        self.tris = []        # dicts: v0 v1 v2 [n0 n1 n2 uv0 uv1 uv2] mat light
+        self.spheres = []     # center radius mat light
+        self.planes = []      # lo hi ax facing mat light
+        self.disks = []       # center normal radius inner mat light
+        self.materials = []   # parameter dicts (scene/materials.py)
+        self.light_rows = []  # parameter dicts (scene/lights.py)
+
+    # -- materials ---------------------------------------------------------
+    def add_material(self, **params) -> int:
+        for key in ("kd", "ks", "kr", "kt", "metal_eta", "metal_k"):
+            if key in params:
+                params[key] = self._to_spec(params[key])
+        self.materials.append(params)
+        return len(self.materials) - 1
+
+    def _to_spec(self, v):
+        v = np.asarray(v, np.float32)
+        if v.ndim == 0:
+            return np.full(self.cfg.n_channels, float(v), np.float32)
+        if v.shape[-1] == 3 and self.cfg.n_channels != 3:
+            return np.asarray(spec_mod.from_rgb(jnp.asarray(v), self.cfg))
+        if v.shape[-1] == self.cfg.n_channels:
+            return v
+        raise ValueError(f"bad spectrum shape {v.shape}")
+
+    # -- lights ------------------------------------------------------------
+    def add_light(self, **params) -> int:
+        for key in ("L", "I", "scale"):
+            if key in params:
+                params[key] = self._to_spec(params[key])
+        self.light_rows.append(params)
+        return len(self.light_rows) - 1
+
+    # -- shapes ------------------------------------------------------------
+    def add_triangle(self, v0, v1, v2, mat=0, light=-1, n0=None, n1=None,
+                     n2=None, uv0=(0, 0), uv1=(1, 0), uv2=(1, 1)):
+        self.tris.append(dict(v0=v0, v1=v1, v2=v2, n0=n0, n1=n1, n2=n2,
+                              uv0=uv0, uv1=uv1, uv2=uv2, mat=mat,
+                              light=light))
+        return len(self.tris) - 1
+
+    def add_mesh(self, vertices, indices, mat=0, light=-1, normals=None,
+                 uvs=None):
+        """trianglemesh: vertices (V,3), indices (F,3)."""
+        vertices = np.asarray(vertices, np.float32)
+        indices = np.asarray(indices, np.int32).reshape(-1, 3)
+        ids = []
+        for f in indices:
+            kw = {}
+            if normals is not None:
+                kw.update(n0=normals[f[0]], n1=normals[f[1]],
+                          n2=normals[f[2]])
+            if uvs is not None:
+                kw.update(uv0=uvs[f[0]], uv1=uvs[f[1]], uv2=uvs[f[2]])
+            ids.append(self.add_triangle(vertices[f[0]], vertices[f[1]],
+                                         vertices[f[2]], mat, light, **kw))
+        return ids
+
+    def add_sphere(self, center, radius, mat=0, light=-1):
+        self.spheres.append(dict(center=center, radius=radius, mat=mat,
+                                 light=light))
+        return len(self.spheres) - 1
+
+    def add_aaplane(self, lo, hi, axis, facing_fw=True, mat=0, light=-1):
+        self.planes.append(dict(lo=lo, hi=hi, ax=axis, facing=facing_fw,
+                                mat=mat, light=light))
+        return len(self.planes) - 1
+
+    def add_disk(self, center, normal, radius, inner=0.0, mat=0, light=-1):
+        self.disks.append(dict(center=center, normal=normal, radius=radius,
+                               inner=inner, mat=mat, light=light))
+        return len(self.disks) - 1
+
+    # -- finalize ----------------------------------------------------------
+    def prim_index(self, family: str, local_idx: int) -> int:
+        """Global primitive index for (family, local index)."""
+        nt, ns, npl = len(self.tris), len(self.spheres), len(self.planes)
+        base = {"tri": 0, "sph": nt, "pln": nt + ns,
+                "dsk": nt + ns + npl}[family]
+        return base + local_idx
+
+    def build(self, use_bvh: str = "auto") -> Scene:
+        from pbrt_tpu.scene import lights as lights_mod
+
+        nt, ns, npl, nd = (len(self.tris), len(self.spheres),
+                           len(self.planes), len(self.disks))
+        f32 = lambda rows, k, shape: (
+            np.asarray([np.asarray(r[k], np.float32) if r[k] is not None
+                        else np.zeros(shape[1:], np.float32)
+                        for r in rows], np.float32).reshape(shape)
+            if rows else np.zeros(shape, np.float32))
+
+        tv0 = f32(self.tris, "v0", (max(nt, 1), 3))
+        tv1 = f32(self.tris, "v1", (max(nt, 1), 3))
+        tv2 = f32(self.tris, "v2", (max(nt, 1), 3))
+        # default shading normals = geometric
+        gn = np.cross(tv1 - tv0, tv2 - tv0)
+        gn = gn / np.maximum(np.linalg.norm(gn, axis=-1, keepdims=True),
+                             1e-12)
+        tn0 = np.asarray([np.asarray(r["n0"], np.float32)
+                          if r["n0"] is not None else gn[i]
+                          for i, r in enumerate(self.tris)], np.float32
+                         ).reshape(max(nt, 1), 3) if nt else gn
+        tn1 = np.asarray([np.asarray(r["n1"], np.float32)
+                          if r["n1"] is not None else gn[i]
+                          for i, r in enumerate(self.tris)], np.float32
+                         ).reshape(max(nt, 1), 3) if nt else gn
+        tn2 = np.asarray([np.asarray(r["n2"], np.float32)
+                          if r["n2"] is not None else gn[i]
+                          for i, r in enumerate(self.tris)], np.float32
+                         ).reshape(max(nt, 1), 3) if nt else gn
+
+        geom = Geometry(
+            tri_v0=jnp.asarray(tv0), tri_v1=jnp.asarray(tv1),
+            tri_v2=jnp.asarray(tv2),
+            tri_n0=jnp.asarray(tn0), tri_n1=jnp.asarray(tn1),
+            tri_n2=jnp.asarray(tn2),
+            tri_uv0=jnp.asarray(f32(self.tris, "uv0", (max(nt, 1), 2))),
+            tri_uv1=jnp.asarray(f32(self.tris, "uv1", (max(nt, 1), 2))),
+            tri_uv2=jnp.asarray(f32(self.tris, "uv2", (max(nt, 1), 2))),
+            sph_center=jnp.asarray(f32(self.spheres, "center",
+                                       (max(ns, 1), 3))),
+            sph_radius=jnp.asarray(
+                np.asarray([r["radius"] for r in self.spheres] or [0.0],
+                           np.float32)),
+            pln_lo=jnp.asarray(f32(self.planes, "lo", (max(npl, 1), 3))),
+            pln_hi=jnp.asarray(f32(self.planes, "hi", (max(npl, 1), 3))),
+            pln_ax=jnp.asarray(
+                np.asarray([r["ax"] for r in self.planes] or [2], np.int32)),
+            pln_facing=jnp.asarray(
+                np.asarray([r["facing"] for r in self.planes] or [True],
+                           bool)),
+            dsk_center=jnp.asarray(f32(self.disks, "center",
+                                       (max(nd, 1), 3))),
+            dsk_normal=jnp.asarray(f32(self.disks, "normal",
+                                       (max(nd, 1), 3))),
+            dsk_radius=jnp.asarray(
+                np.asarray([r["radius"] for r in self.disks] or [0.0],
+                           np.float32)),
+            dsk_inner=jnp.asarray(
+                np.asarray([r["inner"] for r in self.disks] or [0.0],
+                           np.float32)),
+        )
+
+        def ids(rows, k):
+            return np.asarray([r[k] for r in rows], np.int32) \
+                if rows else np.zeros(0, np.int32)
+
+        prim_mat = np.concatenate([ids(self.tris, "mat"),
+                                   ids(self.spheres, "mat"),
+                                   ids(self.planes, "mat"),
+                                   ids(self.disks, "mat")])
+        prim_light = np.concatenate([ids(self.tris, "light"),
+                                     ids(self.spheres, "light"),
+                                     ids(self.planes, "light"),
+                                     ids(self.disks, "light")])
+        if prim_mat.size == 0:
+            prim_mat = np.zeros(1, np.int32)
+            prim_light = -np.ones(1, np.int32)
+
+        # world bounds
+        pts = [tv0[:nt].reshape(-1, 3), tv1[:nt].reshape(-1, 3),
+               tv2[:nt].reshape(-1, 3)]
+        if ns:
+            c = f32(self.spheres, "center", (ns, 3))
+            r = np.asarray([s["radius"] for s in self.spheres],
+                           np.float32)[:, None]
+            pts += [c - r, c + r]
+        if npl:
+            pts += [f32(self.planes, "lo", (npl, 3)),
+                    f32(self.planes, "hi", (npl, 3))]
+        if nd:
+            c = f32(self.disks, "center", (nd, 3))
+            r = np.asarray([s["radius"] for s in self.disks],
+                           np.float32)[:, None]
+            pts += [c - r, c + r]
+        allp = np.concatenate([p for p in pts if p.size]) \
+            if any(p.size for p in pts) else np.zeros((1, 3), np.float32)
+        world_lo = allp.min(0) - 1e-3
+        world_hi = allp.max(0) + 1e-3
+
+        materials = make_material_table(
+            self.materials or [dict()], self.cfg.n_channels)
+        scene = Scene(
+            geom=geom,
+            prim_mat=jnp.asarray(prim_mat),
+            prim_light=jnp.asarray(prim_light),
+            materials=materials,
+            lights=None,
+            world_lo=jnp.asarray(world_lo), world_hi=jnp.asarray(world_hi),
+            bvh=None,
+            n_tri=nt, n_sph=ns, n_pln=npl, n_dsk=nd,
+            n_channels=self.cfg.n_channels)
+        lights = lights_mod.build_light_table(self, scene)
+        scene = dataclasses.replace(scene, lights=lights)
+        if use_bvh == "always" or (use_bvh == "auto" and nt > 256):
+            from pbrt_tpu.scene import bvh as bvh_mod
+            scene = dataclasses.replace(scene,
+                                        bvh=bvh_mod.build_bvh(self, scene))
+        return scene

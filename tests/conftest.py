@@ -15,3 +15,6 @@ import jax
 os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
                            + " --xla_force_host_platform_device_count=8")
 jax.config.update("jax_platforms", "cpu")
+# cache compiled programs across test runs (renders are compile-heavy)
+jax.config.update("jax_compilation_cache_dir", "/tmp/pbrt_tpu_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
