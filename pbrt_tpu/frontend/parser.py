@@ -428,6 +428,46 @@ class PbrtParser:
 
     # -- construction helpers ---------------------------------------------
 
+    _TEXMAP = {"constant": 0, "scale": 1, "mix": 2, "checkerboard": 3,
+               "uv": 4, "dots": 5, "bilerp": 6, "imagemap": 7, "fbm": 8,
+               "wrinkled": 9, "windy": 10, "marble": 11}
+
+    def _build_texture(self, name: str) -> int:
+        """Instantiate a named texture (Texture directive) into the
+        builder's texture table; returns row id (−1 unknown)."""
+        if not hasattr(self, "_tex_ids"):
+            self._tex_ids = {}
+        if name in self._tex_ids:
+            return self._tex_ids[name]
+        if name not in self.gs.textures:
+            return -1
+        klass, p = self.gs.textures[name]
+        ttype = self._TEXMAP.get(klass, 0)
+        kw = dict(type=ttype)
+        for pname, slot in (("tex1", "v1"), ("tex2", "v2"),
+                            ("value", "v1")):
+            v = p.spectrum_rgb(pname)
+            if v is not None:
+                kw[slot] = v
+        for pname in ("uscale", "vscale", "udelta", "vdelta", "octaves",
+                      "omega"):
+            if p.one(pname) is not None:
+                kw[pname] = p.one(pname)
+        if p.one("amount") is not None:
+            kw["omega"] = p.one("amount")  # mix amount rides in omega slot
+        if klass == "imagemap" and p.one("filename"):
+            from pbrt_tpu.utils import imageio
+            try:
+                img = imageio.read_image(
+                    os.path.join(self.base_dir, p.one("filename")))
+                kw["img"] = self.builder.add_image(img)
+            except Exception:
+                kw["type"] = 0
+                kw["v1"] = (0.5, 0.5, 0.5)
+        tid = self.builder.add_texture(**kw)
+        self._tex_ids[name] = tid
+        return tid
+
     def _make_material(self, name: str, p: Params) -> int:
         b = self.builder
         tmap = {"matte": mat_mod.MATTE, "mirror": mat_mod.MIRROR,
@@ -436,10 +476,13 @@ class PbrtParser:
                 "dispersive_glass": mat_mod.DISPERSIVE_GLASS,
                 "uber": mat_mod.UBER, "substrate": mat_mod.SUBSTRATE,
                 "translucent": mat_mod.TRANSLUCENT,
+                "disney": mat_mod.DISNEY,
                 "none": mat_mod.NONE, "": mat_mod.NONE}
         mtype = tmap.get(name, mat_mod.MATTE)
         kw = dict(type=mtype)
-        if p.spectrum_rgb("Kd") is not None:
+        if "Kd" in p and p["Kd"][0] == "texture":
+            kw["kd_tex"] = self._build_texture(p["Kd"][1][0])
+        elif p.spectrum_rgb("Kd") is not None:
             kw["kd"] = p.spectrum_rgb("Kd")
         if p.spectrum_rgb("Ks") is not None:
             kw["ks"] = p.spectrum_rgb("Ks")
@@ -451,6 +494,10 @@ class PbrtParser:
             kw["sigma"] = p.one("sigma")
         if p.one("roughness") is not None:
             kw["roughness"] = p.one("roughness")
+        elif name == "metal":
+            kw["roughness"] = 0.01   # metal.cpp default
+        elif name in ("plastic", "substrate", "uber", "disney"):
+            kw["roughness"] = 0.1
         if p.one("index") is not None:
             kw["eta"] = p.one("index")
         if p.one("eta") is not None and name == "glass":
@@ -460,6 +507,18 @@ class PbrtParser:
                 kw["metal_eta"] = p.spectrum_rgb("eta")
             if p.spectrum_rgb("k") is not None:
                 kw["metal_k"] = p.spectrum_rgb("k")
+        if name == "disney":
+            if p.spectrum_rgb("color") is not None:
+                kw["kd"] = p.spectrum_rgb("color")
+            for pn, slot in (("metallic", "metallic"),
+                             ("speculartint", "spec_tint"),
+                             ("sheen", "sheen"),
+                             ("sheentint", "sheen_tint"),
+                             ("clearcoat", "clearcoat"),
+                             ("clearcoatgloss", "clearcoat_gloss"),
+                             ("eta", "eta")):
+                if p.one(pn) is not None:
+                    kw[slot] = p.one(pn)
         if name == "dispersive_glass":
             # Cauchy from (etaMin, etaMax) endpoints
             # (materials/dispersive_glass.cpp:62-64)
@@ -521,10 +580,51 @@ class PbrtParser:
                         uv0=(0, 0) if uvs is None else tuple(uvs[f[0]]),
                         uv1=(1, 0) if uvs is None else tuple(uvs[f[1]]),
                         uv2=(1, 1) if uvs is None else tuple(uvs[f[2]]))
-                    b.light_rows[li]["prim"] = b.prim_index("tri", tid)
+                    b.light_rows[li]["prim"] = ("tri", tid)
             else:
                 b.add_mesh(pts_w, idx, mat=mat, light=-1, normals=normals,
                            uvs=uvs)
+        elif name in ("cylinder", "cone", "paraboloid", "hyperboloid",
+                      "heightfield", "nurbs", "curve"):
+            from pbrt_tpu.scene import tessellate as tess
+            import math
+            phimax = math.radians(p.one("phimax", 360.0))
+            if name == "cylinder":
+                v, fidx, nrm = tess.tessellate_cylinder(
+                    p.one("radius", 1.0), p.one("zmin", -1.0),
+                    p.one("zmax", 1.0), phimax)
+            elif name == "cone":
+                v, fidx, nrm = tess.tessellate_cone(
+                    p.one("radius", 1.0), p.one("height", 1.0), phimax)
+            elif name == "paraboloid":
+                v, fidx, nrm = tess.tessellate_paraboloid(
+                    p.one("radius", 1.0), p.one("zmin", 0.0),
+                    p.one("zmax", 1.0), phimax)
+            elif name == "hyperboloid":
+                v, fidx, nrm = tess.tessellate_hyperboloid(
+                    p.point("p1", (1, 0, 0)), p.point("p2", (1, 0, 1)),
+                    phimax)
+            elif name == "heightfield":
+                v, fidx, nrm = tess.tessellate_heightfield(
+                    p.one("nu", 2), p.one("nv", 2),
+                    np.asarray(p["Pz"][1], np.float32))
+            elif name == "nurbs":
+                v, fidx, nrm = tess.tessellate_nurbs(
+                    p.one("nu"), p.one("uorder"),
+                    np.asarray(p["uknots"][1]), p.one("nv"),
+                    p.one("vorder"), np.asarray(p["vknots"][1]),
+                    np.asarray(p["P"][1], np.float64).reshape(-1, 3)
+                    if "P" in p else
+                    np.asarray(p["Pw"][1], np.float64).reshape(-1, 4))
+            else:  # curve
+                cp = np.asarray(p["P"][1], np.float64).reshape(-1, 3)
+                w0 = p.one("width0", p.one("width", 1.0))
+                w1 = p.one("width1", p.one("width", 1.0))
+                v, fidx, nrm = tess.tessellate_curve(cp[:4], w0, w1)
+            pts_w = np.stack([self._xf_point(q) for q in v])
+            normals = (np.stack([self._xf_normal(q) for q in nrm])
+                       if nrm is not None else None)
+            b.add_mesh(pts_w, fidx, mat=mat, normals=normals)
         elif name == "loopsubdiv":
             from pbrt_tpu.frontend.loopsubdiv import loop_subdivide
             idx = np.asarray(p["indices"][1], np.int32).reshape(-1, 3)
@@ -553,7 +653,7 @@ class PbrtParser:
             if gs.area_light is not None:
                 li = self._emit_light_for_shape(gs, 0)
                 b.spheres[sid]["light"] = li
-                b.light_rows[li]["prim"] = b.prim_index("sph", sid)
+                b.light_rows[li]["prim"] = ("sph", sid)
         elif name == "disk":
             r = p.one("radius", 1.0)
             h = p.one("height", 0.0)
@@ -565,7 +665,7 @@ class PbrtParser:
             if gs.area_light is not None:
                 li = self._emit_light_for_shape(gs, 0)
                 b.disks[did]["light"] = li
-                b.light_rows[li]["prim"] = b.prim_index("dsk", did)
+                b.light_rows[li]["prim"] = ("dsk", did)
         elif name == "aaplane":
             lo = p.point("lo", (0, 0, 0))
             hi = p.point("hi", (0, 0, 0))
@@ -579,7 +679,7 @@ class PbrtParser:
             if gs.area_light is not None:
                 li = self._emit_light_for_shape(gs, 0)
                 b.planes[pid]["light"] = li
-                b.light_rows[li]["prim"] = b.prim_index("pln", pid)
+                b.light_rows[li]["prim"] = ("pln", pid)
         # unknown shapes: ignored with a note (curve/nurbs/etc → later)
 
 

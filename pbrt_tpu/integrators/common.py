@@ -106,6 +106,9 @@ def estimate_direct(scene, hit, mp, wo_world: Array,
     t1, t2 = make_frame(hit.ns)
     wo = to_local(t1, t2, hit.ns, wo_world)
 
+    from pbrt_tpu.scene import textures as tex_mod
+    kd_eff = tex_mod.resolve_kd(scene, mp, hit)
+
     # ---- light-strategy sample (Sample_Li)
     ls = lights_mod.sample_li(scene, light_idx, hit.p, u_light)
 
@@ -146,7 +149,8 @@ def estimate_direct(scene, hit, mp, wo_world: Array,
 
     # ---- BSDF at the sampled direction
     wi_loc = to_local(t1, t2, hit.ns, wi_nee)
-    f = mat_mod.bsdf_f(mp, wo, wi_loc) * absdot(wi_nee, hit.ns)[..., None]
+    f = mat_mod.bsdf_f(mp, wo, wi_loc, kd_override=kd_eff) \
+        * absdot(wi_nee, hit.ns)[..., None]
     scatter_pdf = mat_mod.bsdf_pdf(mp, wo, wi_loc)
 
     # ---- combine
@@ -172,7 +176,7 @@ def estimate_direct(scene, hit, mp, wo_world: Array,
     # ---- BSDF-strategy half of two-sample MIS (non-portal, non-delta)
     if with_bsdf_half:
         wi_b_loc, f_b, pdf_b, flags = mat_mod.bsdf_sample(
-            mp, wo, u_bsdf_lobe, u_scatter)
+            mp, wo, u_bsdf_lobe, u_scatter, kd_override=kd_eff)
         wi_b = to_world(t1, t2, hit.ns, wi_b_loc)
         is_spec = (flags & mat_mod.FLAG_SPECULAR) > 0
         f_b = f_b * absdot(wi_b, hit.ns)[..., None]

@@ -36,8 +36,9 @@ from pbrt_tpu.samplers import make_sampler
 
 Array = Any
 
-# per-bounce sample-dimension layout (after 0-4: pixel xy, lens xy, time)
-_DIM_BASE = 5
+# per-bounce sample-dimension layout
+# (0-5: pixel xy, lens xy, time, hero wavelength)
+_DIM_BASE = 6
 _DIM_STRIDE = 10
 
 
@@ -182,7 +183,10 @@ def _li_loop(scene, o, d, pid, sidx, sfn, cfg: RenderConfig, power_distr,
         wo = common.to_local(t1, t2, hit.ns, -d_cur)
         u_cl = sfn(pid, sidx, dims["cont_lobe"], cfg.seed)
         u_cu = _sample2(sfn, pid, sidx, dims["cont_u"], cfg.seed)
-        wi_loc, f, pdf, flags = mat_mod.bsdf_sample(mp, wo, u_cl, u_cu)
+        from pbrt_tpu.scene import textures as tex_mod
+        kd_eff = tex_mod.resolve_kd(scene, mp, hit)
+        wi_loc, f, pdf, flags = mat_mod.bsdf_sample(mp, wo, u_cl, u_cu,
+                                                    kd_override=kd_eff)
         wi = common.to_world(t1, t2, hit.ns, wi_loc)
         is_spec = (flags & mat_mod.FLAG_SPECULAR) > 0
         is_trans = (flags & mat_mod.FLAG_TRANSMISSION) > 0
@@ -233,9 +237,32 @@ def _li_loop(scene, o, d, pid, sidx, sfn, cfg: RenderConfig, power_distr,
     return state[0]
 
 
+def _li_volpath(*args, **kw):
+    from pbrt_tpu.integrators.volpath import li_volpath
+    return li_volpath(*args, **kw)
+
+
+def _li_bdpt(*args, **kw):
+    from pbrt_tpu.integrators.bdpt import li_bdpt
+    return li_bdpt(*args, **kw)
+
+
+def _li_hero_path(*args, **kw):
+    from pbrt_tpu.integrators.hero import li_hero_path
+    return li_hero_path(*args, **kw)
+
+
+def _li_hero_path_mis(*args, **kw):
+    from pbrt_tpu.integrators.hero import li_hero_path_mis
+    return li_hero_path_mis(*args, **kw)
+
+
 _INTEGRATORS = {"path": li_path, "direct": li_direct,
                 "directlighting": li_direct, "whitted": li_whitted,
-                "ao": li_ao, "ambientocclusion": li_ao, "mypath": li_mypath}
+                "ao": li_ao, "ambientocclusion": li_ao, "mypath": li_mypath,
+                "volpath": _li_volpath, "bdpt": _li_bdpt,
+                "hero_path": _li_hero_path,
+                "hero_path_mis": _li_hero_path_mis}
 
 
 # ---------------------------------------------------------------------------

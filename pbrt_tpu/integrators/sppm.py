@@ -1,0 +1,311 @@
+"""Stochastic progressive photon mapping.
+
+TPU-native counterpart of ``integrators/sppm.cpp`` (:63-98): per iteration a
+camera pass stores one visible point per pixel; visible points are inserted
+into a uniform hash grid (every cell their radius overlaps, ≤8 when
+radius ≤ cell size); the photon pass walks light paths and deposits flux
+onto visible points found in each photon's cell; per-pixel radius/flux
+statistics shrink via the SPPM update rule (alpha=2/3).
+
+pbrt's lock-free atomic grid (sppm.cpp:87) becomes a sort-by-cell CSR
+layout + ``scatter-add`` flux accumulation — the TPU-native equivalent of
+atomics.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pbrt_tpu.core import vecmath
+from pbrt_tpu.core.sampling import INV_PI, cosine_sample_hemisphere
+from pbrt_tpu.core.vecmath import absdot, normalize
+from pbrt_tpu.integrators import common
+from pbrt_tpu.samplers import make_sampler
+from pbrt_tpu.scene import camera as cam_mod
+from pbrt_tpu.scene import intersect as isect_mod
+from pbrt_tpu.scene import lights as lights_mod
+from pbrt_tpu.scene import materials as mat_mod
+from pbrt_tpu.scene import shapes
+
+Array = Any
+
+GRID_RES = 64          # ≤64 voxels/axis like SpatialLightDistribution
+MAX_PER_CELL = 32      # photon's bounded scan of VP entries per cell
+SPPM_ALPHA = 2.0 / 3.0
+
+
+def _camera_pass(scene, cam, width, height, it, seed, max_depth):
+    """Trace one camera path per pixel to its first diffuse vertex;
+    collect emitted+direct radiance on the way (sppm.cpp camera pass)."""
+    R = width * height
+    C = scene.n_channels
+    pid = jnp.arange(R, dtype=jnp.uint32)
+    sfn = make_sampler("independent")
+    sidx = jnp.full(R, it, jnp.uint32)
+    px = (pid % width).astype(jnp.float32)
+    py = (pid // width).astype(jnp.float32)
+    u_film = jnp.stack([sfn(pid, sidx, 0, seed), sfn(pid, sidx, 1, seed)],
+                       -1)
+    p_film = jnp.stack([px + 0.5, py + 0.5], -1) + (u_film - 0.5)
+    rays = cam_mod.generate_rays(cam, p_film, jnp.zeros((R, 2)),
+                                 jnp.zeros(R))
+
+    o_cur, d_cur = rays.o, rays.d
+    beta = jnp.ones((R, C))
+    L_direct = jnp.zeros((R, C))
+    vp_valid = jnp.zeros(R, bool)
+    vp_p = jnp.zeros((R, 3))
+    vp_ns = jnp.zeros((R, 3))
+    vp_wo = jnp.zeros((R, 3))
+    vp_beta = jnp.zeros((R, C))
+    vp_mat = jnp.zeros(R, jnp.int32)
+    active = jnp.ones(R, bool)
+    specular = jnp.ones(R, bool)
+
+    for b in range(max_depth):
+        hit = isect_mod.intersect(scene, o_cur, d_cur,
+                                  jnp.full(R, vecmath.INF))
+        light_id = scene.prim_light[jnp.clip(hit.prim_id, 0,
+                                             scene.n_prims - 1)]
+        light_id = jnp.where(hit.valid, light_id, -1)
+        gl = lights_mod.gather_lights(scene.lights, jnp.maximum(light_id,
+                                                                0))
+        le = lights_mod.area_light_L(gl.emit, gl.two_sided, hit.ng,
+                                     -d_cur)
+        le = jnp.where((light_id >= 0)[..., None], le, 0.0)
+        env = lights_mod.escaped_radiance(scene, d_cur)
+        emit = jnp.where(hit.valid[..., None], le, env)
+        L_direct = L_direct + jnp.where((active & specular)[..., None],
+                                        beta * emit, 0.0)
+        active = active & hit.valid
+        mp = mat_mod.gather_materials(
+            scene.materials,
+            scene.prim_mat[jnp.clip(hit.prim_id, 0, scene.n_prims - 1)])
+        # NEE for direct lighting at every vertex (sppm does direct via
+        # light sampling at visible points)
+        u_sel = sfn(pid, sidx, 10 + 8 * b, seed)
+        u_l = jnp.stack([sfn(pid, sidx, 11 + 8 * b, seed),
+                         sfn(pid, sidx, 12 + 8 * b, seed)], -1)
+        u_sc = jnp.stack([sfn(pid, sidx, 13 + 8 * b, seed),
+                          sfn(pid, sidx, 14 + 8 * b, seed)], -1)
+        u_lb = sfn(pid, sidx, 15 + 8 * b, seed)
+        ld = common.estimate_direct(scene, hit, mp, -d_cur, u_sel, u_l,
+                                    u_sc, u_lb)
+        L_direct = L_direct + jnp.where(active[..., None], beta * ld, 0.0)
+
+        # store a visible point at the first diffuse vertex
+        is_diffuse = (mp.mtype == mat_mod.MATTE) \
+            | (mp.mtype == mat_mod.PLASTIC) \
+            | (mp.mtype == mat_mod.SUBSTRATE) \
+            | (mp.mtype == mat_mod.UBER) \
+            | (mp.mtype == mat_mod.TRANSLUCENT)
+        newly = active & is_diffuse & ~vp_valid
+        vp_valid = vp_valid | newly
+        vp_p = jnp.where(newly[..., None], hit.p, vp_p)
+        vp_ns = jnp.where(newly[..., None], hit.ns, vp_ns)
+        vp_wo = jnp.where(newly[..., None], -d_cur, vp_wo)
+        vp_beta = jnp.where(newly[..., None], beta, vp_beta)
+        vp_mat = jnp.where(newly, scene.prim_mat[
+            jnp.clip(hit.prim_id, 0, scene.n_prims - 1)], vp_mat)
+        active = active & ~newly  # stop at the visible point
+
+        # specular continuation only
+        t1, t2 = common.make_frame(hit.ns)
+        wo = common.to_local(t1, t2, hit.ns, -d_cur)
+        u_cl = sfn(pid, sidx, 16 + 8 * b, seed)
+        u_cu = jnp.stack([sfn(pid, sidx, 17 + 8 * b, seed),
+                          sfn(pid, sidx, 18 + 8 * b, seed)], -1)
+        wi_loc, f, pdf, flags = mat_mod.bsdf_sample(mp, wo, u_cl, u_cu)
+        wi = common.to_world(t1, t2, hit.ns, wi_loc)
+        is_spec = (flags & mat_mod.FLAG_SPECULAR) > 0
+        alive = active & is_spec & (pdf > 0)
+        thr = f * (absdot(wi, hit.ns) / jnp.maximum(pdf, 1e-20))[..., None]
+        beta = jnp.where(alive[..., None], beta * thr, beta)
+        o_cur = jnp.where(alive[..., None],
+                          vecmath.offset_ray_origin(hit.p, hit.ng, wi),
+                          o_cur)
+        d_cur = jnp.where(alive[..., None], wi, d_cur)
+        specular = jnp.where(alive, True, specular)
+        active = alive
+    return dict(valid=vp_valid, p=vp_p, ns=vp_ns, wo=vp_wo, beta=vp_beta,
+                mat=vp_mat, L_direct=L_direct)
+
+
+def _photon_pass(scene, vps, radius, n_photons, it, seed, max_depth,
+                 grid_lo, grid_hi):
+    """Shoot photons; deposit flux on visible points (sppm.cpp photon
+    pass). Returns (phi (R,C), M counts (R,))."""
+    R = vps["p"].shape[0]
+    C = scene.n_channels
+    P = n_photons
+    sfn = make_sampler("independent")
+    ppid = jnp.arange(P, dtype=jnp.uint32) + jnp.uint32(1 << 24)
+    sidx = jnp.full(P, it, jnp.uint32)
+
+    # --- grid build over visible points
+    max_r = jnp.max(jnp.where(vps["valid"], radius, 0.0))
+    cell = jnp.maximum((grid_hi - grid_lo).max() / GRID_RES,
+                       2.0 * max_r / 4.0)
+    # insert each VP into the 8 cells its radius box overlaps
+    res = jnp.maximum(((grid_hi - grid_lo) / cell).astype(jnp.int32), 1)
+    res = jnp.minimum(res, GRID_RES)
+
+    def cell_id(p):
+        c = ((p - grid_lo) / cell).astype(jnp.int32)
+        c = jnp.clip(c, 0, res - 1)
+        return (c[..., 0] * res[1] + c[..., 1]) * res[2] + c[..., 2]
+
+    corners = []
+    for dx in (0, 1):
+        for dy in (0, 1):
+            for dz in (0, 1):
+                off = jnp.asarray([dx, dy, dz], jnp.float32)
+                corners.append(cell_id(
+                    vps["p"] + (off * 2.0 - 1.0) * radius[..., None]))
+    entry_cell = jnp.stack(corners, -1).reshape(-1)           # (8R,)
+    entry_vp = jnp.tile(jnp.arange(R)[:, None], (1, 8)).reshape(-1)
+    entry_cell = jnp.where(jnp.repeat(vps["valid"], 8), entry_cell,
+                           jnp.int32(2 ** 30))
+    order = jnp.argsort(entry_cell)
+    entry_cell_s = entry_cell[order]
+    entry_vp_s = entry_vp[order]
+
+    # --- photon walk
+    light_idx = None
+    u_sel = sfn(ppid, sidx, 300, seed)
+    light_idx, sel_pmf = common.choose_light(scene, u_sel, None)
+    g = lights_mod.gather_lights(scene.lights, light_idx)
+    ap = lights_mod.gather_area_prim(scene, g.prim_id)
+    u_pos = jnp.stack([sfn(ppid, sidx, 301, seed),
+                       sfn(ppid, sidx, 302, seed)], -1)
+    p_tri, n_tri, ip_tri = shapes.sample_triangle(ap.v0, ap.v1, ap.v2,
+                                                  u_pos)
+    p_pln, n_pln, ip_pln = shapes.sample_aaplane(ap.lo, ap.hi, ap.ax,
+                                                 ap.facing, u_pos)
+    p_l = jnp.where(ap.is_pln[..., None], p_pln, p_tri)
+    n_l = jnp.where(ap.is_pln[..., None], n_pln, n_tri)
+    pdf_pos = jnp.where(ap.is_pln, ip_pln, ip_tri)
+    is_area = g.ltype == lights_mod.AREA
+    u_dir = jnp.stack([sfn(ppid, sidx, 303, seed),
+                       sfn(ppid, sidx, 304, seed)], -1)
+    d_loc = cosine_sample_hemisphere(u_dir)
+    t1, t2 = common.make_frame(n_l)
+    d_l = common.to_world(t1, t2, n_l, d_loc)
+    pdf_dir = jnp.maximum(d_loc[..., 2], 1e-6) * INV_PI
+    beta = g.emit * (absdot(d_l, n_l) / jnp.maximum(
+        sel_pmf * pdf_pos * pdf_dir, 1e-20))[..., None]
+    beta = jnp.where(is_area[..., None], beta, 0.0)
+    o_cur = vecmath.offset_ray_origin(p_l, n_l, d_l)
+    d_cur = d_l
+    active = is_area
+
+    phi = jnp.zeros((R, C))
+    m_cnt = jnp.zeros(R)
+
+    for b in range(max_depth):
+        hit = isect_mod.intersect(scene, o_cur, d_cur,
+                                  jnp.full(P, vecmath.INF))
+        active = active & hit.valid
+        # skip depositing at b==0 (direct illumination handled by NEE)
+        if b > 0:
+            pc = cell_id(hit.p)
+            start = jnp.searchsorted(entry_cell_s, pc, side="left")
+
+            def dep_body(k, carry):
+                phi, m_cnt = carry
+                e = jnp.clip(start + k, 0, entry_cell_s.shape[0] - 1)
+                same = entry_cell_s[e] == pc
+                vp = entry_vp_s[e]
+                d2 = jnp.sum((vps["p"][vp] - hit.p) ** 2, -1)
+                near = same & active & vps["valid"][vp] \
+                    & (d2 <= radius[vp] ** 2)
+                # f at the visible point toward the photon
+                mpv = mat_mod.gather_materials(scene.materials,
+                                               vps["mat"][vp])
+                t1v, t2v = common.make_frame(vps["ns"][vp])
+                wo_v = common.to_local(t1v, t2v, vps["ns"][vp],
+                                       vps["wo"][vp])
+                wi_v = common.to_local(t1v, t2v, vps["ns"][vp], -d_cur)
+                f_v = mat_mod.bsdf_f(mpv, wo_v, wi_v)
+                contrib = jnp.where(near[..., None], beta * f_v, 0.0)
+                phi = phi.at[vp].add(contrib)
+                m_cnt = m_cnt.at[vp].add(near.astype(jnp.float32))
+                return phi, m_cnt
+
+            phi, m_cnt = jax.lax.fori_loop(0, MAX_PER_CELL, dep_body,
+                                           (phi, m_cnt))
+
+        # continue photon (BSDF sampling with RR)
+        mp = mat_mod.gather_materials(
+            scene.materials,
+            scene.prim_mat[jnp.clip(hit.prim_id, 0, scene.n_prims - 1)])
+        t1p, t2p = common.make_frame(hit.ns)
+        wo = common.to_local(t1p, t2p, hit.ns, -d_cur)
+        u_cl = sfn(ppid, sidx, 310 + 4 * b, seed)
+        u_cu = jnp.stack([sfn(ppid, sidx, 311 + 4 * b, seed),
+                          sfn(ppid, sidx, 312 + 4 * b, seed)], -1)
+        wi_loc, f, pdf, _ = mat_mod.bsdf_sample(mp, wo, u_cl, u_cu)
+        wi = common.to_world(t1p, t2p, hit.ns, wi_loc)
+        thr = f * (absdot(wi, hit.ns) / jnp.maximum(pdf, 1e-20))[..., None]
+        beta_new = beta * thr
+        # RR (sppm.cpp photon pass)
+        q = jnp.maximum(0.0, 1.0 - jnp.max(beta_new, -1)
+                        / jnp.maximum(jnp.max(beta, -1), 1e-20))
+        u_rr = sfn(ppid, sidx, 313 + 4 * b, seed)
+        survive = u_rr >= q
+        beta = jnp.where(survive[..., None],
+                         beta_new / jnp.maximum(1 - q, 1e-6)[..., None],
+                         beta)
+        active = active & (pdf > 0) & survive \
+            & (jnp.max(beta, -1) > 0)
+        o_cur = vecmath.offset_ray_origin(hit.p, hit.ng, wi)
+        d_cur = wi
+    return phi, m_cnt
+
+
+def render_sppm(scene, cam, n_iterations=8, photons_per_iter=4096,
+                initial_radius=None, max_depth=5, seed=0):
+    """Full SPPM driver (SPPMIntegrator::Render)."""
+    res = np.asarray(cam.resolution)
+    width, height = int(res[0]), int(res[1])
+    R = width * height
+    C = scene.n_channels
+    wr = float(np.asarray(scene.world_radius()))
+    if initial_radius is None:
+        initial_radius = wr * 2.0 / max(width, height)
+    radius = jnp.full(R, initial_radius)
+    N = jnp.zeros(R)                       # accumulated photon count
+    tau = jnp.zeros((R, C))                # accumulated flux
+    L_direct_sum = jnp.zeros((R, C))
+    grid_lo = scene.world_lo
+    grid_hi = scene.world_hi
+
+    @jax.jit
+    def one_iter(it, radius, N, tau):
+        vps = _camera_pass(scene, cam, width, height, it, seed, max_depth)
+        phi, M = _photon_pass(scene, vps, radius, photons_per_iter, it,
+                              seed, max_depth, grid_lo, grid_hi)
+        phi = phi * vps["beta"]
+        has = M > 0
+        N_new = N + SPPM_ALPHA * M
+        ratio = jnp.where(has, N_new / jnp.maximum(N + M, 1e-6), 1.0)
+        r_new = radius * jnp.sqrt(ratio)
+        tau_new = (tau + phi) * ratio[..., None]
+        radius = jnp.where(has, r_new, radius)
+        N = jnp.where(has, N_new, N)
+        tau = jnp.where(has[..., None], tau_new, tau)
+        return radius, N, tau, vps["L_direct"]
+
+    for it in range(n_iterations):
+        radius, N, tau, L_dir = one_iter(it, radius, N, tau)
+        L_direct_sum = L_direct_sum + L_dir
+
+    n_total = n_iterations * photons_per_iter
+    L_indirect = tau / jnp.maximum(
+        n_total * jnp.pi * (radius ** 2)[..., None], 1e-20)
+    img = L_direct_sum / n_iterations + L_indirect
+    return img.reshape(height, width, C)

@@ -1,0 +1,164 @@
+"""Volumetric path tracing.
+
+TPU-native counterpart of ``integrators/volpath.cpp``: per segment the
+medium is sampled for a scattering event (volpath.cpp:55-79); medium
+interactions do NEE with transmittance-weighted visibility and continue by
+Henyey–Greenstein phase sampling; surface interactions behave like `path`.
+The scene-global camera medium model (scene/media.py) carries the
+capability; beta weights follow homogeneous.cpp/grid.cpp sampling pdfs.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from pbrt_tpu.core import vecmath
+from pbrt_tpu.core.sampling import power_heuristic
+from pbrt_tpu.core.vecmath import absdot
+from pbrt_tpu.integrators import common
+from pbrt_tpu.scene import intersect as isect_mod
+from pbrt_tpu.scene import lights as lights_mod
+from pbrt_tpu.scene import materials as mat_mod
+from pbrt_tpu.scene import media as media_mod
+
+Array = Any
+
+
+def li_volpath(scene, o, d, pid, sidx, sfn, cfg, power_distr):
+    med = getattr(scene, "camera_medium", None)
+    if med is None:
+        from pbrt_tpu.integrators.render import li_path
+        return li_path(scene, o, d, pid, sidx, sfn, cfg, power_distr)
+
+    from pbrt_tpu.integrators.render import _bounce_dims, _sample2
+    R = o.shape[0]
+    C = scene.n_channels
+    zero_r = o[..., 0] * 0.0
+    L = jnp.zeros((R, C)) + zero_r[..., None]
+    beta = jnp.ones((R, C)) + zero_r[..., None]
+    active = zero_r == 0.0
+    specular = zero_r == 0.0
+    o_cur, d_cur = o, d
+
+    def nee_from(p, ns_or_wo, is_medium, mp, wo_world, b, dims):
+        """NEE valid at both surface and medium vertices
+        (volpath.cpp handleMedia path in EstimateDirect)."""
+        u_sel = sfn(pid, sidx, dims["select"], cfg.seed)
+        u_l = _sample2(sfn, pid, sidx, dims["light_u"], cfg.seed)
+        light_idx, sel_pmf = common.choose_light(scene, u_sel, power_distr)
+        ls = lights_mod.sample_li(scene, light_idx, p, u_l)
+        # geometric visibility
+        offset_n = jnp.where(is_medium[..., None], ls["wi"], ns_or_wo)
+        vis = isect_mod.unoccluded(scene, p, offset_n, ls["p_light"])
+        # medium transmittance along the shadow ray (VisibilityTester::Tr)
+        tr = media_mod.transmittance(
+            med, p, ls["p_light"],
+            pid * jnp.uint32(2654435761) + jnp.uint32(b))
+        # scattering term
+        t1, t2 = common.make_frame(ns_or_wo)
+        wi_loc = common.to_local(t1, t2, ns_or_wo, ls["wi"])
+        wo_loc = common.to_local(t1, t2, ns_or_wo, wo_world)
+        f_surf = mat_mod.bsdf_f(mp, wo_loc, wi_loc) \
+            * absdot(ls["wi"], ns_or_wo)[..., None]
+        sp_surf = mat_mod.bsdf_pdf(mp, wo_loc, wi_loc)
+        cos_t = vecmath.dot(wo_world, ls["wi"])
+        ph = media_mod.hg_phase(cos_t, med.g)
+        f_med = jnp.broadcast_to(ph[..., None], (R, C))
+        f = jnp.where(is_medium[..., None], f_med, f_surf)
+        sp = jnp.where(is_medium, ph, sp_surf)
+        w = jnp.where(ls["is_delta"], 1.0,
+                      power_heuristic(1.0, ls["pdf"] * sel_pmf, 1.0, sp))
+        ld = f * ls["li"] * tr * (
+            w / jnp.maximum(ls["pdf"] * sel_pmf, 1e-20))[..., None]
+        return jnp.where((vis & (ls["pdf"] > 0))[..., None], ld, 0.0)
+
+    def body(b, state):
+        L, beta, active, specular, o_cur, d_cur = state
+        dims = _bounce_dims(b)
+        hit = isect_mod.intersect(scene, o_cur, d_cur,
+                                  jnp.full(R, vecmath.INF))
+        t_max = jnp.where(hit.valid, hit.t, 2.0 * scene.world_radius())
+
+        # ---- medium event sampling (volpath.cpp:55-66)
+        u_med = sfn(pid, sidx, dims["mis_lobe"], cfg.seed)
+        seed = pid * jnp.uint32(0x9e3779b9) + jnp.uint32(b)
+        t_m, in_medium, w_med, w_surf = media_mod.sample_distance(
+            med, o_cur, d_cur, t_max, u_med, seed)
+        beta = jnp.where(active[..., None],
+                         beta * jnp.where(in_medium[..., None], w_med,
+                                          w_surf), beta)
+        p_med = o_cur + t_m[..., None] * d_cur
+
+        # ---- emission on surface path (camera/specular only), attenuated
+        light_id = scene.prim_light[jnp.clip(hit.prim_id, 0,
+                                             scene.n_prims - 1)]
+        light_id = jnp.where(hit.valid, light_id, -1)
+        gl = lights_mod.gather_lights(scene.lights,
+                                      jnp.maximum(light_id, 0))
+        le = lights_mod.area_light_L(gl.emit, gl.two_sided, hit.ng, -d_cur)
+        le = jnp.where((light_id >= 0)[..., None], le, 0.0)
+        env = lights_mod.escaped_radiance(scene, d_cur)
+        emit = jnp.where(hit.valid[..., None], le, env)
+        take_emit = active & specular & ~in_medium
+        L = L + jnp.where(take_emit[..., None], beta * emit, 0.0)
+
+        mp = mat_mod.gather_materials(
+            scene.materials,
+            scene.prim_mat[jnp.clip(hit.prim_id, 0, scene.n_prims - 1)])
+
+        # ---- NEE from the actual vertex (medium point or surface point)
+        p_v = jnp.where(in_medium[..., None], p_med, hit.p)
+        ns_v = jnp.where(in_medium[..., None], -d_cur, hit.ns)
+        alive_v = active & (in_medium | hit.valid)
+        ld = nee_from(p_v, ns_v, in_medium, mp, -d_cur, b, dims)
+        L = L + jnp.where(alive_v[..., None], beta * ld, 0.0)
+
+        # ---- continuation: phase sample (medium) or BSDF sample (surface)
+        u_cl = sfn(pid, sidx, dims["cont_lobe"], cfg.seed)
+        u_cu = _sample2(sfn, pid, sidx, dims["cont_u"], cfg.seed)
+        # pbrt convention: wo points back along the incoming ray; forward
+        # scattering (g>0) then concentrates wi near -wo = d_cur
+        wi_med, _ = media_mod.sample_hg(-d_cur, u_cu, med.g)
+
+        t1, t2 = common.make_frame(hit.ns)
+        wo = common.to_local(t1, t2, hit.ns, -d_cur)
+        wi_loc, f, pdf, flags = mat_mod.bsdf_sample(mp, wo, u_cl, u_cu)
+        wi_surf = common.to_world(t1, t2, hit.ns, wi_loc)
+        thr_surf = f * (absdot(wi_surf, hit.ns)
+                        / jnp.maximum(pdf, 1e-20))[..., None]
+        is_spec = (flags & mat_mod.FLAG_SPECULAR) > 0
+
+        wi = jnp.where(in_medium[..., None], wi_med, wi_surf)
+        thr = jnp.where(in_medium[..., None], 1.0, thr_surf)  # HG: f/pdf=1
+        ok_surf = ~in_medium & hit.valid & (pdf > 0)
+        alive = active & (in_medium | ok_surf)
+        beta_new = beta * thr
+        alive = alive & (jnp.max(beta_new, -1) > 0) & (b < cfg.max_depth)
+
+        # russian roulette
+        rr_max = jnp.max(beta_new, -1)
+        q = jnp.maximum(0.05, 1.0 - rr_max)
+        u_rr = sfn(pid, sidx, dims["rr"], cfg.seed)
+        do_rr = (b > 3) & (rr_max < cfg.rr_threshold)
+        killed = do_rr & (u_rr < q)
+        beta_new = jnp.where((do_rr & ~killed)[..., None],
+                             beta_new / jnp.maximum(1 - q, 1e-6)[..., None],
+                             beta_new)
+        alive = alive & ~killed
+
+        o_next = jnp.where(
+            in_medium[..., None], p_med,
+            vecmath.offset_ray_origin(hit.p, hit.ng, wi))
+        beta = jnp.where(alive[..., None], beta_new, beta)
+        o_cur = jnp.where(alive[..., None], o_next, o_cur)
+        d_cur = jnp.where(alive[..., None], wi, d_cur)
+        specular = jnp.where(alive, is_spec & ~in_medium, specular)
+        active = alive
+        return (L, beta, active, specular, o_cur, d_cur)
+
+    state = (L, beta, active, specular, o_cur, d_cur)
+    state = jax.lax.fori_loop(0, cfg.max_depth + 1, body, state)
+    return state[0]

@@ -48,7 +48,9 @@ class FlatBVH:
 
 def build_bvh(builder, scene) -> FlatBVH:
     """Binned-SAH build (BVHAccel::recursiveBuild with SAH splitMethod,
-    bvh.cpp:203+), iterative with an explicit stack; flattened directly."""
+    bvh.cpp:203+), iterative with an explicit stack; flattened directly.
+    Uses the native C++ builder (pbrt_tpu/native/bvh_builder.cpp) when
+    available, else the numpy fallback below."""
     v0 = np.asarray(scene.geom.tri_v0)[:scene.n_tri]
     v1 = np.asarray(scene.geom.tri_v1)[:scene.n_tri]
     v2 = np.asarray(scene.geom.tri_v2)[:scene.n_tri]
@@ -56,6 +58,17 @@ def build_bvh(builder, scene) -> FlatBVH:
     lo_p = np.minimum(np.minimum(v0, v1), v2)
     hi_p = np.maximum(np.maximum(v0, v1), v2)
     cent = 0.5 * (lo_p + hi_p)
+
+    native = _build_native(lo_p, hi_p)
+    if native is not None:
+        lo_a, hi_a, right_a, count_a, axis_a, order = native
+        return FlatBVH(
+            lo=jnp.asarray(lo_a), hi=jnp.asarray(hi_a),
+            right=jnp.asarray(right_a), count=jnp.asarray(count_a),
+            axis=jnp.asarray(axis_a),
+            prim_order=jnp.asarray(order, jnp.int32),
+            v0=jnp.asarray(v0[order]), v1=jnp.asarray(v1[order]),
+            v2=jnp.asarray(v2[order]))
 
     order = np.arange(n)
     nodes = []  # dicts: lo, hi, right, count, axis, offset
@@ -130,6 +143,39 @@ def build_bvh(builder, scene) -> FlatBVH:
         axis=jnp.asarray(axis_a), prim_order=jnp.asarray(order, jnp.int32),
         v0=jnp.asarray(v0[order]), v1=jnp.asarray(v1[order]),
         v2=jnp.asarray(v2[order]))
+
+
+def _build_native(lo_p: np.ndarray, hi_p: np.ndarray):
+    """Call the C++ SAH builder; None if the native lib is unavailable."""
+    import ctypes
+
+    from pbrt_tpu import native
+
+    lib = native.load()
+    if lib is None:
+        return None
+    n = lo_p.shape[0]
+    cap = 2 * max(n, 1)
+    lo_c = np.ascontiguousarray(lo_p, np.float32)
+    hi_c = np.ascontiguousarray(hi_p, np.float32)
+    node_lo = np.empty((cap, 3), np.float32)
+    node_hi = np.empty((cap, 3), np.float32)
+    right = np.empty(cap, np.int32)
+    count = np.empty(cap, np.int32)
+    axis = np.empty(cap, np.int32)
+    order = np.empty(n, np.int32)
+    fp = ctypes.POINTER(ctypes.c_float)
+    ip = ctypes.POINTER(ctypes.c_int)
+    nn = lib.bvh_build_sah(
+        lo_c.ctypes.data_as(fp), hi_c.ctypes.data_as(fp),
+        ctypes.c_int(n), ctypes.c_int(LEAF_MAX),
+        node_lo.ctypes.data_as(fp), node_hi.ctypes.data_as(fp),
+        right.ctypes.data_as(ip), count.ctypes.data_as(ip),
+        axis.ctypes.data_as(ip), order.ctypes.data_as(ip))
+    if nn <= 0:
+        return None
+    return (node_lo[:nn], node_hi[:nn], right[:nn], count[:nn], axis[:nn],
+            order)
 
 
 # ---------------------------------------------------------------------------

@@ -149,6 +149,19 @@ def generate_rays(cam: Camera, p_film: Array, u_lens: Array,
     return ray
 
 
+def camera_pdf_dir(cam: Camera, ray_d_world: Array) -> Array:
+    """Directional density of GenerateRay for a perspective camera:
+    p(ω) = 1/(A·cos³θ) with A the screen area at z=1
+    (PerspectiveCamera::Pdf_We, cameras/perspective.cpp:158-176)."""
+    w2c = cam.cam_to_world.inverse()
+    d_cam = w2c.apply_vector(ray_d_world)
+    cos_theta = jnp.maximum(
+        d_cam[..., 2] / jnp.maximum(vecmath.length(d_cam), 1e-9), 1e-4)
+    area = ((cam.screen_max[0] - cam.screen_min[0]) * cam.fov_scale
+            * (cam.screen_max[1] - cam.screen_min[1]) * cam.fov_scale)
+    return 1.0 / (area * cos_theta ** 3)
+
+
 def camera_we(cam: Camera, ray_o: Array, ray_d: Array):
     """Importance We(ray) + raster position (perspective.cpp:120-155).
     Returns (we (R,), p_raster (R,2), valid (R,)). Perspective only."""

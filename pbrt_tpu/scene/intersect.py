@@ -30,11 +30,30 @@ Array = Any
 BIG = 1e30
 
 
+def _use_pallas(scene) -> bool:
+    import os
+
+    import jax
+
+    if os.environ.get("PBRT_TPU_NO_PALLAS"):
+        return False
+    return (jax.default_backend() not in ("cpu",)
+            and scene.bvh is None and scene.n_dsk == 0
+            and scene.n_prims <= 4096)
+
+
 def intersect(scene, o: Array, d: Array, tmax: Array) -> Hit:
     """Closest-hit query. o,d: (R,3); tmax: (R,). Returns Hit (R,...)."""
     if scene.bvh is not None:
         from pbrt_tpu.scene import bvh as bvh_mod
         return bvh_mod.intersect_bvh(scene, o, d, tmax)
+    if _use_pallas(scene):
+        from pbrt_tpu.ops import intersect_pallas as ip
+        tri, sph, pln = ip.pack_scene(scene)
+        t, prim = ip.intersect_brute_pallas(
+            tri, sph, pln, o, d, tmax, scene.n_tri, scene.n_sph,
+            scene.n_pln)
+        return finalize_hit(scene, o, d, t, prim)
     return _intersect_brute(scene, o, d, tmax)
 
 
@@ -43,6 +62,13 @@ def intersect_p(scene, o: Array, d: Array, tmax: Array) -> Array:
     if scene.bvh is not None:
         from pbrt_tpu.scene import bvh as bvh_mod
         return bvh_mod.intersect_p_bvh(scene, o, d, tmax)
+    if _use_pallas(scene):
+        from pbrt_tpu.ops import intersect_pallas as ip
+        tri, sph, pln = ip.pack_scene(scene)
+        _, prim = ip.intersect_brute_pallas(
+            tri, sph, pln, o, d, tmax, scene.n_tri, scene.n_sph,
+            scene.n_pln)
+        return prim >= 0
     return _intersect_p_brute(scene, o, d, tmax)
 
 
@@ -109,7 +135,9 @@ def finalize_hit(scene, o, d, t, prim_id, results=None) -> Hit:
     g = scene.geom
     R = o.shape[0]
     valid = prim_id >= 0
-    p = o + t[..., None] * d
+    # park missed rays at their origin: a t of BIG would overflow squared
+    # distances downstream (inf → NaN in masked-lane gradients)
+    p = o + jnp.where(valid, t, 0.0)[..., None] * d
     ng = jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0]), (R, 3))
     ns = ng
     uv = jnp.zeros((R, 2))

@@ -106,6 +106,14 @@ def build_light_table(builder, scene) -> LightTable:
     p_fw = np.zeros((L, MAXP), bool)
     env_map = np.zeros((1, 1, C), np.float32)
 
+    def resolve_prim(pr):
+        """prim may be a resolved global index or a deferred
+        (family, local_idx) pair — family offsets only settle once parsing
+        finishes, so resolution happens here at build time."""
+        if isinstance(pr, tuple):
+            return builder.prim_index(*pr)
+        return int(pr)
+
     for i, r in enumerate(rows):
         ltype[i] = tmap[r.get("type", "point")]
         e = np.asarray(r.get("L", r.get("I", np.ones(C))), np.float32)
@@ -119,7 +127,7 @@ def build_light_table(builder, scene) -> LightTable:
             delta = float(r.get("cone_delta", 5.0))
             cos_total[i] = np.cos(np.radians(ang))
             cos_falloff[i] = np.cos(np.radians(ang - delta))
-        prim_id[i] = int(r.get("prim", -1))
+        prim_id[i] = resolve_prim(r.get("prim", -1))
         two_sided[i] = bool(r.get("two_sided", False))
         strategy[i] = smap[r.get("strategy", "light")]
         portals = r.get("portals", [])
@@ -413,6 +421,26 @@ def pdf_li(scene, light_idx: Array, ref_p: Array, wi: Array) -> Array:
     pdf = jnp.where(g.ltype == AREA, pdf_area,
                     jnp.where(g.ltype == INFINITE, pdf_inf, 0.0))
     return pdf
+
+
+def infinite_pdf_li(scene, d: Array) -> Array:
+    """Solid-angle pdf of the infinite light's Sample_Li for direction d,
+    already multiplied by the uniform light-selection pmf
+    (InfiniteAreaLight::Pdf_Li, lights/infinite.cpp:142-152)."""
+    lt = scene.lights
+    has_inf = jnp.any(lt.ltype == INFINITE)
+    const_env = lt.env_map.shape[0] * lt.env_map.shape[1] == 1
+    if const_env:
+        pdf = jnp.full(d.shape[:-1], INV_4PI)
+    else:
+        theta = jnp.arccos(jnp.clip(d[..., 1], -1, 1))
+        phi = jnp.arctan2(d[..., 2], d[..., 0])
+        phi = jnp.where(phi < 0, phi + 2 * jnp.pi, phi)
+        uv = jnp.stack([phi / (2 * jnp.pi), theta / jnp.pi], axis=-1)
+        sin_t = jnp.maximum(jnp.sin(theta), 1e-6)
+        pdf = distribution_2d_pdf(lt.env_distr, uv) \
+            / (2.0 * jnp.pi * jnp.pi * sin_t)
+    return jnp.where(has_inf, pdf / lt.n, 0.0)
 
 
 def env_radiance(lt: LightTable, d: Array) -> Array:

@@ -44,6 +44,7 @@ UBER = 6
 SUBSTRATE = 7
 TRANSLUCENT = 8
 NONE = 9          # medium interface / null material → pass-through
+DISNEY = 10
 
 # sampled-lobe flags (BxDFType analogue, reflection.h:70-80)
 FLAG_SPECULAR = 1
@@ -66,6 +67,13 @@ class MaterialTable:
     sigma: Array       # (M,) Oren–Nayar sigma (degrees)
     cauchy_b: Array    # (M,) dispersive glass: eta(λ)=B + C/λ², λ in µm
     cauchy_c: Array    # (M,)
+    # disney principled parameters (materials/disney.cpp)
+    metallic: Array        # (M,)
+    spec_tint: Array       # (M,)
+    sheen: Array           # (M,)
+    sheen_tint: Array      # (M,)
+    clearcoat: Array       # (M,)
+    clearcoat_gloss: Array  # (M,)
     # texture hooks (−1 = constant): resolved by scene/textures.py
     kd_tex: Array      # (M,) int32
     sigma_tex: Array   # (M,) int32
@@ -90,10 +98,18 @@ def make_material_table(rows: list[dict], n_channels: int) -> MaterialTable:
         eta=jnp.asarray(f("eta", 1.5)),
         metal_eta=jnp.asarray(fc("metal_eta", 0.2)),
         metal_k=jnp.asarray(fc("metal_k", 3.9)),
-        roughness=jnp.asarray(f("roughness", 0.1)),
+        # default 0 = smooth (glass.cpp's default); metal/plastic set their
+        # own nonzero defaults at creation (parser/_make_material)
+        roughness=jnp.asarray(f("roughness", 0.0)),
         sigma=jnp.asarray(f("sigma", 0.0)),
         cauchy_b=jnp.asarray(f("cauchy_b", 1.5)),
         cauchy_c=jnp.asarray(f("cauchy_c", 0.0)),
+        metallic=jnp.asarray(f("metallic", 0.0)),
+        spec_tint=jnp.asarray(f("spec_tint", 0.0)),
+        sheen=jnp.asarray(f("sheen", 0.0)),
+        sheen_tint=jnp.asarray(f("sheen_tint", 0.5)),
+        clearcoat=jnp.asarray(f("clearcoat", 0.0)),
+        clearcoat_gloss=jnp.asarray(f("clearcoat_gloss", 1.0)),
         kd_tex=jnp.asarray(i32("kd_tex", -1)),
         sigma_tex=jnp.asarray(i32("sigma_tex", -1)),
         bump_tex=jnp.asarray(i32("bump_tex", -1)),
@@ -288,6 +304,80 @@ def _microfacet_reflection_pdf(alpha, wo, wi):
     return jnp.where(same_hemisphere(wo, wi), pdf, 0.0)
 
 
+def _pow5(x):
+    return x * x * x * x * x
+
+
+def _disney_f(mp: MaterialTable, kd, wo, wi):
+    """Disney principled BRDF, reflection lobes (materials/disney.cpp):
+    diffuse + retro-reflection + sheen + GGX specular with
+    metallic/specTint fresnel + GTR1 clearcoat. specTrans/anisotropy in a
+    later round."""
+    C = kd.shape[-1]
+    co = abs_cos_theta(wo)
+    ci = abs_cos_theta(wi)
+    wh = wo + wi
+    wh_ok = vecmath.length_squared(wh) > 1e-12
+    wh = vecmath.normalize(wh)
+    cos_d = vecmath.dot(wi, wh)
+
+    lum = jnp.sum(kd, axis=-1) / C
+    tint = kd / jnp.maximum(lum, 1e-6)[..., None]
+
+    fo = _pow5(1.0 - co)
+    fi = _pow5(1.0 - ci)
+    base_diff = kd * (INV_PI * (1.0 - 0.5 * fo) * (1.0 - 0.5 * fi)
+                      )[..., None]
+    rr = 2.0 * mp.roughness * cos_d * cos_d
+    retro = kd * (INV_PI * rr * (fo + fi + fo * fi * (rr - 1.0))
+                  )[..., None]
+    csheen = (1.0 - mp.sheen_tint)[..., None] + mp.sheen_tint[..., None] \
+        * tint
+    sheen = mp.sheen[..., None] * csheen * _pow5(1.0 - jnp.abs(cos_d)
+                                                 )[..., None]
+    diffuse_part = ((1.0 - mp.metallic)[..., None]
+                    * (base_diff + retro + sheen))
+
+    # specular: GGX with disney fresnel
+    alpha = _mat_alpha(mp)
+    r0 = ((mp.eta - 1.0) / (mp.eta + 1.0)) ** 2
+    cspec0 = ((1.0 - mp.metallic)[..., None]
+              * r0[..., None] * ((1.0 - mp.spec_tint)[..., None]
+                                 + mp.spec_tint[..., None] * tint)
+              + mp.metallic[..., None] * kd)
+    f_spec_fres = cspec0 + (1.0 - cspec0) * _pow5(
+        1.0 - jnp.abs(cos_d))[..., None]
+    spec = (tr_d(wh, alpha) * tr_g(wo, wi, alpha)
+            / jnp.maximum(4.0 * ci * co, 1e-6))[..., None] * f_spec_fres
+
+    # clearcoat: GTR1 + fixed schlick(0.04) + smith G(0.25)
+    a_cc = (1.0 - mp.clearcoat_gloss) * 0.1 + mp.clearcoat_gloss * 0.001
+    a2 = a_cc * a_cc
+    c2 = wh[..., 2] ** 2
+    d_cc = (a2 - 1.0) / jnp.maximum(
+        jnp.pi * jnp.log(jnp.maximum(a2, 1e-9)) * (1.0 + (a2 - 1.0) * c2),
+        1e-9)
+    f_cc = 0.04 + 0.96 * _pow5(1.0 - jnp.abs(cos_d))
+    g_cc = tr_g(wo, wi, jnp.full_like(a_cc, 0.25))
+    cc = (0.25 * mp.clearcoat * d_cc * f_cc * g_cc
+          / jnp.maximum(4.0 * ci * co, 1e-6))[..., None] \
+        * jnp.ones((1, C))
+
+    out = diffuse_part + spec + cc
+    ok = same_hemisphere(wo, wi) & wh_ok
+    return jnp.where(ok[..., None], out, 0.0)
+
+
+def _disney_pdf(mp: MaterialTable, wo, wi):
+    """pdf matching _disney_sample's lobe mixture."""
+    p_diff = 0.5 * (1.0 - mp.metallic)
+    alpha = _mat_alpha(mp)
+    cos_pdf = jnp.where(same_hemisphere(wo, wi),
+                        abs_cos_theta(wi) * INV_PI, 0.0)
+    mf_pdf = _microfacet_reflection_pdf(alpha, wo, wi)
+    return p_diff * cos_pdf + (1.0 - p_diff) * mf_pdf
+
+
 @dataclasses.dataclass
 class LobeMix:
     """Per-ray description of the effective BSDF as a mixture of primitive
@@ -379,6 +469,8 @@ def bsdf_f(mp: MaterialTable, wo: Array, wi: Array, kd_override=None
     out = jnp.where((t == SUBSTRATE)[..., None], substrate_f, out)
     out = jnp.where((t == TRANSLUCENT)[..., None], trans_f, out)
     out = jnp.where(glass_rough[..., None], rough_glass_f, out)
+    out = jnp.where((t == DISNEY)[..., None], _disney_f(mp, kd, wo, wi),
+                    out)
     # MIRROR / smooth GLASS / DISPERSIVE_GLASS are pure-delta: f = 0
     return out
 
@@ -401,6 +493,7 @@ def bsdf_pdf(mp: MaterialTable, wo: Array, wi: Array) -> Array:
     out = jnp.where(t == METAL, mf_pdf, out)
     out = jnp.where(t == TRANSLUCENT, trans_pdf, out)
     out = jnp.where(glass_rough, mf_pdf, out)
+    out = jnp.where(t == DISNEY, _disney_pdf(mp, wo, wi), out)
     return out
 
 
@@ -489,6 +582,16 @@ def bsdf_sample(mp: MaterialTable, wo: Array, u_lobe: Array, u: Array,
     f_tr = bsdf_f(mp, wo, wi_tr, kd_override=kd)
     pdf_tr = 0.5 * abs_cos_theta(wi_tr) * INV_PI
 
+    # DISNEY: lobe choice metallic-weighted (diffuse vs GGX specular)
+    p_diff_dis = 0.5 * (1.0 - mp.metallic)
+    pick_spec_dis = u_lobe >= p_diff_dis
+    wi_dis = jnp.where(pick_spec_dis[..., None], wi_mf, wi_cos)
+    dis_ok = same_hemisphere(wo, wi_dis)
+    f_dis = _disney_f(mp, kd, wo, wi_dis)
+    pdf_dis = _disney_pdf(mp, wo, wi_dis)
+    f_dis = jnp.where(dis_ok[..., None], f_dis, 0.0)
+    pdf_dis = jnp.where(dis_ok, pdf_dis, 0.0)
+
     # rough glass behaves like metal-style microfacet reflection (placeholder
     # for rough transmission, milestone: volumes round)
     glass_rough = (t == GLASS) & (mp.roughness > 1e-3)
@@ -510,14 +613,16 @@ def bsdf_sample(mp: MaterialTable, wo: Array, u_lobe: Array, u: Array,
               ((t == MIRROR), wi_mirror),
               (((t == GLASS) & ~glass_rough) | (t == DISPERSIVE_GLASS),
                wi_glass),
-              ((t == TRANSLUCENT), wi_tr)], wi_cos)
+              ((t == TRANSLUCENT), wi_tr),
+              ((t == DISNEY), wi_dis)], wi_cos)
     f = sel([((t == MATTE), f_matte),
              ((t == PLASTIC) | (t == UBER) | (t == SUBSTRATE), f_pl),
              ((t == METAL) | glass_rough, f_metal),
              ((t == MIRROR), f_mirror),
              (((t == GLASS) & ~glass_rough) | (t == DISPERSIVE_GLASS),
               f_glass),
-             ((t == TRANSLUCENT), f_tr)], zeroC)
+             ((t == TRANSLUCENT), f_tr),
+             ((t == DISNEY), f_dis)], zeroC)
     pdf = sel([((t == MATTE), pdf_matte[..., None]),
                ((t == PLASTIC) | (t == UBER) | (t == SUBSTRATE),
                 pdf_pl[..., None]),
@@ -525,7 +630,8 @@ def bsdf_sample(mp: MaterialTable, wo: Array, u_lobe: Array, u: Array,
                ((t == MIRROR), jnp.ones(R + (1,))),
                (((t == GLASS) & ~glass_rough) | (t == DISPERSIVE_GLASS),
                 pdf_glass[..., None]),
-               ((t == TRANSLUCENT), pdf_tr[..., None])],
+               ((t == TRANSLUCENT), pdf_tr[..., None]),
+               ((t == DISNEY), pdf_dis[..., None])],
               pdf_matte[..., None])[..., 0]
 
     is_specular = ((t == MIRROR) | ((t == GLASS) & ~glass_rough)

@@ -1,0 +1,262 @@
+"""Textures: constant, scale, mix, checkerboard, uv, dots, bilerp,
+imagemap, and Perlin-noise textures (fbm, wrinkled, windy, marble).
+
+TPU-native counterpart of ``src/textures/`` + Texture<T>/MIPMap
+(core/texture.{h,cpp}, core/mipmap.h). Textures are rows of an SoA table
+evaluated branchlessly at shading points; image maps live in one padded
+image stack (bilinear lookups; EWA/mipmap chains in a later round —
+imagemap.cpp:191/MIPMap trilinear is approximated by bilinear at level 0).
+Perlin noise follows pbrt's Noise() permutation-hash construction
+(texture.cpp:316-380) with a pcg-hash lattice instead of the static table.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pbrt_tpu.core import rng as rng_mod
+
+Array = Any
+
+CONSTANT = 0
+SCALE = 1
+MIX = 2
+CHECKERBOARD = 3
+UV = 4
+DOTS = 5
+BILERP = 6
+IMAGEMAP = 7
+FBM = 8
+WRINKLED = 9
+WINDY = 10
+MARBLE = 11
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class TextureTable:
+    ttype: Array     # (T,)
+    v1: Array        # (T,C) tex1 / constant value
+    v2: Array        # (T,C) tex2
+    uv_scale: Array  # (T,2)
+    uv_delta: Array  # (T,2)
+    img_id: Array    # (T,)
+    octaves: Array   # (T,) fbm octaves
+    omega: Array     # (T,) fbm roughness
+    scale3d: Array   # (T,) 3D noise frequency
+    images: Array    # (N, Hm, Wm, C) padded stack
+    img_wh: Array    # (N, 2)
+
+
+def make_texture_table(rows, images, n_channels) -> TextureTable:
+    """rows: dicts(type, v1, v2, uscale, vscale, udelta, vdelta, img,
+    octaves, omega, scale3d); images: list of (H,W,C) arrays."""
+    t = max(1, len(rows))
+    f = lambda k, d: np.asarray([r.get(k, d) for r in rows] or [d],
+                                np.float32)
+    fc = lambda k, d: np.asarray(
+        [np.broadcast_to(np.asarray(r.get(k, d), np.float32),
+                         (n_channels,)) for r in rows]
+        or [np.full(n_channels, d, np.float32)], np.float32)
+    if images:
+        hm = max(im.shape[0] for im in images)
+        wm = max(im.shape[1] for im in images)
+        stack = np.zeros((len(images), hm, wm, n_channels), np.float32)
+        wh = np.zeros((len(images), 2), np.int32)
+        for i, im in enumerate(images):
+            stack[i, :im.shape[0], :im.shape[1]] = im
+            wh[i] = (im.shape[1], im.shape[0])
+    else:
+        stack = np.zeros((1, 1, 1, n_channels), np.float32)
+        wh = np.ones((1, 2), np.int32)
+    return TextureTable(
+        ttype=jnp.asarray(
+            np.asarray([r.get("type", CONSTANT) for r in rows] or [0],
+                       np.int32)),
+        v1=jnp.asarray(fc("v1", 1.0)), v2=jnp.asarray(fc("v2", 0.0)),
+        uv_scale=jnp.asarray(np.stack([f("uscale", 1.0), f("vscale", 1.0)],
+                                      -1)),
+        uv_delta=jnp.asarray(np.stack([f("udelta", 0.0), f("vdelta", 0.0)],
+                                      -1)),
+        img_id=jnp.asarray(np.asarray([r.get("img", 0) for r in rows]
+                                      or [0], np.int32)),
+        octaves=jnp.asarray(f("octaves", 6.0)),
+        omega=jnp.asarray(f("omega", 0.5)),
+        scale3d=jnp.asarray(f("scale3d", 1.0)),
+        images=jnp.asarray(stack), img_wh=jnp.asarray(wh))
+
+
+# ---------------------------------------------------------------------------
+# Perlin-style gradient noise (texture.cpp Noise(), hash-lattice variant)
+# ---------------------------------------------------------------------------
+
+def _grad(ix, iy, iz, dx, dy, dz):
+    h = rng_mod.hash_u32(ix.astype(jnp.uint32),
+                         iy.astype(jnp.uint32),
+                         iz.astype(jnp.uint32), 1337) & jnp.uint32(15)
+    u = jnp.where(h < 8, dx, dy)
+    v = jnp.where(h < 4, dy, jnp.where((h == 12) | (h == 14), dx, dz))
+    return (jnp.where(h & 1, -u, u) + jnp.where(h & 2, -v, v))
+
+
+def noise3(p: Array) -> Array:
+    """Gradient noise in [-1,1], batched over (...,3)."""
+    pi = jnp.floor(p)
+    pf = p - pi
+    ix, iy, iz = (pi[..., 0].astype(jnp.int32), pi[..., 1].astype(jnp.int32),
+                  pi[..., 2].astype(jnp.int32))
+    dx, dy, dz = pf[..., 0], pf[..., 1], pf[..., 2]
+    w = pf * pf * pf * (pf * (pf * 6.0 - 15.0) + 10.0)  # smootherstep
+
+    def g(ox, oy, oz):
+        return _grad(ix + ox, iy + oy, iz + oz, dx - ox, dy - oy, dz - oz)
+
+    x00 = g(0, 0, 0) * (1 - w[..., 0]) + g(1, 0, 0) * w[..., 0]
+    x10 = g(0, 1, 0) * (1 - w[..., 0]) + g(1, 1, 0) * w[..., 0]
+    x01 = g(0, 0, 1) * (1 - w[..., 0]) + g(1, 0, 1) * w[..., 0]
+    x11 = g(0, 1, 1) * (1 - w[..., 0]) + g(1, 1, 1) * w[..., 0]
+    y0 = x00 * (1 - w[..., 1]) + x10 * w[..., 1]
+    y1 = x01 * (1 - w[..., 1]) + x11 * w[..., 1]
+    return y0 * (1 - w[..., 2]) + y1 * w[..., 2]
+
+
+def fbm(p: Array, octaves: Array, omega: Array, max_oct: int = 8) -> Array:
+    out = jnp.zeros(p.shape[:-1])
+    lam = jnp.ones(p.shape[:-1])
+    o = jnp.ones(p.shape[:-1])
+    for i in range(max_oct):
+        use = i < octaves
+        out = out + jnp.where(use, o * noise3(p * lam[..., None]), 0.0)
+        lam = lam * 1.99
+        o = o * omega
+    return out
+
+
+def turbulence(p: Array, octaves: Array, omega: Array, max_oct: int = 8
+               ) -> Array:
+    out = jnp.zeros(p.shape[:-1])
+    lam = jnp.ones(p.shape[:-1])
+    o = jnp.ones(p.shape[:-1])
+    for i in range(max_oct):
+        use = i < octaves
+        out = out + jnp.where(use,
+                              o * jnp.abs(noise3(p * lam[..., None])), 0.0)
+        lam = lam * 1.99
+        o = o * omega
+    return out
+
+
+# ---------------------------------------------------------------------------
+# evaluation
+# ---------------------------------------------------------------------------
+
+def _bilinear_image(tt: TextureTable, img_id, uv):
+    wh = tt.img_wh[img_id].astype(jnp.float32)
+    x = uv[..., 0] * wh[..., 0] - 0.5
+    y = (1.0 - uv[..., 1]) * wh[..., 1] - 0.5
+    x0 = jnp.floor(x).astype(jnp.int32)
+    y0 = jnp.floor(y).astype(jnp.int32)
+    fx = (x - x0)[..., None]
+    fy = (y - y0)[..., None]
+    wmax = tt.images.shape[2] - 1
+    hmax = tt.images.shape[1] - 1
+    wlim = tt.img_wh[img_id][..., 0] - 1
+    hlim = tt.img_wh[img_id][..., 1] - 1
+
+    def tap(ox, oy):
+        xi = jnp.clip(jnp.clip(x0 + ox, 0, wlim), 0, wmax)
+        yi = jnp.clip(jnp.clip(y0 + oy, 0, hlim), 0, hmax)
+        return tt.images[img_id, yi, xi]
+
+    return ((tap(0, 0) * (1 - fx) + tap(1, 0) * fx) * (1 - fy)
+            + (tap(0, 1) * (1 - fx) + tap(1, 1) * fx) * fy)
+
+
+def eval_texture(tt: TextureTable, tex_id: Array, uv: Array, p: Array
+                 ) -> Array:
+    """Evaluate texture rows tex_id (R,) at uv (R,2) / world p (R,3) →
+    (R,C). Nested texture references resolve one level (scale/mix take
+    constant operands, as the shipped scenes use)."""
+    tid = jnp.clip(tex_id, 0, tt.ttype.shape[0] - 1)
+    t = tt.ttype[tid]
+    v1 = tt.v1[tid]
+    v2 = tt.v2[tid]
+    st = uv * tt.uv_scale[tid] + tt.uv_delta[tid]
+    C = v1.shape[-1]
+
+    out = v1  # CONSTANT
+
+    # checkerboard (textures/checkerboard.cpp 2D)
+    check = ((jnp.floor(st[..., 0]) + jnp.floor(st[..., 1])).astype(
+        jnp.int32) % 2) == 0
+    out = jnp.where((t == CHECKERBOARD)[..., None],
+                    jnp.where(check[..., None], v1, v2), out)
+
+    # uv debug texture
+    uvc = jnp.zeros_like(v1)
+    uvc = uvc.at[..., 0].set(st[..., 0] - jnp.floor(st[..., 0]))
+    if C > 1:
+        uvc = uvc.at[..., 1].set(st[..., 1] - jnp.floor(st[..., 1]))
+    out = jnp.where((t == UV)[..., None], uvc, out)
+
+    # polka dots (textures/dots.cpp)
+    cell = jnp.floor(st + 0.5)
+    rcenter = jnp.stack(
+        [rng_mod.uniform(cell[..., 0].astype(jnp.uint32)
+                         + cell[..., 1].astype(jnp.uint32) * 9973, 0, 21),
+         rng_mod.uniform(cell[..., 0].astype(jnp.uint32)
+                         + cell[..., 1].astype(jnp.uint32) * 9973, 0, 22)],
+        -1) * 0.7 - 0.35
+    in_dot = jnp.sum((st - cell - rcenter) ** 2, -1) < 0.0625
+    out = jnp.where((t == DOTS)[..., None],
+                    jnp.where(in_dot[..., None], v1, v2), out)
+
+    # bilerp (textures/bilerp.cpp): corners v00=v1, v11=v2, cross mix
+    u_, v_ = st[..., 0:1], st[..., 1:2]
+    bl = (1 - u_) * (1 - v_) * v1 + u_ * v_ * v2 \
+        + (u_ * (1 - v_) + (1 - u_) * v_) * 0.5 * (v1 + v2)
+    out = jnp.where((t == BILERP)[..., None], bl, out)
+
+    # image map
+    img = _bilinear_image(tt, tt.img_id[tid], st - jnp.floor(st))
+    out = jnp.where((t == IMAGEMAP)[..., None], img * v1, out)
+
+    # noise textures over world position (textures/{fbm,wrinkled,windy,
+    # marble}.cpp)
+    p3 = p * tt.scale3d[tid][..., None]
+    f = fbm(p3, tt.octaves[tid], tt.omega[tid])
+    out = jnp.where((t == FBM)[..., None], v1 * f[..., None], out)
+    w = turbulence(p3, tt.octaves[tid], tt.omega[tid])
+    out = jnp.where((t == WRINKLED)[..., None], v1 * w[..., None], out)
+    windy = (jnp.abs(fbm(p3 * 0.1, jnp.full_like(tt.octaves[tid], 3.0),
+                         tt.omega[tid]))
+             * fbm(p3, jnp.full_like(tt.octaves[tid], 6.0),
+                   tt.omega[tid]))
+    out = jnp.where((t == WINDY)[..., None], v1 * windy[..., None], out)
+    # marble: sin-warped fbm mapped through a two-color ramp
+    marble_t = 0.5 * (1.0 + jnp.sin(
+        p3[..., 1] + 4.0 * turbulence(p3, tt.octaves[tid], tt.omega[tid])))
+    out = jnp.where((t == MARBLE)[..., None],
+                    v1 * marble_t[..., None]
+                    + v2 * (1 - marble_t[..., None]), out)
+
+    # scale / mix with constant operands
+    out = jnp.where((t == SCALE)[..., None], v1 * v2, out)
+    amt = tt.omega[tid][..., None]  # mix amount stored in omega slot
+    out = jnp.where((t == MIX)[..., None], (1 - amt) * v1 + amt * v2, out)
+    return out
+
+
+def resolve_kd(scene, mp, hit) -> Array:
+    """kd with texture override: materials.kd_tex ≥ 0 → texture lookup."""
+    tt = getattr(scene, "textures", None)
+    if tt is None:
+        return mp.kd
+    has_tex = mp.kd_tex >= 0
+    tex_val = eval_texture(tt, jnp.maximum(mp.kd_tex, 0), hit.uv, hit.p)
+    return jnp.where(has_tex[..., None], tex_val, mp.kd)

@@ -73,6 +73,8 @@ class Scene:
     world_lo: Array     # (3,) scene bounds
     world_hi: Array     # (3,)
     bvh: Optional[Any]  # scene/bvh.py FlatBVH or None
+    camera_medium: Optional[Any]  # scene/media.py Medium or None
+    textures: Optional[Any]  # scene/textures.py TextureTable or None
     n_tri: int = dataclasses.field(metadata=dict(static=True))
     n_sph: int = dataclasses.field(metadata=dict(static=True))
     n_pln: int = dataclasses.field(metadata=dict(static=True))
@@ -103,6 +105,22 @@ class SceneBuilder:
         self.disks = []       # center normal radius inner mat light
         self.materials = []   # parameter dicts (scene/materials.py)
         self.light_rows = []  # parameter dicts (scene/lights.py)
+        self.texture_rows = []  # parameter dicts (scene/textures.py)
+        self.images = []      # (H,W,C) numpy arrays for imagemap textures
+
+    def add_texture(self, **params) -> int:
+        for key in ("v1", "v2"):
+            if key in params:
+                params[key] = self._to_spec(params[key])
+        self.texture_rows.append(params)
+        return len(self.texture_rows) - 1
+
+    def add_image(self, img) -> int:
+        img = np.asarray(img, np.float32)
+        if img.shape[-1] == 3 and self.cfg.n_channels != 3:
+            img = np.asarray(spec_mod.from_rgb(jnp.asarray(img), self.cfg))
+        self.images.append(img)
+        return len(self.images) - 1
 
     # -- materials ---------------------------------------------------------
     def add_material(self, **params) -> int:
@@ -287,11 +305,17 @@ class SceneBuilder:
             materials=materials,
             lights=None,
             world_lo=jnp.asarray(world_lo), world_hi=jnp.asarray(world_hi),
-            bvh=None,
+            bvh=None, camera_medium=None,
+            textures=None,
             n_tri=nt, n_sph=ns, n_pln=npl, n_dsk=nd,
             n_channels=self.cfg.n_channels)
         lights = lights_mod.build_light_table(self, scene)
         scene = dataclasses.replace(scene, lights=lights)
+        if self.texture_rows:
+            from pbrt_tpu.scene import textures as tex_mod
+            scene = dataclasses.replace(
+                scene, textures=tex_mod.make_texture_table(
+                    self.texture_rows, self.images, self.cfg.n_channels))
         if use_bvh == "always" or (use_bvh == "auto" and nt > 256):
             from pbrt_tpu.scene import bvh as bvh_mod
             scene = dataclasses.replace(scene,

@@ -1,0 +1,79 @@
+"""CLI entry point: ``python -m pbrt_tpu.utils.cli scene.pbrt [options]``.
+
+TPU-native counterpart of ``src/main/pbrt.cpp`` (main():76-173 with
+--outfile/--quick/--quiet flags; --nthreads becomes the device mesh, which
+JAX sizes automatically).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(
+        prog="pbrt_tpu", description="TPU-native pbrt-style renderer")
+    ap.add_argument("scene", help=".pbrt scene file")
+    ap.add_argument("--outfile", "-o", default=None,
+                    help="override output image path")
+    ap.add_argument("--quick", action="store_true",
+                    help="quarter sample count (pbrt --quick)")
+    ap.add_argument("--quiet", action="store_true")
+    ap.add_argument("--spp", type=int, default=None)
+    ap.add_argument("--integrator", default=None)
+    ap.add_argument("--spectral", action="store_true",
+                    help="use 60-bin sampled spectra (hero integrators)")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force CPU backend")
+    args = ap.parse_args(argv)
+
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+
+    import numpy as np
+
+    from pbrt_tpu.core import spectrum as spec_mod
+    from pbrt_tpu.frontend import load_pbrt
+    from pbrt_tpu.integrators import render
+    from pbrt_tpu.utils import imageio
+
+    cfg = spec_mod.SAMPLED if args.spectral else spec_mod.RGB
+    if not args.quiet:
+        print(f"pbrt_tpu: parsing {args.scene}", file=sys.stderr)
+    scene, cam, opts = load_pbrt(args.scene, spectrum_cfg=cfg)
+
+    integrator = args.integrator or opts["integrator"]
+    if integrator in ("hero_path", "hero_path_mis") and cfg.mode != \
+            "sampled":
+        scene, cam, opts = load_pbrt(args.scene,
+                                     spectrum_cfg=spec_mod.SAMPLED)
+    spp = args.spp or opts["spp"]
+    if args.quick:
+        spp = max(1, spp // 4)
+    fname = args.outfile or opts["film"]["filename"]
+
+    if not args.quiet:
+        res = np.asarray(cam.resolution)
+        print(f"pbrt_tpu: rendering {res[0]}x{res[1]} @ {spp}spp "
+              f"({integrator}, sampler {opts['sampler']})", file=sys.stderr)
+    t0 = time.time()
+    filt_name, filt_kwargs = opts.get("filter", ("box", {}))
+    img = render(scene, cam, spp=spp, integrator=integrator,
+                 sampler=opts["sampler"], max_depth=opts["max_depth"],
+                 filter_name=filt_name, filter_kwargs=filt_kwargs)
+    img = np.asarray(img)
+    if img.shape[-1] != 3:
+        img = np.asarray(spec_mod.spectrum_to_rgb(img))
+    if not args.quiet:
+        print(f"pbrt_tpu: rendered in {time.time() - t0:.1f}s "
+              f"(mean {img.mean():.4f})", file=sys.stderr)
+    imageio.write_image(fname, img)
+    if not args.quiet:
+        print(f"pbrt_tpu: wrote {fname}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,112 @@
+"""BSDF sampling↔pdf consistency and energy checks (tests/bsdfs.cpp's
+χ²-style validation, MC form) for all non-delta material families."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pbrt_tpu.core import rng
+from pbrt_tpu.scene import materials as mat
+
+
+def make_mp(N, **kw):
+    rows = [dict(**kw)]
+    table = mat.make_material_table(rows, 3)
+    return mat.gather_materials(table, jnp.zeros(N, jnp.int32))
+
+
+def estimate_rho(mp, wo, N):
+    """MC hemispherical albedo: E[f·|cos|/pdf] (BxDF::rho)."""
+    pid = jnp.arange(N, dtype=jnp.uint32)
+    u = jnp.stack([rng.uniform(pid, 0, 0), rng.uniform(pid, 0, 1)], -1)
+    ul = rng.uniform(pid, 0, 2)
+    wi, f, pdf, _ = mat.bsdf_sample(mp, wo, ul, u)
+    w = f * (jnp.abs(wi[..., 2]) / jnp.maximum(pdf, 1e-12))[..., None]
+    w = jnp.where((pdf > 1e-9)[..., None], w, 0.0)
+    return np.asarray(w.mean(0))
+
+
+def check_sample_pdf_match(mp, wo, N=50000, label=""):
+    """The pdf reported by bsdf_sample equals bsdf_pdf at the sampled
+    direction (non-delta lobes)."""
+    pid = jnp.arange(N, dtype=jnp.uint32)
+    u = jnp.stack([rng.uniform(pid, 1, 0), rng.uniform(pid, 1, 1)], -1)
+    ul = rng.uniform(pid, 1, 2)
+    wi, f, pdf, flags = mat.bsdf_sample(mp, wo, ul, u)
+    pdf_eval = mat.bsdf_pdf(mp, wo, wi)
+    nonspec = (flags & mat.FLAG_SPECULAR) == 0
+    sel = np.asarray(nonspec & (pdf > 1e-6))
+    np.testing.assert_allclose(np.asarray(pdf)[sel],
+                               np.asarray(pdf_eval)[sel], rtol=1e-3,
+                               err_msg=label)
+
+
+WO = jnp.tile(jnp.asarray([[0.3, 0.1, 0.95]])
+              / np.linalg.norm([0.3, 0.1, 0.95]), (50000, 1))
+
+
+class TestBsdfConsistency:
+    @pytest.mark.parametrize("kw,label", [
+        (dict(type=mat.MATTE, kd=0.8), "matte"),
+        (dict(type=mat.MATTE, kd=0.8, sigma=20.0), "oren-nayar"),
+        (dict(type=mat.PLASTIC, kd=0.5, ks=0.3, roughness=0.1), "plastic"),
+        (dict(type=mat.METAL, roughness=0.2), "metal"),
+        (dict(type=mat.SUBSTRATE, kd=0.5, ks=0.2, roughness=0.15),
+         "substrate"),
+        (dict(type=mat.DISNEY, kd=0.6, metallic=0.3, roughness=0.3,
+              sheen=0.5, clearcoat=0.5), "disney"),
+    ])
+    def test_sample_pdf_consistency(self, kw, label):
+        mp = make_mp(50000, **kw)
+        check_sample_pdf_match(mp, WO, label=label)
+
+    @pytest.mark.parametrize("kw,label,max_rho", [
+        (dict(type=mat.MATTE, kd=1.0), "matte", 1.01),
+        (dict(type=mat.MATTE, kd=1.0, sigma=25.0), "oren-nayar", 1.02),
+        (dict(type=mat.PLASTIC, kd=0.7, ks=0.3, roughness=0.1), "plastic",
+         1.1),
+        (dict(type=mat.METAL, roughness=0.3), "metal", 1.01),
+        (dict(type=mat.DISNEY, kd=1.0, metallic=0.0, roughness=0.4),
+         "disney", 1.15),
+        (dict(type=mat.MIRROR, kr=1.0), "mirror", 1.001),
+        (dict(type=mat.GLASS, kr=1.0, kt=1.0, eta=1.5), "glass", 1.01),
+    ])
+    def test_energy_conservation(self, kw, label, max_rho):
+        """White-furnace: hemispherical albedo ≤ 1 (hair.cpp's white
+        furnace test generalized)."""
+        mp = make_mp(100000, **kw)
+        wo = jnp.tile(jnp.asarray([[0.2, 0.0, 0.98]])
+                      / np.linalg.norm([0.2, 0.0, 0.98]), (100000, 1))
+        rho = estimate_rho(mp, wo, 100000)
+        assert (rho <= max_rho).all(), (label, rho)
+        assert (rho > 0.05).all(), (label, rho)
+
+    def test_matte_rho_exact(self):
+        mp = make_mp(100000, type=mat.MATTE, kd=0.55)
+        wo = jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]]), (100000, 1))
+        rho = estimate_rho(mp, wo, 100000)
+        np.testing.assert_allclose(rho, 0.55, rtol=0.01)
+
+    def test_fresnel_dielectric_normal_incidence(self):
+        f = mat.fr_dielectric(jnp.asarray([1.0]), jnp.asarray([1.0]),
+                              jnp.asarray([1.5]))
+        np.testing.assert_allclose(float(f[0]), 0.04, atol=1e-3)
+
+    def test_fresnel_conductor_reflective(self):
+        eta = jnp.asarray([[0.2, 0.92, 1.1]])
+        k = jnp.asarray([[3.9, 2.45, 2.14]])  # ~gold
+        f = mat.fr_conductor(jnp.asarray([1.0]), eta, k)
+        assert float(f[0, 0]) > 0.9  # red highly reflective for gold
+
+    def test_disney_metallic_kills_diffuse(self):
+        mp_d = make_mp(4, type=mat.DISNEY, kd=0.8, metallic=0.0,
+                       roughness=0.5)
+        mp_m = make_mp(4, type=mat.DISNEY, kd=0.8, metallic=1.0,
+                       roughness=0.5)
+        wo = jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]]), (4, 1))
+        wi = jnp.tile(jnp.asarray([[0.6, 0.0, 0.8]]), (4, 1))
+        f_d = np.asarray(mat.bsdf_f(mp_d, wo, wi))
+        f_m = np.asarray(mat.bsdf_f(mp_m, wo, wi))
+        # metallic=1 removes the diffuse floor; off-specular direction
+        # should be much darker
+        assert f_m[0].mean() < f_d[0].mean()

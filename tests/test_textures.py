@@ -1,0 +1,82 @@
+"""Texture evaluation tests (textures/checkerboard.cpp etc.)."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from pbrt_tpu.core.spectrum import RGB
+from pbrt_tpu.core import transform
+from pbrt_tpu.integrators import render
+from pbrt_tpu.scene import camera as cam_mod
+from pbrt_tpu.scene import textures as tex
+from pbrt_tpu.scene.types import SceneBuilder
+
+
+def _tt(rows, images=None):
+    return tex.make_texture_table(rows, images or [], 3)
+
+
+class TestEval:
+    def test_constant(self):
+        t = _tt([dict(type=tex.CONSTANT, v1=(0.2, 0.4, 0.6))])
+        out = tex.eval_texture(t, jnp.zeros(5, jnp.int32),
+                               jnp.zeros((5, 2)), jnp.zeros((5, 3)))
+        np.testing.assert_allclose(np.asarray(out),
+                                   [[0.2, 0.4, 0.6]] * 5, atol=1e-6)
+
+    def test_checkerboard(self):
+        t = _tt([dict(type=tex.CHECKERBOARD, v1=1.0, v2=0.0,
+                      uscale=1.0, vscale=1.0)])
+        uv = jnp.asarray([[0.5, 0.5], [1.5, 0.5], [1.5, 1.5], [2.5, 0.5]])
+        out = np.asarray(tex.eval_texture(
+            t, jnp.zeros(4, jnp.int32), uv, jnp.zeros((4, 3))))[:, 0]
+        np.testing.assert_allclose(out, [1.0, 0.0, 1.0, 1.0])
+
+    def test_imagemap_bilinear(self):
+        img = np.zeros((2, 2, 3), np.float32)
+        img[0, 0] = 1.0  # top-left (v=1 row)
+        t = _tt([dict(type=tex.IMAGEMAP, img=0, v1=1.0)], [img])
+        # uv (0.25, 0.75) → pixel (0,0) center exactly
+        out = np.asarray(tex.eval_texture(
+            t, jnp.zeros(1, jnp.int32), jnp.asarray([[0.25, 0.75]]),
+            jnp.zeros((1, 3))))
+        np.testing.assert_allclose(out[0], [1, 1, 1], atol=1e-5)
+
+    def test_noise_bounded_and_smooth(self):
+        p = jnp.asarray(np.random.RandomState(0).randn(1000, 3) * 3,
+                        jnp.float32)
+        n = np.asarray(tex.noise3(p))
+        assert np.abs(n).max() <= 2.0
+        assert n.std() > 0.05
+        # smooth: nearby points have nearby values
+        n2 = np.asarray(tex.noise3(p + 1e-3))
+        assert np.abs(n - n2).max() < 0.02
+
+    def test_fbm_octaves(self):
+        p = jnp.asarray(np.random.RandomState(1).randn(500, 3),
+                        jnp.float32)
+        f1 = np.asarray(tex.fbm(p, jnp.full(500, 1.0), jnp.full(500, 0.5)))
+        f6 = np.asarray(tex.fbm(p, jnp.full(500, 6.0), jnp.full(500, 0.5)))
+        assert f6.std() > f1.std() * 0.9  # more octaves add detail
+
+
+class TestRenderWithTexture:
+    def test_checker_floor_renders(self):
+        b = SceneBuilder(RGB)
+        tid = b.add_texture(type=tex.CHECKERBOARD, v1=(1.0, 1.0, 1.0),
+                            v2=(0.0, 0.0, 0.0), uscale=4.0, vscale=4.0)
+        m = b.add_material(type=0, kd=0.5, kd_tex=tid)
+        b.add_mesh([(-5, 0, -5), (5, 0, -5), (5, 0, 5), (-5, 0, 5)],
+                   [(0, 1, 2), (0, 2, 3)], mat=m,
+                   uvs=[(0, 0), (1, 0), (1, 1), (0, 1)])
+        b.add_light(type="distant", L=3.0, dir=(0, -1, 0))
+        scene = b.build()
+        cam = cam_mod.make_perspective(
+            transform.look_at((0, 4, -4), (0, 0, 0), (0, 1, 0)), 40.0,
+            (16, 16))
+        img = np.asarray(render(scene, cam, spp=16, integrator="direct"))
+        vals = img.mean(-1)
+        lit = vals[vals > 1e-4]
+        # checker: bimodal brightness — bright tiles >> dark tiles
+        assert lit.size > 0
+        assert vals.max() > 5 * max(np.median(vals), 1e-4) or \
+            (vals > vals.max() * 0.5).mean() < 0.8
