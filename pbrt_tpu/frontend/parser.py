@@ -312,8 +312,9 @@ class PbrtParser:
         self.options["integrator_params"] = p
 
     def _d_Accelerator(self, tokens, peeked, nxt):
-        nxt()
+        name = nxt().strip('"')
         parse_params(tokens, peeked)
+        self.options["accelerator"] = name  # "bvh" (default) | "kdtree"
 
     def _d_WorldBegin(self, tokens, peeked, nxt):
         self.world = True
@@ -399,6 +400,23 @@ class PbrtParser:
             d = np.asarray(self._xf_vec(to - frm))
             b.add_light(type="distant", L=p.spectrum_rgb("L", (1, 1, 1)),
                         scale=scale, dir=tuple(d))
+        elif name in ("goniometric", "projection"):
+            m = None
+            if p.one("mapname"):
+                from pbrt_tpu.utils import imageio
+                try:
+                    m = imageio.read_image(
+                        os.path.join(self.base_dir, p.one("mapname")))
+                except Exception:
+                    m = None
+            kwl = dict(type=name, I=p.spectrum_rgb("I", (1, 1, 1)),
+                       scale=scale, pos=self._xf_point((0, 0, 0)),
+                       dir=self._xf_vec((0, 0, 1)))
+            if m is not None:
+                kwl["map"] = m
+            if name == "projection":
+                kwl["fov"] = p.one("fov", 45.0)
+            b.add_light(**kwl)
         elif name in ("infinite", "exinfinite"):
             env = None
             mapname = p.one("mapname")
@@ -692,6 +710,12 @@ def parse_pbrt_string(text: str, base_dir=".", spectrum_cfg=spec_mod.RGB):
     ps = PbrtParser(spectrum_cfg, base_dir)
     ps.parse(text)
     scene = ps.builder.build()
+    # Accelerator "kdtree": swap the aggregate (api.cpp:788-801)
+    if (ps.options.get("accelerator") == "kdtree" and scene.n_tri > 256):
+        import dataclasses as _dc
+
+        from pbrt_tpu.scene import kdtree as _kd
+        scene = _dc.replace(scene, bvh=_kd.build_kdtree(scene))
 
     from pbrt_tpu.scene import camera as cam_mod
     name, cp = ps.options["camera"]

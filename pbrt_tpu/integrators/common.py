@@ -49,10 +49,20 @@ def to_world(t1, t2, n, w):
 # light selection (lightdistrib.h Uniform/Power)
 # ---------------------------------------------------------------------------
 
-def choose_light(scene, u: Array, power_distr=None):
-    """Pick a light per ray. Returns (idx (R,), select_pmf (R,))."""
+def choose_light(scene, u: Array, power_distr=None, p: Array = None):
+    """Pick a light per ray. Returns (idx (R,), select_pmf (R,)).
+
+    ``power_distr`` is either a Distribution1D (power strategy), a
+    SpatialLightDistribution (spatial strategy, needs shading point p), or
+    None (uniform) — the three lightdistrib.h variants."""
     n = scene.lights.n
     if power_distr is not None:
+        from pbrt_tpu.scene.lightdistrib import (SpatialLightDistribution,
+                                                 sample_spatial)
+        if isinstance(power_distr, SpatialLightDistribution):
+            if p is None:
+                p = jnp.zeros(u.shape + (3,))
+            return sample_spatial(power_distr, scene, p, u)
         idx, pmf = sample_distribution_1d_discrete(power_distr, u)
         return idx, pmf
     idx = jnp.minimum((u * n).astype(jnp.int32), n - 1)
@@ -99,7 +109,8 @@ def estimate_direct(scene, hit, mp, wo_world: Array,
     C = scene.n_channels
     lt = scene.lights
 
-    light_idx, sel_pmf = choose_light(scene, u_select, power_distr)
+    light_idx, sel_pmf = choose_light(scene, u_select, power_distr,
+                                      p=hit.p)
     g = lights_mod.gather_lights(lt, light_idx)
     is_portal_light = (g.ltype == AREA) & (g.n_portals > 0)
 

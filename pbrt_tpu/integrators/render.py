@@ -272,7 +272,7 @@ _INTEGRATORS = {"path": li_path, "direct": li_direct,
 @functools.partial(jax.jit, static_argnames=("cfg", "width", "height",
                                              "chunk"))
 def render_pass(scene, cam, filt, cfg: RenderConfig, width: int, height: int,
-                chunk: int, spp_offset):
+                chunk: int, spp_offset, power_distr=None):
     """Evaluate `chunk` samples for every pixel; returns (H,W,C) sum of
     filter-weighted radiance (divide by total spp outside)."""
     n_pix = width * height
@@ -291,8 +291,8 @@ def render_pass(scene, cam, filt, cfg: RenderConfig, width: int, height: int,
     u_time = sfn(pid, sidx, 4, cfg.seed)
     rays = cam_mod.generate_rays(cam, p_film, u_lens, u_time)
 
-    power_distr = (lights_mod.power_distribution(scene.lights)
-                   if cfg.light_strategy == "power" else None)
+    if power_distr is None and cfg.light_strategy == "power":
+        power_distr = lights_mod.power_distribution(scene.lights)
     li_fn = _INTEGRATORS[cfg.integrator]
     L = li_fn(scene, rays.o, rays.d, pid, sidx, sfn, cfg, power_distr)
 
@@ -321,12 +321,16 @@ def render(scene, cam, spp: int = 16, integrator: str = "path",
     if chunk_spp is None:
         # bound rays/pass to ~2M
         chunk_spp = max(1, min(spp, int(2_000_000 // (width * height)) or 1))
+    power_distr = None
+    if light_strategy == "spatial":
+        from pbrt_tpu.scene.lightdistrib import build_spatial_distribution
+        power_distr = build_spatial_distribution(scene)
     img = jnp.zeros((height, width, scene.n_channels))
     done = 0
     while done < spp:
         c = min(chunk_spp, spp - done)
         img = img + render_pass(scene, cam, filt, cfg, width, height, c,
-                                jnp.asarray(done, jnp.uint32))
+                                jnp.asarray(done, jnp.uint32), power_distr)
         done += c
     return img / spp
 

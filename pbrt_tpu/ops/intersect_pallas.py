@@ -73,7 +73,7 @@ def _intersect_kernel(tri_ref, sph_ref, pln_ref, ox_ref, oy_ref, oz_ref,
         hit = ((jnp.abs(det) > 1e-12) & (u >= 0.0) & (v >= 0.0)
                & (u + v <= 1.0) & (t > 1e-4) & (t < bt))
         bt = jnp.where(hit, t, bt)
-        bp = jnp.where(hit, i, bp)
+        bp = jnp.where(hit, bp * 0 + i, bp)
         return bt, bp
 
     if n_tri:
@@ -104,7 +104,7 @@ def _intersect_kernel(tri_ref, sph_ref, pln_ref, ox_ref, oy_ref, oz_ref,
         t = jnp.where(tn > 1e-4, tn, tf)
         hit = ok & (t > 1e-4) & (t < bt)
         bt = jnp.where(hit, t, bt)
-        bp = jnp.where(hit, n_tri + i, bp)
+        bp = jnp.where(hit, bp * 0 + (n_tri + i), bp)
         return bt, bp
 
     if n_sph:
@@ -114,15 +114,16 @@ def _intersect_kernel(tri_ref, sph_ref, pln_ref, ox_ref, oy_ref, oz_ref,
     # ---- aaplanes (fork shapes/plane.cpp role)
     def pln_body(i, carry):
         bt, bp = carry
-        lox = pln_ref[i, 0]
-        loy = pln_ref[i, 1]
-        loz = pln_ref[i, 2]
-        hix = pln_ref[i, 3]
-        hiy = pln_ref[i, 4]
-        hiz = pln_ref[i, 5]
-        # broadcast the scalar axis tag to a vector: Mosaic cannot legalize
-        # scalar-predicate selects over vectors (arith.select)
-        ax = pln_ref[i, 6] + jnp.zeros_like(dx)
+        # broadcast all SMEM scalars into vectors up front: Mosaic cannot
+        # legalize selects mixing scalar and vector operands
+        zero_v = jnp.zeros_like(dx)
+        lox = pln_ref[i, 0] + zero_v
+        loy = pln_ref[i, 1] + zero_v
+        loz = pln_ref[i, 2] + zero_v
+        hix = pln_ref[i, 3] + zero_v
+        hiy = pln_ref[i, 4] + zero_v
+        hiz = pln_ref[i, 5] + zero_v
+        ax = pln_ref[i, 6] + zero_v
         is_x = ax < 0.5
         is_y = (ax >= 0.5) & (ax < 1.5)
         d_ax = jnp.where(is_x, dx, jnp.where(is_y, dy, dz))
@@ -132,13 +133,19 @@ def _intersect_kernel(tri_ref, sph_ref, pln_ref, ox_ref, oy_ref, oz_ref,
         hx = ox + t * dx
         hy = oy + t * dy
         hz = oz + t * dz
-        in0 = jnp.where(is_x, (hy > loy) & (hy < hiy),
-                        (hx > lox) & (hx < hix))
-        in1 = jnp.where(is_y | is_x, (hz > loz) & (hz < hiz),
-                        (hy > loy) & (hy < hiy))
-        hit = ((jnp.abs(d_ax) > 1e-12) & (t > 1e-4) & (t < bt) & in0 & in1)
+        # select float coordinates, not booleans — Mosaic cannot truncate
+        # selects to i1 vectors
+        p0 = jnp.where(is_x, hy, hx)
+        lo0 = jnp.where(is_x, loy, lox)
+        hi0 = jnp.where(is_x, hiy, hix)
+        is_xy = is_x | is_y
+        p1 = jnp.where(is_xy, hz, hy)
+        lo1 = jnp.where(is_xy, loz, loy)
+        hi1 = jnp.where(is_xy, hiz, hiy)
+        hit = ((jnp.abs(d_ax) > 1e-12) & (t > 1e-4) & (t < bt)
+               & (p0 > lo0) & (p0 < hi0) & (p1 > lo1) & (p1 < hi1))
         bt = jnp.where(hit, t, bt)
-        bp = jnp.where(hit, n_tri + n_sph + i, bp)
+        bp = jnp.where(hit, bp * 0 + (n_tri + n_sph + i), bp)
         return bt, bp
 
     if n_pln:

@@ -46,6 +46,9 @@ def intersect(scene, o: Array, d: Array, tmax: Array) -> Hit:
     """Closest-hit query. o,d: (R,3); tmax: (R,). Returns Hit (R,...)."""
     if scene.bvh is not None:
         from pbrt_tpu.scene import bvh as bvh_mod
+        from pbrt_tpu.scene import kdtree as kd_mod
+        if isinstance(scene.bvh, kd_mod.KdTree):
+            return kd_mod.intersect_kd(scene, o, d, tmax)
         return bvh_mod.intersect_bvh(scene, o, d, tmax)
     if _use_pallas(scene):
         from pbrt_tpu.ops import intersect_pallas as ip
@@ -61,6 +64,9 @@ def intersect_p(scene, o: Array, d: Array, tmax: Array) -> Array:
     """Any-hit (shadow) query → occluded mask (R,)."""
     if scene.bvh is not None:
         from pbrt_tpu.scene import bvh as bvh_mod
+        from pbrt_tpu.scene import kdtree as kd_mod
+        if isinstance(scene.bvh, kd_mod.KdTree):
+            return kd_mod.intersect_p_kd(scene, o, d, tmax)
         return bvh_mod.intersect_p_bvh(scene, o, d, tmax)
     if _use_pallas(scene):
         from pbrt_tpu.ops import intersect_pallas as ip

@@ -46,11 +46,10 @@ def build_spatial_distribution(scene) -> SpatialLightDistribution:
     lo = scene.world_lo
     hi = scene.world_hi
     diag = hi - lo
-    # voxel resolution proportional to extents (lightdistrib.cpp:97-106)
-    max_d = jnp.max(diag)
-    res = jnp.clip((MAX_VOXELS_PER_AXIS * diag / jnp.maximum(max_d, 1e-9)
-                    ).astype(jnp.int32), 1, MAX_VOXELS_PER_AXIS)
-    res_np = [int(x) for x in jax.device_get(res)]
+    # fixed cubic voxel grid (static shape; the reference scales per-axis
+    # resolution to the bounds, lightdistrib.cpp:97-106 — a uniform 16^3
+    # grid keeps the table jit-compatible at equivalent granularity)
+    res_np = [MAX_VOXELS_PER_AXIS] * 3
     V = res_np[0] * res_np[1] * res_np[2]
 
     # voxel centers + jittered sample points

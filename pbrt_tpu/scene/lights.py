@@ -64,6 +64,10 @@ class LightTable:
     portal_hi: Array    # (L,MAXP,3)
     portal_ax: Array    # (L,MAXP) int32
     portal_facing: Array  # (L,MAXP) bool
+    # goniometric/projection intensity map (lights/goniometric.cpp,
+    # lights/projection.cpp); shared single map per scene like env_map
+    gonio_map: Array    # (Hg,Wg,C) lat-long (gonio) or projector image
+    proj_fov: Array     # (L,) projection light field of view (deg)
     # environment map (first INFINITE light): lat-long radiance map
     env_map: Array      # (H,W,C)
     env_distr: Distribution2D
@@ -86,7 +90,8 @@ def build_light_table(builder, scene) -> LightTable:
     C = builder.cfg.n_channels
     L = max(1, len(rows))
     tmap = {"point": POINT, "spot": SPOT, "distant": DISTANT, "area": AREA,
-            "infinite": INFINITE}
+            "infinite": INFINITE, "goniometric": GONIO,
+            "projection": PROJECTION}
     smap = {"light": STRAT_LIGHT, "portal": STRAT_PORTAL,
             "projection": STRAT_PROJECTION}
 
@@ -105,6 +110,8 @@ def build_light_table(builder, scene) -> LightTable:
     p_ax = np.full((L, MAXP), 2, np.int32)
     p_fw = np.zeros((L, MAXP), bool)
     env_map = np.zeros((1, 1, C), np.float32)
+    gonio_map = np.ones((1, 1, C), np.float32)
+    proj_fov = np.full(L, 45.0, np.float32)
 
     def resolve_prim(pr):
         """prim may be a resolved global index or a deferred
@@ -137,6 +144,15 @@ def build_light_table(builder, scene) -> LightTable:
             p_hi[i, j] = phi
             p_ax[i, j] = pax
             p_fw[i, j] = pfw
+        if ltype[i] in (GONIO, PROJECTION):
+            proj_fov[i] = float(r.get("fov", 45.0))
+            if r.get("map") is not None:
+                gm = np.asarray(r["map"], np.float32)
+                if gm.shape[-1] != C:
+                    from pbrt_tpu.core import spectrum as spec_mod
+                    gm = np.asarray(spec_mod.from_rgb(
+                        jnp.asarray(gm), builder.cfg))
+                gonio_map = gm
         if ltype[i] == INFINITE and r.get("env_map") is not None:
             em = np.asarray(r["env_map"], np.float32)
             if em.shape[-1] != C:
@@ -169,6 +185,11 @@ def build_light_table(builder, scene) -> LightTable:
             power[i] = emit[i] * area * np.pi * (2.0 if two_sided[i] else 1.0)
         elif ltype[i] == INFINITE:
             power[i] = env_map.mean((0, 1)) * emit[i] * np.pi * wr * wr
+        elif ltype[i] == GONIO:
+            power[i] = 4 * np.pi * emit[i] * gonio_map.mean((0, 1))
+        elif ltype[i] == PROJECTION:
+            power[i] = emit[i] * gonio_map.mean((0, 1)) * 2 * np.pi \
+                * (1 - np.cos(np.radians(proj_fov[i]) / 2))
     if not rows:
         emit[0] = 0.0
 
@@ -180,6 +201,7 @@ def build_light_table(builder, scene) -> LightTable:
         strategy=jnp.asarray(strategy), n_portals=jnp.asarray(n_portals),
         portal_lo=jnp.asarray(p_lo), portal_hi=jnp.asarray(p_hi),
         portal_ax=jnp.asarray(p_ax), portal_facing=jnp.asarray(p_fw),
+        gonio_map=jnp.asarray(gonio_map), proj_fov=jnp.asarray(proj_fov),
         env_map=jnp.asarray(env_map), env_distr=env_distr,
         power=jnp.asarray(power))
 
@@ -224,6 +246,7 @@ def gather_lights(lt: LightTable, idx: Array) -> LightTable:
         strategy=g(lt.strategy), n_portals=g(lt.n_portals),
         portal_lo=g(lt.portal_lo), portal_hi=g(lt.portal_hi),
         portal_ax=g(lt.portal_ax), portal_facing=g(lt.portal_facing),
+        gonio_map=lt.gonio_map, proj_fov=g(lt.proj_fov),
         env_map=lt.env_map, env_distr=lt.env_distr, power=lt.power)
 
 
@@ -348,6 +371,33 @@ def sample_li(scene, light_idx: Array, ref_p: Array, u: Array):
         li_inf = jnp.broadcast_to(lt.env_map[0, 0], (R, C)) * g.emit
         p_inf = ref_p + wi_inf * (2.0 * wr)
 
+    # goniometric: point intensity modulated by a lat-long map along -wi
+    # (lights/goniometric.cpp Scale); projection: modulated by projecting
+    # -wi through the projector window (lights/projection.cpp)
+    wl = -wi_pt
+    theta_g = jnp.arccos(jnp.clip(wl[..., 1], -1.0, 1.0))
+    phi_g = jnp.arctan2(wl[..., 2], wl[..., 0])
+    phi_g = jnp.where(phi_g < 0, phi_g + 2 * jnp.pi, phi_g)
+    Hg, Wg = lt.gonio_map.shape[0], lt.gonio_map.shape[1]
+    gx = jnp.clip((phi_g / (2 * jnp.pi) * Wg).astype(jnp.int32), 0, Wg - 1)
+    gy = jnp.clip((theta_g / jnp.pi * Hg).astype(jnp.int32), 0, Hg - 1)
+    li_gonio = li_pt * lt.gonio_map[gy, gx]
+    # projection: dir is +z of the light frame (g.dir); map uv from the
+    # perspective projection, black outside the fov cone
+    cos_p = dot(wl, g.dir)
+    tan_half = jnp.tan(jnp.radians(g.proj_fov) / 2.0)
+    t1p, t2p = vecmath.coordinate_system(g.dir)
+    x_p = dot(wl, t1p) / jnp.maximum(cos_p, 1e-6)
+    y_p = dot(wl, t2p) / jnp.maximum(cos_p, 1e-6)
+    inside_p = (cos_p > 0) & (jnp.abs(x_p) < tan_half) \
+        & (jnp.abs(y_p) < tan_half)
+    px_ = jnp.clip(((x_p / tan_half * 0.5 + 0.5) * Wg).astype(jnp.int32),
+                   0, Wg - 1)
+    py_ = jnp.clip(((y_p / tan_half * 0.5 + 0.5) * Hg).astype(jnp.int32),
+                   0, Hg - 1)
+    li_proj = li_pt * lt.gonio_map[py_, px_] \
+        * jnp.where(inside_p, 1.0, 0.0)[..., None]
+
     is_pt = g.ltype == POINT
     is_spot = g.ltype == SPOT
     is_dist = g.ltype == DISTANT
@@ -363,16 +413,19 @@ def sample_li(scene, light_idx: Array, ref_p: Array, u: Array):
             out = jnp.where(cc, v, out)
         return out
 
+    is_gonio = g.ltype == GONIO
+    is_proj = g.ltype == PROJECTION
     wi = selv(wi_pt, (is_dist, wi_dist), (is_area, wi_area),
               (is_inf, wi_inf))
-    li = selv(li_pt, (is_spot, li_spot),
+    li = selv(li_pt, (is_spot, li_spot), (is_gonio, li_gonio),
+              (is_proj, li_proj),
               (is_dist, g.emit * jnp.ones((R, 1))),
               (is_area, li_area), (is_inf, li_inf))
     pdf = selv(jnp.ones(R), (is_area, pdf_area), (is_inf, pdf_inf))
     p_light = selv(g.pos, (is_dist, p_dist), (is_area, p_area),
                    (is_inf, p_inf))
     n_light = selv(-wi, (is_area, n_area))
-    is_delta = is_pt | is_spot | is_dist
+    is_delta = is_pt | is_spot | is_dist | is_gonio | is_proj
     return dict(wi=wi, li=li, pdf=pdf, p_light=p_light, n_light=n_light,
                 is_delta=is_delta)
 

@@ -143,3 +143,49 @@ class TestAnalytic:
                                 sampler=sampler, max_depth=2))
         np.testing.assert_allclose(img.mean(), 0.5, atol=0.03,
                                    err_msg=sampler)
+
+
+class TestGonioProjectionLights:
+    def test_goniometric_map_modulates(self):
+        """Goniometric point light: map scales intensity by direction
+        (lights/goniometric.cpp)."""
+        from pbrt_tpu.scene.types import SceneBuilder
+        from pbrt_tpu.core.spectrum import RGB
+        import numpy as np
+        # map: bright in the lower hemisphere (toward floor), dark upper
+        gm = np.ones((8, 8, 3), np.float32)
+        gm[:4] = 0.0   # theta < pi/2 (up) dark
+        b = SceneBuilder(RGB)
+        m = b.add_material(type=0, kd=0.6)
+        b.add_mesh([(-50, 0, -50), (50, 0, -50), (50, 0, 50), (-50, 0, 50)],
+                   [(0, 1, 2), (0, 2, 3)], mat=m)
+        b.add_light(type="goniometric", I=(10.0, 10.0, 10.0),
+                    pos=(0, 2, 0), map=gm)
+        scene = b.build()
+        cam = look_at_cam((0, 1, 1e-4), (0, 0, 0), fov=2.0)
+        img = np.asarray(render(scene, cam, spp=16, integrator="direct"))
+        # direction light→floor is -y ⇒ theta=pi (bottom row) ⇒ map=1:
+        # same as plain point light
+        expected = 0.6 / np.pi * 10.0 / 4.0
+        np.testing.assert_allclose(img.mean(), expected, rtol=0.03)
+
+    def test_projection_light_cone(self):
+        """Projection light is black outside its fov cone
+        (lights/projection.cpp)."""
+        from pbrt_tpu.scene.types import SceneBuilder
+        from pbrt_tpu.core.spectrum import RGB
+        import numpy as np
+        b = SceneBuilder(RGB)
+        m = b.add_material(type=0, kd=0.6)
+        b.add_mesh([(-50, 0, -50), (50, 0, -50), (50, 0, 50), (-50, 0, 50)],
+                   [(0, 1, 2), (0, 2, 3)], mat=m)
+        # projector at height 2 aiming straight down, narrow fov
+        b.add_light(type="projection", I=(10.0, 10.0, 10.0), pos=(0, 2, 0),
+                    dir=(0, -1, 0), fov=30.0)
+        scene = b.build()
+        cam = look_at_cam((0, 3, 6), (0, 0, 0), res=(24, 24), fov=60.0)
+        img = np.asarray(render(scene, cam, spp=16, integrator="direct"))
+        lit = img.sum(-1) > 1e-4
+        # a narrow spotlight-like pool of light: some lit, most dark
+        assert lit.any()
+        assert lit.mean() < 0.5
