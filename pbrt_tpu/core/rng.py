@@ -17,7 +17,11 @@ import jax.numpy as jnp
 _U32 = jnp.uint32
 # 1/2^32 in float64 then cast keeps us strictly inside [0,1)
 _INV_U32 = float(1.0 / 4294967296.0)
-ONE_MINUS_EPS = float(jnp.nextafter(jnp.float32(1.0), jnp.float32(0.0)))
+# numpy, not jnp: a module-level jnp computation would initialize the
+# default JAX backend at import time (before any CLI --cpu override)
+import numpy as _np  # noqa: E402
+
+ONE_MINUS_EPS = float(_np.nextafter(_np.float32(1.0), _np.float32(0.0)))
 
 
 def pcg4d(a, b, c, d):

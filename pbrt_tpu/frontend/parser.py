@@ -488,6 +488,32 @@ class PbrtParser:
 
     def _make_material(self, name: str, p: Params) -> int:
         b = self.builder
+        if name == "mix":
+            # materials/mixmat.cpp: blend two named materials by `amount`.
+            # Resolved at build time: same-type pairs blend exactly
+            # parameter-wise (linear in Kd/Ks/...); mixed-type pairs fall
+            # back to the dominant material with amount-scaled albedo.
+            m1 = self.gs.named_materials.get(p.one("namedmaterial1", ""), 0)
+            m2 = self.gs.named_materials.get(p.one("namedmaterial2", ""), 0)
+            amt = p.spectrum_rgb("amount", (0.5, 0.5, 0.5))
+            amt_s = float(np.mean(amt))
+            r1 = dict(b.materials[m1])
+            r2 = dict(b.materials[m2])
+            if r1.get("type", 0) == r2.get("type", 0):
+                out = dict(r1)
+                for key in set(r1) | set(r2):
+                    v1 = np.asarray(r1.get(key, 0.0), np.float64)
+                    v2 = np.asarray(r2.get(key, 0.0), np.float64)
+                    if key in ("type", "kd_tex", "sigma_tex", "bump_tex"):
+                        continue
+                    out[key] = amt_s * v1 + (1 - amt_s) * v2
+                return b.add_material(**out)
+            dom = r1 if amt_s >= 0.5 else r2
+            scale = max(amt_s, 1 - amt_s)
+            out = dict(dom)
+            if "kd" in out:
+                out["kd"] = np.asarray(out["kd"], np.float64) * scale
+            return b.add_material(**out)
         tmap = {"matte": mat_mod.MATTE, "mirror": mat_mod.MIRROR,
                 "glass": mat_mod.GLASS, "plastic": mat_mod.PLASTIC,
                 "metal": mat_mod.METAL,

@@ -319,8 +319,11 @@ def render(scene, cam, spp: int = 16, integrator: str = "path",
                        light_strategy=light_strategy,
                        rr_threshold=rr_threshold)
     if chunk_spp is None:
-        # bound rays/pass to ~2M
-        chunk_spp = max(1, min(spp, int(2_000_000 // (width * height)) or 1))
+        # bound rays/pass: the XLA CPU path materializes (R, P)
+        # intermediates, so keep CPU passes small; TPU (Pallas intersect)
+        # thrives on large batches
+        target = 65_536 if jax.default_backend() == "cpu" else 2_000_000
+        chunk_spp = max(1, min(spp, int(target // (width * height)) or 1))
     power_distr = None
     if light_strategy == "spatial":
         from pbrt_tpu.scene.lightdistrib import build_spatial_distribution

@@ -56,14 +56,16 @@ def radical_inverse(base_idx: Array, a: Array) -> Array:
 def _sobol_matrices():
     """Generator matrices for the first two Sobol' dimensions (the classic
     (0,2)-sequence pair; lowdiscrepancy.h SobolSample* / sobolmatrices.cpp
-    dims 0-1). Dim 0: identity (van der Corput); dim 1: Pascal-mod-2."""
+    dims 0-1). Dim 0: identity (van der Corput); dim 1: Pascal-mod-2.
+    Kept as numpy at module scope — device placement happens lazily so the
+    import never initializes a JAX backend."""
     m0 = np.array([1 << (31 - i) for i in range(32)], np.uint32)
     m1 = np.zeros(32, np.uint32)
     v = np.uint32(1 << 31)
     for i in range(32):
         m1[i] = v
         v ^= v >> 1
-    return jnp.asarray(m0), jnp.asarray(m1)
+    return m0, m1
 
 
 _SM0, _SM1 = _sobol_matrices()
@@ -72,6 +74,8 @@ _SM0, _SM1 = _sobol_matrices()
 def _sobol_bits(a: Array, matrix: Array) -> Array:
     """Multiply index bits by a 32x32 GF(2) generator matrix."""
     a = a.astype(jnp.uint32)
+
+    matrix = jnp.asarray(matrix)
 
     def body(i, acc):
         bit = (a >> i) & jnp.uint32(1)
