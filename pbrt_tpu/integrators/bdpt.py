@@ -286,7 +286,8 @@ def _light_origin_pdfs(scene, light_id, ng, w_out):
     return jnp.where(ok, pdf_pos, 0.0), jnp.where(ok, pdf_dir, 0.0)
 
 
-def mis_weight(scene, cam_sp: Subpath, light_sp: Subpath, s: int, t: int):
+def mis_weight(scene, cam_sp: Subpath, light_sp: Subpath, s: int, t: int,
+               include_t1: bool = False):
     """Exact BDPT MIS weight (bdpt.cpp MISWeight:302-399): 1/(1+Σ ri) with
     the four endpoint pdf_rev values recomputed for THIS connection (the
     ScopedAssignment overrides), delta vertices skipped."""
@@ -361,10 +362,11 @@ def mis_weight(scene, cam_sp: Subpath, light_sp: Subpath, s: int, t: int):
 
     weight_sum = jnp.ones(R)
     # camera-side hypothetical strategies (bdpt.cpp:365-380). The term
-    # added after processing index i is the (t'=i) strategy; we never
-    # sample t'=1 (light-tracing splats are a separate driver), so that
-    # phantom strategy is excluded from the weight sum.
+    # added after processing index i is the (t'=i) strategy; t'=1
+    # (light tracing) is counted only when the splat driver runs it
+    # (include_t1), else it is a phantom and excluded.
     ri = jnp.ones(R)
+    min_t = 1 if include_t1 else 2
     for i in range(cv, 0, -1):
         rev = cam_sp.pdf_rev[:, i]
         if i == cv:
@@ -372,7 +374,7 @@ def mis_weight(scene, cam_sp: Subpath, light_sp: Subpath, s: int, t: int):
         elif i == cv - 1 and rev_cvm1 is not None:
             rev = rev_cvm1
         ri = ri * remap(rev) / remap(cam_sp.pdf_fwd[:, i])
-        if i < 2:
+        if i < min_t:
             continue
         not_delta = ~cam_sp.delta[:, i] & ~cam_sp.delta[:, i - 1]
         weight_sum = weight_sum + jnp.where(not_delta, ri, 0.0)
@@ -395,10 +397,13 @@ def mis_weight(scene, cam_sp: Subpath, light_sp: Subpath, s: int, t: int):
 
 def li_bdpt(scene, o, d, pid, sidx, sfn, cfg, power_distr):
     """BDPT estimator over (s,t) strategies with t>=2 (camera-connected);
-    the t=1 light-tracing splat is driven by render_bdpt_splat below when
-    used through the full driver. MIS uses approximate reverse densities
-    stored during the walks (bdpt.cpp's full weight with the delta-vertex
-    skips)."""
+    light-tracing t=1 splats live in render_bdpt below."""
+    return _li_bdpt_impl(scene, o, d, pid, sidx, sfn, cfg, power_distr,
+                         include_t1=False)
+
+
+def _li_bdpt_impl(scene, o, d, pid, sidx, sfn, cfg, power_distr,
+                  include_t1):
     max_v = min(cfg.max_depth + 2, 6)
     cam_sp = generate_camera_subpath(scene, o, d, max_v, pid, sidx, sfn,
                                      cfg.seed)
@@ -416,7 +421,8 @@ def li_bdpt(scene, o, d, pid, sidx, sfn, cfg, power_distr):
         g = lights_mod.gather_lights(scene.lights, jnp.maximum(lid, 0))
         le = lights_mod.area_light_L(g.emit, g.two_sided,
                                      cam_sp.ng[:, cv], cam_sp.wo[:, cv])
-        w = mis_weight(scene, cam_sp, light_sp, 0, t)
+        w = mis_weight(scene, cam_sp, light_sp, 0, t,
+                       include_t1=include_t1)
         # beta at cv is throughput up to cv (excluding cv's own bsdf) —
         # correct for emission pickup
         L = L + jnp.where(ok[..., None],
@@ -428,6 +434,158 @@ def li_bdpt(scene, o, d, pid, sidx, sfn, cfg, power_distr):
             if s + t > max_v + 1:
                 continue
             contrib, valid = connect_bdpt(scene, cam_sp, light_sp, s, t)
-            w = mis_weight(scene, cam_sp, light_sp, s, t)
+            w = mis_weight(scene, cam_sp, light_sp, s, t,
+                           include_t1=include_t1)
             L = L + contrib * w[..., None]
     return L
+
+
+# ---------------------------------------------------------------------------
+# t=1 light-tracing splats + full BDPT driver (bdpt.cpp's t==1 strategy and
+# Film::AddSplat path, film.h:83-87)
+# ---------------------------------------------------------------------------
+
+def _mis_weight_t1(scene, cam, light_sp: Subpath, s: int, p_cam):
+    """MIS weight of the (s, t=1) light-tracing strategy: only light-side
+    hypothetical strategies exist; the endpoint overrides are the camera's
+    directional density at light_sp[s-1] and the vertex's backward bsdf pdf
+    given the camera-incoming direction."""
+    from pbrt_tpu.scene import camera as cam_mod
+    R = light_sp.p.shape[0]
+    lv = s - 1
+    d = light_sp.p[:, lv] - p_cam
+    w = normalize(d)       # camera → vertex
+
+    pdf_dir_c = cam_mod.camera_pdf_dir(cam, w)
+    rev_lv = _dir_pdf_to_area(pdf_dir_c, p_cam, light_sp.p[:, lv],
+                              light_sp.ng[:, lv])
+    if s >= 2:
+        pdf_dir_lb = _bsdf_pdf_dir(
+            scene, light_sp, lv, -w,
+            normalize(light_sp.p[:, lv - 1] - light_sp.p[:, lv]))
+        rev_lvm1 = _dir_pdf_to_area(
+            pdf_dir_lb, light_sp.p[:, lv], light_sp.p[:, lv - 1],
+            light_sp.ng[:, lv - 1])
+    else:
+        rev_lvm1 = None
+
+    def remap(x):
+        return jnp.maximum(x, 1e-18)
+
+    weight_sum = jnp.ones(R)
+    ri = jnp.ones(R)
+    for i in range(lv, -1, -1):
+        rev = light_sp.pdf_rev[:, i]
+        if i == lv:
+            rev = rev_lv
+        elif i == lv - 1 and rev_lvm1 is not None:
+            rev = rev_lvm1
+        ri = ri * remap(rev) / remap(light_sp.pdf_fwd[:, i])
+        not_delta = ~light_sp.delta[:, i] & (
+            ~light_sp.delta[:, i - 1] if i - 1 >= 0
+            else jnp.ones(R, bool))
+        weight_sum = weight_sum + jnp.where(not_delta, ri, 0.0)
+    return 1.0 / weight_sum
+
+
+def light_splat_pass(scene, cam, n_paths: int, chunk_it: int, seed: int,
+                     max_v: int, width: int, height: int):
+    """One pass of t=1 strategies: light subpaths connected to the (pinhole)
+    camera, splatted at their raster positions. Returns (H,W,C) sum."""
+    from pbrt_tpu.samplers import make_sampler
+    from pbrt_tpu.scene import camera as cam_mod
+    from pbrt_tpu.scene import film as film_mod
+
+    C = scene.n_channels
+    pid = jnp.arange(n_paths, dtype=jnp.uint32) + jnp.uint32(1 << 26)
+    sidx = jnp.full(n_paths, chunk_it, jnp.uint32)
+    sfn = make_sampler("independent")
+    light_sp = generate_light_subpath(scene, max_v, pid, sidx, sfn, seed)
+    p_cam = cam.cam_to_world.apply_point(jnp.zeros((1, 3)))[0]
+    p_cam_b = jnp.broadcast_to(p_cam, (n_paths, 3))
+
+    film = jnp.zeros((height, width, C))
+    for s in range(1, max_v + 1):
+        lv = s - 1
+        valid = light_sp.vtype[:, lv] != VT_NONE
+        d = light_sp.p[:, lv] - p_cam_b
+        dist2 = vecmath.length_squared(d)
+        w = normalize(d)      # camera → vertex
+        we, p_raster, cam_ok = cam_mod.camera_we(cam, p_cam_b, w)
+        # scattering toward the camera at the endpoint
+        if s == 1:
+            # emitter endpoint: orientation-masked unit term (beta holds
+            # Le/(pmf·pdf_pos))
+            g0 = lights_mod.gather_lights(
+                scene.lights, jnp.maximum(light_sp.light_id[:, 0], 0))
+            emit_ok = (jnp.sum(light_sp.ng[:, 0] * -w, -1) > 0) \
+                | g0.two_sided
+            f_term = jnp.where(emit_ok[..., None],
+                               jnp.ones((n_paths, C)), 0.0)
+            not_spec = jnp.ones(n_paths, bool)
+        else:
+            f_term, _ = _vertex_f(scene, light_sp, lv, -w)
+            not_spec = ~light_sp.delta[:, lv]
+        cos_v = absdot(light_sp.ns[:, lv], w)
+        vis = isect_mod.unoccluded(scene, light_sp.p[:, lv],
+                                   light_sp.ns[:, lv], p_cam_b)
+        contrib = (light_sp.beta[:, lv] * f_term
+                   * (we * cos_v / jnp.maximum(dist2, 1e-12))[..., None])
+        wgt = _mis_weight_t1(scene, cam, light_sp, s, p_cam_b)
+        contrib = contrib * wgt[..., None]
+        ok = valid & cam_ok & vis & not_spec
+        film = film_mod.splat(film, p_raster, contrib, ok)
+    return film
+
+
+def render_bdpt(scene, cam, spp: int = 16, max_depth: int = 5,
+                seed: int = 0):
+    """Full BDPT (camera strategies + t=1 light-tracing splats) with
+    mutually consistent MIS weights (include_t1=True on both sides)."""
+    import numpy as np
+
+    from pbrt_tpu.integrators.render import RenderConfig, render_pass
+    from pbrt_tpu.scene import film as film_mod
+
+    res = np.asarray(cam.resolution)
+    width, height = int(res[0]), int(res[1])
+    filt = film_mod.make_filter("box")
+    cfg = RenderConfig(integrator="bdpt_t1", max_depth=max_depth, seed=seed)
+
+    import jax as _jax
+    target = 65_536 if _jax.default_backend() == "cpu" else 2_000_000
+    chunk = max(1, min(spp, target // (width * height)))
+    img = jnp.zeros((height, width, scene.n_channels))
+    max_v = min(max_depth + 2, 6)
+
+    @_jax.jit
+    def one_chunk(off_u32, it):
+        cam_part = render_pass(scene, cam, filt, cfg, width, height, chunk,
+                               off_u32)
+        splat_part = light_splat_pass(
+            scene, cam, width * height * chunk, it, seed, max_v, width,
+            height)
+        return cam_part + splat_part
+
+    done = 0
+    it = 0
+    while done < spp:
+        c = min(chunk, spp - done)
+        if c != chunk:
+            cfg2 = cfg
+            img = img + render_pass(scene, cam, filt, cfg2, width, height,
+                                    c, jnp.uint32(done))
+            img = img + light_splat_pass(scene, cam, width * height * c,
+                                         it, seed, max_v, width, height)
+        else:
+            img = img + one_chunk(jnp.uint32(done), it)
+        done += c
+        it += 1
+    return img / spp
+
+
+def li_bdpt_t1(scene, o, d, pid, sidx, sfn, cfg, power_distr):
+    """Camera-side BDPT strategies with t'=1 included in the MIS weights
+    (for use with the light-splat pass in render_bdpt)."""
+    return _li_bdpt_impl(scene, o, d, pid, sidx, sfn, cfg, power_distr,
+                         include_t1=True)

@@ -247,6 +247,11 @@ def _li_bdpt(*args, **kw):
     return li_bdpt(*args, **kw)
 
 
+def _li_bdpt_t1(*args, **kw):
+    from pbrt_tpu.integrators.bdpt import li_bdpt_t1
+    return li_bdpt_t1(*args, **kw)
+
+
 def _li_hero_path(*args, **kw):
     from pbrt_tpu.integrators.hero import li_hero_path
     return li_hero_path(*args, **kw)
@@ -261,6 +266,7 @@ _INTEGRATORS = {"path": li_path, "direct": li_direct,
                 "directlighting": li_direct, "whitted": li_whitted,
                 "ao": li_ao, "ambientocclusion": li_ao, "mypath": li_mypath,
                 "volpath": _li_volpath, "bdpt": _li_bdpt,
+                "bdpt_t1": _li_bdpt_t1,
                 "hero_path": _li_hero_path,
                 "hero_path_mis": _li_hero_path_mis}
 

@@ -83,3 +83,19 @@ class TestSPPM:
         assert img.mean() > 0
         rel = abs(img.mean() - ref.mean()) / ref.mean()
         assert rel < 0.2, (img.mean(), ref.mean())
+
+
+class TestBDPTLightTracing:
+    def test_full_bdpt_with_splats_matches_path(self):
+        """render_bdpt (camera strategies + t=1 splats with consistent MIS
+        weights) still agrees with the path tracer."""
+        from pbrt_tpu.integrators.bdpt import render_bdpt
+        scene = box_scene()
+        cam = box_cam(res=(10, 10))
+        ref = np.asarray(render(scene, cam, spp=256, integrator="path",
+                                max_depth=3, seed=6))
+        img = np.asarray(render_bdpt(scene, cam, spp=192, max_depth=3,
+                                     seed=6))
+        assert np.isfinite(img).all()
+        rel = abs(img.mean() - ref.mean()) / ref.mean()
+        assert rel < 0.12, (img.mean(), ref.mean())
