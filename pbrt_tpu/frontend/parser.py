@@ -521,6 +521,8 @@ class PbrtParser:
                 "uber": mat_mod.UBER, "substrate": mat_mod.SUBSTRATE,
                 "translucent": mat_mod.TRANSLUCENT,
                 "disney": mat_mod.DISNEY,
+                "subsurface": mat_mod.SUBSURFACE,
+                "kdsubsurface": mat_mod.SUBSURFACE,
                 "none": mat_mod.NONE, "": mat_mod.NONE}
         mtype = tmap.get(name, mat_mod.MATTE)
         kw = dict(type=mtype)
@@ -551,6 +553,25 @@ class PbrtParser:
                 kw["metal_eta"] = p.spectrum_rgb("eta")
             if p.spectrum_rgb("k") is not None:
                 kw["metal_k"] = p.spectrum_rgb("k")
+        if name == "subsurface":
+            # materials/subsurface.cpp defaults (skin-ish)
+            scale_p = p.one("scale", 1.0)
+            sa = p.spectrum_rgb("sigma_a", (0.0011, 0.0024, 0.014))
+            ss = p.spectrum_rgb("sigma_prime_s", (2.55, 3.21, 3.77))
+            kw["sss_sigma_a"] = tuple(np.asarray(sa) * scale_p)
+            kw["sss_sigma_s"] = tuple(np.asarray(ss) * scale_p)
+            if p.one("eta") is not None:
+                kw["eta"] = p.one("eta")
+            else:
+                kw["eta"] = 1.33
+        if name == "kdsubsurface":
+            # materials/kdsubsurface.cpp: diffuse color + mean free path
+            kd_v = np.asarray(p.spectrum_rgb("Kd", (0.5, 0.5, 0.5)))
+            mfp = p.one("mfp", 1.0)
+            kd_v = np.clip(kd_v, 1e-3, 0.999)
+            kw["sss_sigma_s"] = tuple(kd_v / mfp)
+            kw["sss_sigma_a"] = tuple((1.0 - kd_v) / mfp)
+            kw["eta"] = p.one("eta", 1.33)
         if name == "disney":
             if p.spectrum_rgb("color") is not None:
                 kw["kd"] = p.spectrum_rgb("color")

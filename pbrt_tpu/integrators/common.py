@@ -210,3 +210,109 @@ def estimate_direct(scene, hit, mp, wo_world: Array,
     # divide by light-selection pmf (UniformSampleOneLight,
     # integrator.cpp:116-121)
     return ld / jnp.maximum(sel_pmf, 1e-20)[..., None]
+
+
+# ---------------------------------------------------------------------------
+# Subsurface scattering (core/bssrdf.{h,cpp} SeparableBSSRDF +
+# materials/{subsurface,kdsubsurface}.cpp)
+# ---------------------------------------------------------------------------
+
+def subsurface_transport(scene, hit, mp, beta, wo_world, pid, sidx, sfn,
+                         seed, dims):
+    """Separable-BSSRDF traversal for SUBSURFACE material hits.
+
+    Design (pbrt's TabulatedBSSRDF photon-beam-diffusion profile replaced by
+    Burley's normalized diffusion — the production-standard equivalent):
+    with probability Fr reflect specularly at the interface (the material
+    row becomes MIRROR for this bounce); otherwise sample an exit point at a
+    profile-distributed radius via a probe ray (SeparableBSSRDF::Sample_S's
+    probe, bssrdf.cpp:113-153), weight by the channel-MIS profile ratio and
+    (1−Fr), and relocate the shading point to the exit — NEE + the diffuse
+    continuation then happen at the exit vertex (the Sw term's role).
+
+    Returns (hit', mp', beta', entered_mask).
+    """
+    import dataclasses as dc
+
+    from pbrt_tpu.scene import materials as mat_mod
+
+    C = scene.n_channels
+    R = hit.p.shape[0]
+    is_sss = (mp.mtype == mat_mod.SUBSURFACE) & hit.valid
+    sseed = seed ^ 0x5550
+    u_f = sfn(pid, sidx, dims["select"], sseed)
+    u_ch = sfn(pid, sidx, dims["mis_lobe"], sseed)
+    u_r = sfn(pid, sidx, dims["light_u"][0], sseed)
+    u_phi = sfn(pid, sidx, dims["light_u"][1], sseed)
+
+    sigma_t = jnp.maximum(mp.sss_sigma_a + mp.sss_sigma_s, 1e-6)
+    albedo = mp.sss_sigma_s / sigma_t
+    mfp = 1.0 / sigma_t
+    # Christensen–Burley: d = l / s(A)
+    s_fac = 1.9 - albedo + 3.5 * (albedo - 0.8) ** 2
+    d_prof = mfp / jnp.maximum(s_fac, 1e-3)          # (R,C)
+
+    # interface fresnel — use the outward-oriented normal so mesh winding
+    # cannot flip us into the TIR branch
+    ns_o = vecmath.face_forward(hit.ns, wo_world)
+    cos_o = dot(wo_world, ns_o)
+    f_in = mat_mod.fr_dielectric(cos_o, jnp.ones(R), mp.eta)
+    spec_refl = is_sss & (u_f < f_in)
+    enter = is_sss & ~spec_refl
+
+    # channel-uniform radius sampling from the two-exponential mixture
+    ch = jnp.minimum((u_ch * C).astype(jnp.int32), C - 1)
+    d_c = jnp.take_along_axis(d_prof, ch[:, None], axis=1)[:, 0]
+    pick_near = u_r < 0.25
+    u_remap = jnp.where(pick_near, u_r / 0.25, (u_r - 0.25) / 0.75)
+    u_remap = jnp.clip(u_remap, 1e-6, 1.0 - 1e-6)
+    r = jnp.where(pick_near, -d_c * jnp.log(1.0 - u_remap),
+                  -3.0 * d_c * jnp.log(1.0 - u_remap))
+    r = jnp.clip(r, 1e-5, 25.0 * d_c)
+
+    # probe ray (bssrdf.cpp probe along the normal axis)
+    t1, t2 = make_frame(ns_o)
+    phi = 2.0 * jnp.pi * u_phi
+    disk = (jnp.cos(phi)[:, None] * t1 + jnp.sin(phi)[:, None] * t2) \
+        * r[:, None]
+    h_probe = jnp.maximum(2.0 * r, 1e-3)
+    o_probe = hit.p + disk + ns_o * h_probe[:, None]
+    probe = isect_mod.intersect(scene, o_probe, -ns_o,
+                                2.0 * h_probe)
+    probe_mat = scene.prim_mat[jnp.clip(probe.prim_id, 0,
+                                        scene.n_prims - 1)]
+    probe_mp = mat_mod.gather_materials(scene.materials, probe_mat)
+    ok = enter & probe.valid & (probe_mp.mtype == mat_mod.SUBSURFACE)
+
+    # channel-MIS weight: value_c = albedo_c · p_c(r); pdf = mean_c p_c(r)
+    def radial_pdf(dd):
+        return (0.25 * jnp.exp(-r[:, None] / dd) / dd
+                + 0.25 * jnp.exp(-r[:, None] / (3.0 * dd)) / dd)
+    p_all = radial_pdf(jnp.maximum(d_prof, 1e-6))     # (R,C)
+    pdf_mix = jnp.mean(p_all, axis=1, keepdims=True)
+    w_ss = albedo * p_all / jnp.maximum(pdf_mix, 1e-20)
+    w_ss = w_ss * (1.0 - f_in)[:, None]
+
+    # fallback: probe missed → treat as diffuse at the entry point with
+    # albedo (prevents silent energy loss at silhouettes)
+    fell_back = enter & ~ok
+
+    exit_ns = vecmath.face_forward(probe.ns, ns_o)
+    new_hit = dc.replace(
+        hit,
+        p=jnp.where(ok[:, None], probe.p, hit.p),
+        ns=jnp.where((is_sss & ~spec_refl)[:, None],
+                     jnp.where(ok[:, None], exit_ns, ns_o), hit.ns),
+        ng=jnp.where(ok[:, None],
+                     vecmath.face_forward(probe.ng, ns_o), hit.ng))
+    white = jnp.ones((R, C))
+    new_mp = dc.replace(
+        mp,
+        mtype=jnp.where(spec_refl, mat_mod.MIRROR,
+                        jnp.where(ok | fell_back, mat_mod.MATTE,
+                                  mp.mtype)),
+        kd=jnp.where(ok[:, None], white,
+                     jnp.where(fell_back[:, None], albedo, mp.kd)),
+        kr=jnp.where(spec_refl[:, None], white, mp.kr))
+    new_beta = jnp.where(ok[:, None], beta * w_ss, beta)
+    return new_hit, new_mp, new_beta, enter

@@ -167,6 +167,14 @@ def _li_loop(scene, o, d, pid, sidx, sfn, cfg: RenderConfig, power_distr,
             scene.materials,
             scene.prim_mat[jnp.clip(hit.prim_id, 0, scene.n_prims - 1)])
 
+        # subsurface: relocate SUBSURFACE-material hits to their
+        # profile-sampled exit points (or specular-reflect at the
+        # interface); NEE + continuation then run at the exit vertex
+        if scene.has_sss and indirect:
+            hit, mp, beta, _ = common.subsurface_transport(
+                scene, hit, mp, beta, -d_cur, pid, sidx, sfn, cfg.seed,
+                dims)
+
         # NEE
         if nee:
             u_sel = sfn(pid, sidx, dims["select"], cfg.seed)

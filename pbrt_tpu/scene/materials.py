@@ -45,6 +45,7 @@ SUBSTRATE = 7
 TRANSLUCENT = 8
 NONE = 9          # medium interface / null material → pass-through
 DISNEY = 10
+SUBSURFACE = 11
 
 # sampled-lobe flags (BxDFType analogue, reflection.h:70-80)
 FLAG_SPECULAR = 1
@@ -67,6 +68,10 @@ class MaterialTable:
     sigma: Array       # (M,) Oren–Nayar sigma (degrees)
     cauchy_b: Array    # (M,) dispersive glass: eta(λ)=B + C/λ², λ in µm
     cauchy_c: Array    # (M,)
+    # subsurface (materials/{subsurface,kdsubsurface}.cpp): Burley
+    # normalized-diffusion parameters derived from sigma_a/sigma_s'
+    sss_sigma_a: Array     # (M,C)
+    sss_sigma_s: Array     # (M,C)
     # disney principled parameters (materials/disney.cpp)
     metallic: Array        # (M,)
     spec_tint: Array       # (M,)
@@ -104,6 +109,8 @@ def make_material_table(rows: list[dict], n_channels: int) -> MaterialTable:
         sigma=jnp.asarray(f("sigma", 0.0)),
         cauchy_b=jnp.asarray(f("cauchy_b", 1.5)),
         cauchy_c=jnp.asarray(f("cauchy_c", 0.0)),
+        sss_sigma_a=jnp.asarray(fc("sss_sigma_a", 0.01)),
+        sss_sigma_s=jnp.asarray(fc("sss_sigma_s", 1.0)),
         metallic=jnp.asarray(f("metallic", 0.0)),
         spec_tint=jnp.asarray(f("spec_tint", 0.0)),
         sheen=jnp.asarray(f("sheen", 0.0)),

@@ -80,6 +80,8 @@ class Scene:
     n_pln: int = dataclasses.field(metadata=dict(static=True))
     n_dsk: int = dataclasses.field(metadata=dict(static=True))
     n_channels: int = dataclasses.field(metadata=dict(static=True))
+    has_sss: bool = dataclasses.field(metadata=dict(static=True),
+                                      default=False)
 
     @property
     def n_prims(self) -> int:
@@ -298,6 +300,9 @@ class SceneBuilder:
 
         materials = make_material_table(
             self.materials or [dict()], self.cfg.n_channels)
+        from pbrt_tpu.scene import materials as mat_mod
+        has_sss = any(r.get("type") == mat_mod.SUBSURFACE
+                      for r in self.materials)
         scene = Scene(
             geom=geom,
             prim_mat=jnp.asarray(prim_mat),
@@ -308,7 +313,7 @@ class SceneBuilder:
             bvh=None, camera_medium=None,
             textures=None,
             n_tri=nt, n_sph=ns, n_pln=npl, n_dsk=nd,
-            n_channels=self.cfg.n_channels)
+            n_channels=self.cfg.n_channels, has_sss=has_sss)
         lights = lights_mod.build_light_table(self, scene)
         scene = dataclasses.replace(scene, lights=lights)
         if self.texture_rows:
