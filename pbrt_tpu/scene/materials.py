@@ -165,10 +165,12 @@ def fr_dielectric(cos_theta_i: Array, eta_i: Array, eta_t: Array) -> Array:
     ei = jnp.where(entering, eta_i, eta_t)
     et = jnp.where(entering, eta_t, eta_i)
     ci = jnp.abs(ci)
-    si = jnp.sqrt(jnp.maximum(0.0, 1.0 - ci * ci))
+    # sqrt floors keep d/dx sqrt(max(0,x)) finite at the clamp (inf·0=NaN
+    # otherwise — poisons grads of every masked lane under jnp.where)
+    si = jnp.sqrt(jnp.maximum(1.0 - ci * ci, 1e-12))
     st = ei / et * si
     tir = st >= 1.0
-    ct = jnp.sqrt(jnp.maximum(0.0, 1.0 - st * st))
+    ct = jnp.sqrt(jnp.maximum(1.0 - st * st, 1e-12))
     r_par = (et * ci - ei * ct) / jnp.maximum(et * ci + ei * ct, 1e-12)
     r_perp = (ei * ci - et * ct) / jnp.maximum(ei * ci + et * ct, 1e-12)
     f = 0.5 * (r_par * r_par + r_perp * r_perp)
@@ -309,6 +311,60 @@ def _microfacet_reflection_pdf(alpha, wo, wi):
     pdf = tr_pdf_wh(wo, wh, alpha) / jnp.maximum(
         4.0 * jnp.abs(vecmath.dot(wo, wh)), 1e-6)
     return jnp.where(same_hemisphere(wo, wi), pdf, 0.0)
+
+
+def _microfacet_transmission_f(Kt, alpha, eta, wo, wi):
+    """MicrofacetTransmission::f (reflection.cpp:338+), radiance mode.
+
+    eta: (R,) dielectric IOR (etaB with etaA=1); valid only for wo/wi in
+    opposite hemispheres.
+    """
+    cos_o = cos_theta(wo)
+    cos_i = cos_theta(wi)
+    # etaT/etaI as seen from wo's side of the boundary
+    eta_p = jnp.where(cos_o > 0.0, eta, 1.0 / eta)
+    wh = wo + wi * eta_p[..., None]
+    degenerate = (vecmath.length_squared(wh) < 1e-12) \
+        | (jnp.abs(cos_i * cos_o) < 1e-7)
+    # double-where: masked lanes must not see normalize(0) (NaN grads)
+    wh = jnp.where(degenerate[..., None],
+                   jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0]), wh.shape),
+                   wh)
+    wh = vecmath.normalize(wh)
+    # orient into the upper hemisphere (D is defined there)
+    wh = wh * jnp.sign(wh[..., 2:3] + 1e-20)
+    dot_o = vecmath.dot(wo, wh)
+    dot_i = vecmath.dot(wi, wh)
+    valid = (dot_o * dot_i < 0.0) & ~same_hemisphere(wo, wi) & ~degenerate
+    F = fr_dielectric(dot_o, jnp.ones_like(eta), eta)
+    sqrt_denom = dot_o + eta_p * dot_i
+    factor = 1.0 / eta_p  # radiance-transport scaling (reflection.cpp:352)
+    val = ((1.0 - F) * jnp.abs(
+        tr_d(wh, alpha) * tr_g(wo, wi, alpha) * eta_p * eta_p
+        * jnp.abs(dot_i) * jnp.abs(dot_o) * factor * factor
+        / jnp.maximum(jnp.abs(cos_i * cos_o * sqrt_denom * sqrt_denom),
+                      1e-10)))
+    return jnp.where(valid[..., None], Kt * val[..., None], 0.0)
+
+
+def _microfacet_transmission_pdf(alpha, eta, wo, wi):
+    """MicrofacetTransmission::Pdf: VNDF pdf(wh) · |dwh/dwi|."""
+    cos_o = cos_theta(wo)
+    eta_p = jnp.where(cos_o > 0.0, eta, 1.0 / eta)
+    wh = wo + wi * eta_p[..., None]
+    degenerate = vecmath.length_squared(wh) < 1e-12
+    wh = jnp.where(degenerate[..., None],
+                   jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0]), wh.shape),
+                   wh)
+    wh = vecmath.normalize(wh)
+    dot_o = vecmath.dot(wo, wh)
+    dot_i = vecmath.dot(wi, wh)
+    valid = (dot_o * dot_i < 0.0) & ~same_hemisphere(wo, wi) & ~degenerate
+    whu = wh * jnp.sign(wh[..., 2:3] + 1e-20)
+    sqrt_denom = dot_o + eta_p * dot_i
+    dwh_dwi = jnp.abs((eta_p * eta_p * dot_i)
+                      / jnp.maximum(sqrt_denom * sqrt_denom, 1e-10))
+    return jnp.where(valid, tr_pdf_wh(wo, whu, alpha) * dwh_dwi, 0.0)
 
 
 def _pow5(x):
@@ -461,12 +517,12 @@ def bsdf_f(mp: MaterialTable, wo: Array, wi: Array, kd_override=None
     trans_f = jnp.where(refl[..., None], kd * (0.5 * INV_PI),
                         mp.kt * (0.5 * INV_PI))
 
-    # rough glass (GLASS with roughness>0): microfacet reflection part only
-    # for f-eval (transmission lobe handled in sampling; its f-eval
-    # contribution is rare in NEE and added in a later milestone)
+    # rough glass (GLASS with roughness>0): microfacet reflection +
+    # microfacet transmission (materials/glass.cpp:58-76)
     rough_glass_f = jnp.where(
         refl[..., None],
-        _microfacet_reflection_f(mp.kr, alpha, fres_d, wo, wi), zero)
+        _microfacet_reflection_f(mp.kr, alpha, fres_d, wo, wi),
+        _microfacet_transmission_f(mp.kt, alpha, mp.eta, wo, wi))
     glass_rough = (t == GLASS) & (mp.roughness > 1e-3)
 
     out = jnp.where((t == MATTE)[..., None], matte_f, zero)
@@ -493,13 +549,17 @@ def bsdf_pdf(mp: MaterialTable, wo: Array, wi: Array) -> Array:
     plastic_pdf = 0.5 * (cos_pdf + mf_pdf)
     trans_pdf = 0.5 * abs_cos_theta(wi) * INV_PI
     glass_rough = (t == GLASS) & (mp.roughness > 1e-3)
+    # two matching lobes → BSDF::Pdf averages them (reflection.cpp:643+);
+    # each lobe is zero on the other's hemisphere
+    rough_glass_pdf = 0.5 * (
+        mf_pdf + _microfacet_transmission_pdf(alpha, mp.eta, wo, wi))
 
     out = jnp.where(t == MATTE, cos_pdf, 0.0)
     out = jnp.where((t == PLASTIC) | (t == UBER) | (t == SUBSTRATE),
                     plastic_pdf, out)
     out = jnp.where(t == METAL, mf_pdf, out)
     out = jnp.where(t == TRANSLUCENT, trans_pdf, out)
-    out = jnp.where(glass_rough, mf_pdf, out)
+    out = jnp.where(glass_rough, rough_glass_pdf, out)
     out = jnp.where(t == DISNEY, _disney_pdf(mp, wo, wi), out)
     return out
 
@@ -599,9 +659,30 @@ def bsdf_sample(mp: MaterialTable, wo: Array, u_lobe: Array, u: Array,
     f_dis = jnp.where(dis_ok[..., None], f_dis, 0.0)
     pdf_dis = jnp.where(dis_ok, pdf_dis, 0.0)
 
-    # rough glass behaves like metal-style microfacet reflection (placeholder
-    # for rough transmission, milestone: volumes round)
+    # rough glass: pick microfacet reflection or transmission lobe with
+    # probability 1/2 each (BSDF::Sample_f uniform lobe choice); refract
+    # about the sampled visible normal wh
     glass_rough = (t == GLASS) & (mp.roughness > 1e-3)
+    wh_o = wh * jnp.sign(vecmath.dot(wh, wo))[..., None]
+    wi_rgt, rgt_ok = vecmath.refract(wo, wh_o, eta_ratio)
+    pick_rg_trans = u_lobe >= 0.5
+    wi_rg = jnp.where(pick_rg_trans[..., None], wi_rgt, wi_mf)
+    rg_ok = jnp.where(pick_rg_trans,
+                      rgt_ok & ~same_hemisphere(wo, wi_rg),
+                      same_hemisphere(wo, wi_rg))
+    f_rg = jnp.where(
+        same_hemisphere(wo, wi_rg)[..., None],
+        _microfacet_reflection_f(
+            mp.kr, alpha,
+            lambda c: fr_dielectric(c, jnp.ones_like(eta_mat),
+                                    eta_mat)[..., None]
+            * jnp.ones((1, C)), wo, wi_rg),
+        _microfacet_transmission_f(mp.kt, alpha, eta_mat, wo, wi_rg))
+    pdf_rg = 0.5 * (_microfacet_reflection_pdf(alpha, wo, wi_rg)
+                    + _microfacet_transmission_pdf(alpha, eta_mat, wo,
+                                                   wi_rg))
+    f_rg = jnp.where(rg_ok[..., None], f_rg, 0.0)
+    pdf_rg = jnp.where(rg_ok, pdf_rg, 0.0)
 
     # ---------------- select outputs by type
     def sel(vals, default):
@@ -616,7 +697,8 @@ def bsdf_sample(mp: MaterialTable, wo: Array, u_lobe: Array, u: Array,
     zeroC = jnp.zeros(R + (C,))
     wi = sel([((t == MATTE), wi_cos),
               ((t == PLASTIC) | (t == UBER) | (t == SUBSTRATE), wi_pl),
-              ((t == METAL) | glass_rough, wi_mf),
+              ((t == METAL), wi_mf),
+              (glass_rough, wi_rg),
               ((t == MIRROR), wi_mirror),
               (((t == GLASS) & ~glass_rough) | (t == DISPERSIVE_GLASS),
                wi_glass),
@@ -624,7 +706,8 @@ def bsdf_sample(mp: MaterialTable, wo: Array, u_lobe: Array, u: Array,
               ((t == DISNEY), wi_dis)], wi_cos)
     f = sel([((t == MATTE), f_matte),
              ((t == PLASTIC) | (t == UBER) | (t == SUBSTRATE), f_pl),
-             ((t == METAL) | glass_rough, f_metal),
+             ((t == METAL), f_metal),
+             (glass_rough, f_rg),
              ((t == MIRROR), f_mirror),
              (((t == GLASS) & ~glass_rough) | (t == DISPERSIVE_GLASS),
               f_glass),
@@ -633,7 +716,8 @@ def bsdf_sample(mp: MaterialTable, wo: Array, u_lobe: Array, u: Array,
     pdf = sel([((t == MATTE), pdf_matte[..., None]),
                ((t == PLASTIC) | (t == UBER) | (t == SUBSTRATE),
                 pdf_pl[..., None]),
-               ((t == METAL) | glass_rough, pdf_metal[..., None]),
+               ((t == METAL), pdf_metal[..., None]),
+               (glass_rough, pdf_rg[..., None]),
                ((t == MIRROR), jnp.ones(R + (1,))),
                (((t == GLASS) & ~glass_rough) | (t == DISPERSIVE_GLASS),
                 pdf_glass[..., None]),
@@ -645,7 +729,8 @@ def bsdf_sample(mp: MaterialTable, wo: Array, u_lobe: Array, u: Array,
                    | (t == DISPERSIVE_GLASS))
     is_transmission = ((((t == GLASS) & ~glass_rough)
                         | (t == DISPERSIVE_GLASS)) & ~choose_refl) \
-        | ((t == TRANSLUCENT) & (u_lobe >= 0.5))
+        | ((t == TRANSLUCENT) & (u_lobe >= 0.5)) \
+        | (glass_rough & pick_rg_trans)
     flags = (is_specular.astype(jnp.int32) * FLAG_SPECULAR
              | is_transmission.astype(jnp.int32) * FLAG_TRANSMISSION)
     return wi, f, pdf, flags

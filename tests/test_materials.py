@@ -55,6 +55,8 @@ class TestBsdfConsistency:
          "substrate"),
         (dict(type=mat.DISNEY, kd=0.6, metallic=0.3, roughness=0.3,
               sheen=0.5, clearcoat=0.5), "disney"),
+        (dict(type=mat.GLASS, kr=1.0, kt=1.0, eta=1.5, roughness=0.2),
+         "rough-glass"),
     ])
     def test_sample_pdf_consistency(self, kw, label):
         mp = make_mp(50000, **kw)
@@ -70,6 +72,8 @@ class TestBsdfConsistency:
          "disney", 1.15),
         (dict(type=mat.MIRROR, kr=1.0), "mirror", 1.001),
         (dict(type=mat.GLASS, kr=1.0, kt=1.0, eta=1.5), "glass", 1.01),
+        (dict(type=mat.GLASS, kr=1.0, kt=1.0, eta=1.5, roughness=0.2),
+         "rough-glass", 1.05),
     ])
     def test_energy_conservation(self, kw, label, max_rho):
         """White-furnace: hemispherical albedo ≤ 1 (hair.cpp's white
