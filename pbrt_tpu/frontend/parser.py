@@ -156,6 +156,9 @@ class GraphicsState:
     reverse_orientation: bool = False
     named_materials: dict = field(default_factory=dict)
     textures: dict = field(default_factory=dict)
+    # MediumInterface (api.cpp pbrtMediumInterface): medium ids (−1 vacuum)
+    medium_in: int = -1
+    medium_out: int = -1
 
 
 class PbrtParser:
@@ -177,6 +180,7 @@ class PbrtParser:
         }
         self.object_defs = {}      # name → recorded shape list
         self.recording = None
+        self.named_media = {}      # MakeNamedMedium name → medium id
         # default material (api.cpp: matte)
         self.builder.add_material(type=mat_mod.MATTE, kd=0.5)
 
@@ -288,6 +292,9 @@ class PbrtParser:
             "xres": p.one("xresolution", 640),
             "yres": p.one("yresolution", 480),
             "filename": p.one("filename", "out.exr")}
+        if "cropwindow" in p:
+            cw = np.asarray(p["cropwindow"][1], np.float64).reshape(-1)[:4]
+            self.options["film"]["crop"] = tuple(cw)
 
     def _d_Sampler(self, tokens, peeked, nxt):
         name = nxt().strip('"')
@@ -360,6 +367,53 @@ class PbrtParser:
         klass = nxt().strip('"')
         p = parse_params(tokens, peeked)
         self.gs.textures[name] = (klass, p)
+
+    def _d_MakeNamedMedium(self, tokens, peeked, nxt):
+        """MakeNamedMedium (api.cpp pbrtMakeNamedMedium → MakeMedium,
+        media/homogeneous.cpp + media/grid.cpp factories)."""
+        from pbrt_tpu.scene import media as media_mod
+        name = nxt().strip('"')
+        p = parse_params(tokens, peeked)
+        mtype = p.one("type", "homogeneous")
+        C = self.builder.cfg.n_channels
+        scale = p.one("scale", 1.0)
+        sa = np.asarray(p.spectrum_rgb("sigma_a", (1.0, 1.0, 1.0)),
+                        np.float32) * scale
+        ss = np.asarray(p.spectrum_rgb("sigma_s", (1.0, 1.0, 1.0)),
+                        np.float32) * scale
+        g = p.one("g", 0.0)
+        if mtype == "heterogeneous" and "density" in p:
+            nx, ny, nz = (int(p.one("nx", 1)), int(p.one("ny", 1)),
+                          int(p.one("nz", 1)))
+            dens = np.asarray(p["density"][1], np.float32
+                              ).reshape(nz, ny, nx)
+            p0 = self._xf_point(p.point("p0", (0, 0, 0)))
+            p1 = self._xf_point(p.point("p1", (1, 1, 1)))
+            med = media_mod.make_grid(sa, ss, dens,
+                                      np.minimum(p0, p1),
+                                      np.maximum(p0, p1), g, C)
+        else:
+            med = media_mod.make_homogeneous(sa, ss, g, C)
+        self.named_media[name] = self.builder.add_medium(med)
+
+    def _d_MediumInterface(self, tokens, peeked, nxt):
+        """MediumInterface "inside" ["outside"] (api.cpp
+        pbrtMediumInterface); before WorldBegin it sets the camera medium
+        (graphicsState.currentInsideMedium → camera)."""
+        inside = nxt().strip('"')
+        outside = ""
+        t = nxt()
+        if t is not None and t.startswith('"'):
+            outside = t.strip('"')
+        elif t is not None:
+            peeked.append(t)
+        mi = self.named_media.get(inside, -1)
+        mo = self.named_media.get(outside, -1)
+        if not self.world:
+            self.builder.camera_med = mi
+        else:
+            self.gs.medium_in = mi
+            self.gs.medium_out = mo
 
     def _d_Material(self, tokens, peeked, nxt):
         name = nxt().strip('"')
@@ -523,6 +577,7 @@ class PbrtParser:
                 "disney": mat_mod.DISNEY,
                 "subsurface": mat_mod.SUBSURFACE,
                 "kdsubsurface": mat_mod.SUBSURFACE,
+                "hair": mat_mod.HAIR, "fourier": mat_mod.FOURIER,
                 "none": mat_mod.NONE, "": mat_mod.NONE}
         mtype = tmap.get(name, mat_mod.MATTE)
         kw = dict(type=mtype)
@@ -584,6 +639,33 @@ class PbrtParser:
                              ("eta", "eta")):
                 if p.one(pn) is not None:
                     kw[slot] = p.one(pn)
+        if name == "hair":
+            # materials/hair.cpp CreateHairMaterial: absorption from
+            # sigma_a | color | eumelanin/pheomelanin, in that priority
+            from pbrt_tpu.scene import hair as hair_mod
+            bn = p.one("beta_n", 0.3)
+            if p.spectrum_rgb("sigma_a") is not None:
+                sa = np.asarray(p.spectrum_rgb("sigma_a"))
+            elif p.spectrum_rgb("color") is not None:
+                sa = np.asarray(hair_mod.sigma_a_from_reflectance(
+                    np.asarray(p.spectrum_rgb("color"), np.float32), bn))
+            elif p.one("eumelanin") is not None \
+                    or p.one("pheomelanin") is not None:
+                sa = np.asarray(hair_mod.sigma_a_from_concentration(
+                    p.one("eumelanin", 1.3), p.one("pheomelanin", 0.0)))
+            else:
+                sa = np.asarray(hair_mod.sigma_a_from_concentration(1.3, 0.0))
+            kw["sss_sigma_a"] = tuple(np.asarray(sa, np.float64))
+            kw["beta_m"] = p.one("beta_m", 0.3)
+            kw["beta_n"] = bn
+            kw["hair_alpha"] = p.one("alpha", 2.0)
+            kw["eta"] = p.one("eta", 1.55)
+        if name == "fourier":
+            fn = p.one("bsdffile", "")
+            import os as _os
+            kw["fourier_id"] = b.add_fourier_table(
+                fn if _os.path.isabs(fn)
+                else _os.path.join(self.base_dir, fn))
         if name == "dispersive_glass":
             # Cauchy from (etaMin, etaMax) endpoints
             # (materials/dispersive_glass.cpp:62-64)
@@ -617,6 +699,19 @@ class PbrtParser:
         return self.builder.add_light(**kw)
 
     def _emit_shape(self, name, p: Params, gs: GraphicsState):
+        b = self.builder
+        marks = (len(b.tris), len(b.spheres), len(b.planes), len(b.disks))
+        self._emit_shape_inner(name, p, gs)
+        # stamp the attribute stack's MediumInterface onto every primitive
+        # row this shape added (GeometricPrimitive's mediumInterface)
+        if gs.medium_in != -1 or gs.medium_out != -1:
+            for rows, m in zip((b.tris, b.spheres, b.planes, b.disks),
+                               marks):
+                for r in rows[m:]:
+                    r["med_in"] = gs.medium_in
+                    r["med_out"] = gs.medium_out
+
+    def _emit_shape_inner(self, name, p: Params, gs: GraphicsState):
         b = self.builder
         mat = gs.material_id
         if name == "trianglemesh":
@@ -685,7 +780,12 @@ class PbrtParser:
                 cp = np.asarray(p["P"][1], np.float64).reshape(-1, 3)
                 w0 = p.one("width0", p.one("width", 1.0))
                 w1 = p.one("width1", p.one("width", 1.0))
-                v, fidx, nrm = tess.tessellate_curve(cp[:4], w0, w1)
+                v, fidx, curve_uv = tess.tessellate_curve(cp[:4], w0, w1)
+                pts_w = np.stack([self._xf_point(q) for q in v])
+                # ribbon uvs carry the hair parameterization (u along the
+                # fiber, v across → h); no transform needed
+                b.add_mesh(pts_w, fidx, mat=mat, uvs=curve_uv)
+                return
             pts_w = np.stack([self._xf_point(q) for q in v])
             normals = (np.stack([self._xf_normal(q) for q in nrm])
                        if nrm is not None else None)

@@ -37,6 +37,32 @@ def make_frame(ns: Array):
     return t1, t2
 
 
+def shading_frame(hit, mp=None):
+    """Shading basis; for HAIR rows t1 is aligned with the fiber tangent
+    ∂p/∂u (BSDF's ss = dpdu, core/reflection.h:170; hair.cpp's frame has x
+    along the fiber)."""
+    t1, t2 = make_frame(hit.ns)
+    if mp is not None and getattr(mp, "has_hair", False) \
+            and getattr(hit, "dpdu", None) is not None:
+        fiber = hit.dpdu - dot(hit.dpdu, hit.ns)[..., None] * hit.ns
+        ok = vecmath.length_squared(fiber) > 1e-12
+        fiber = normalize(jnp.where(ok[..., None], fiber, t1))
+        is_hair = mp.mtype == mat_mod.HAIR
+        t1 = jnp.where(is_hair[..., None], fiber, t1)
+        t2 = jnp.where(is_hair[..., None],
+                       vecmath.cross(hit.ns, fiber), t2)
+    return t1, t2
+
+
+def hair_offset(mp, hit):
+    """Hair azimuthal offset h ∈ [−1,1] from the ribbon's v coordinate
+    (curve.cpp: h = −1 + 2·v; our tessellated ribbons put v across the
+    width). None when the material table has no hair rows."""
+    if not getattr(mp, "has_hair", False):
+        return None
+    return jnp.clip(2.0 * hit.uv[..., 1] - 1.0, -1.0, 1.0)
+
+
 def to_local(t1, t2, n, w):
     return jnp.stack([dot(w, t1), dot(w, t2), dot(w, n)], axis=-1)
 
@@ -114,11 +140,12 @@ def estimate_direct(scene, hit, mp, wo_world: Array,
     g = lights_mod.gather_lights(lt, light_idx)
     is_portal_light = (g.ltype == AREA) & (g.n_portals > 0)
 
-    t1, t2 = make_frame(hit.ns)
+    t1, t2 = shading_frame(hit, mp)
     wo = to_local(t1, t2, hit.ns, wo_world)
 
     from pbrt_tpu.scene import textures as tex_mod
     kd_eff = tex_mod.resolve_kd(scene, mp, hit)
+    h_hair = hair_offset(mp, hit)
 
     # ---- light-strategy sample (Sample_Li)
     ls = lights_mod.sample_li(scene, light_idx, hit.p, u_light)
@@ -160,9 +187,11 @@ def estimate_direct(scene, hit, mp, wo_world: Array,
 
     # ---- BSDF at the sampled direction
     wi_loc = to_local(t1, t2, hit.ns, wi_nee)
-    f = mat_mod.bsdf_f(mp, wo, wi_loc, kd_override=kd_eff) \
+    f = mat_mod.bsdf_f(mp, wo, wi_loc, kd_override=kd_eff, h=h_hair,
+                       fourier=scene.fourier) \
         * absdot(wi_nee, hit.ns)[..., None]
-    scatter_pdf = mat_mod.bsdf_pdf(mp, wo, wi_loc)
+    scatter_pdf = mat_mod.bsdf_pdf(mp, wo, wi_loc, h=h_hair,
+                                   fourier=scene.fourier)
 
     # ---- combine
     ok = (pdf_nee > 0.0) & hit.valid
@@ -187,7 +216,8 @@ def estimate_direct(scene, hit, mp, wo_world: Array,
     # ---- BSDF-strategy half of two-sample MIS (non-portal, non-delta)
     if with_bsdf_half:
         wi_b_loc, f_b, pdf_b, flags = mat_mod.bsdf_sample(
-            mp, wo, u_bsdf_lobe, u_scatter, kd_override=kd_eff)
+            mp, wo, u_bsdf_lobe, u_scatter, kd_override=kd_eff,
+            h=h_hair, fourier=scene.fourier)
         wi_b = to_world(t1, t2, hit.ns, wi_b_loc)
         is_spec = (flags & mat_mod.FLAG_SPECULAR) > 0
         f_b = f_b * absdot(wi_b, hit.ns)[..., None]

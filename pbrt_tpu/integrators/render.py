@@ -187,14 +187,15 @@ def _li_loop(scene, o, d, pid, sidx, sfn, cfg: RenderConfig, power_distr,
             L = L + jnp.where(active[..., None], beta * ld, 0.0)
 
         # continuation (path.cpp:320-360)
-        t1, t2 = common.make_frame(hit.ns)
+        t1, t2 = common.shading_frame(hit, mp)
         wo = common.to_local(t1, t2, hit.ns, -d_cur)
         u_cl = sfn(pid, sidx, dims["cont_lobe"], cfg.seed)
         u_cu = _sample2(sfn, pid, sidx, dims["cont_u"], cfg.seed)
         from pbrt_tpu.scene import textures as tex_mod
         kd_eff = tex_mod.resolve_kd(scene, mp, hit)
-        wi_loc, f, pdf, flags = mat_mod.bsdf_sample(mp, wo, u_cl, u_cu,
-                                                    kd_override=kd_eff)
+        wi_loc, f, pdf, flags = mat_mod.bsdf_sample(
+            mp, wo, u_cl, u_cu, kd_override=kd_eff,
+            h=common.hair_offset(mp, hit), fourier=scene.fourier)
         wi = common.to_world(t1, t2, hit.ns, wi_loc)
         is_spec = (flags & mat_mod.FLAG_SPECULAR) > 0
         is_trans = (flags & mat_mod.FLAG_TRANSMISSION) > 0
@@ -284,19 +285,27 @@ _INTEGRATORS = {"path": li_path, "direct": li_direct,
 # ---------------------------------------------------------------------------
 
 @functools.partial(jax.jit, static_argnames=("cfg", "width", "height",
-                                             "chunk"))
+                                             "chunk", "crop"))
 def render_pass(scene, cam, filt, cfg: RenderConfig, width: int, height: int,
-                chunk: int, spp_offset, power_distr=None):
+                chunk: int, spp_offset, power_distr=None, crop=None):
     """Evaluate `chunk` samples for every pixel; returns (H,W,C) sum of
-    filter-weighted radiance (divide by total spp outside)."""
-    n_pix = width * height
-    pid = jnp.tile(jnp.arange(n_pix, dtype=jnp.uint32), chunk)
+    filter-weighted radiance (divide by total spp outside).
+
+    ``crop`` = (px0, py0, wc, hc) static cropped pixel bounds
+    (Film::croppedPixelBounds, core/film.cpp:58-66); sampler streams stay
+    keyed by full-image pixel position so a crop renders the identical
+    samples as the full frame."""
+    px0, py0, wc, hc = crop if crop is not None else (0, 0, width, height)
+    n_pix = wc * hc
+    lid = jnp.tile(jnp.arange(n_pix, dtype=jnp.uint32), chunk)
     sidx = (jnp.repeat(jnp.arange(chunk, dtype=jnp.uint32), n_pix)
             + spp_offset.astype(jnp.uint32))
     sfn = make_sampler(cfg.sampler)
 
-    px = (pid % width).astype(jnp.float32)
-    py = (pid // width).astype(jnp.float32)
+    px = (px0 + lid % wc).astype(jnp.float32)
+    py = (py0 + lid // wc).astype(jnp.float32)
+    pid = (py.astype(jnp.uint32) * jnp.uint32(width)
+           + px.astype(jnp.uint32))
     u_film = _sample2(sfn, pid, sidx, (0, 1), cfg.seed)
     off, w_filt = film_mod.sample_filter_offset(filt, u_film)
     p_film = jnp.stack([px + 0.5, py + 0.5], axis=-1) + off
@@ -316,17 +325,29 @@ def render_pass(scene, cam, filt, cfg: RenderConfig, width: int, height: int,
 
     contrib = L * w_filt[..., None]
     img = jnp.sum(contrib.reshape(chunk, n_pix, -1), axis=0)
-    return img.reshape(height, width, -1)
+    return img.reshape(hc, wc, -1)
 
 
 def render(scene, cam, spp: int = 16, integrator: str = "path",
            sampler: str = "independent", filter_name: str = "box",
            filter_kwargs: dict = None, max_depth: int = 5, seed: int = 0,
            chunk_spp: int = None, light_strategy: str = "uniform",
-           rr_threshold: float = 1.0) -> jnp.ndarray:
-    """Full render → (H, W, C) radiance image. Host loop over spp chunks."""
+           rr_threshold: float = 1.0, crop_window=None) -> jnp.ndarray:
+    """Full render → (H, W, C) radiance image. Host loop over spp chunks.
+
+    ``crop_window`` = (x0, x1, y0, y1) NDC fractions (Options::cropWindow /
+    Film "float cropwindow", core/film.cpp:58-66); the returned image is the
+    cropped region only."""
     res = np.asarray(cam.resolution)
     width, height = int(res[0]), int(res[1])
+    crop = None
+    if crop_window is not None:
+        x0, x1, y0, y1 = [float(v) for v in crop_window]
+        px0 = int(np.ceil(width * min(x0, x1)))
+        px1 = max(px0 + 1, int(np.ceil(width * max(x0, x1))))
+        py0 = int(np.ceil(height * min(y0, y1)))
+        py1 = max(py0 + 1, int(np.ceil(height * max(y0, y1))))
+        crop = (px0, py0, min(px1, width) - px0, min(py1, height) - py0)
     filt = film_mod.make_filter(filter_name, **(filter_kwargs or {}))
     cfg = RenderConfig(integrator=integrator, sampler=sampler,
                        max_depth=max_depth, seed=seed,
@@ -342,12 +363,15 @@ def render(scene, cam, spp: int = 16, integrator: str = "path",
     if light_strategy == "spatial":
         from pbrt_tpu.scene.lightdistrib import build_spatial_distribution
         power_distr = build_spatial_distribution(scene)
-    img = jnp.zeros((height, width, scene.n_channels))
+    out_h = crop[3] if crop else height
+    out_w = crop[2] if crop else width
+    img = jnp.zeros((out_h, out_w, scene.n_channels))
     done = 0
     while done < spp:
         c = min(chunk_spp, spp - done)
         img = img + render_pass(scene, cam, filt, cfg, width, height, c,
-                                jnp.asarray(done, jnp.uint32), power_distr)
+                                jnp.asarray(done, jnp.uint32), power_distr,
+                                crop=crop)
         done += c
     return img / spp
 

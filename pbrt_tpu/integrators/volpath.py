@@ -1,11 +1,17 @@
 """Volumetric path tracing.
 
 TPU-native counterpart of ``integrators/volpath.cpp``: per segment the
-medium is sampled for a scattering event (volpath.cpp:55-79); medium
+current medium is sampled for a scattering event (volpath.cpp:55-79); medium
 interactions do NEE with transmittance-weighted visibility and continue by
 Henyey–Greenstein phase sampling; surface interactions behave like `path`.
-The scene-global camera medium model (scene/media.py) carries the
-capability; beta weights follow homogeneous.cpp/grid.cpp sampling pdfs.
+
+Media attach per primitive (MediumInterface, core/medium.h:114 +
+GeometricPrimitive): rays carry a per-lane medium id that switches when a
+transmissive boundary is crossed (SurfaceInteraction::SpawnRay picking
+inside/outside, core/interaction.h:66-80), and shadow rays accumulate
+transmittance segment-by-segment through null-material boundaries
+(VisibilityTester::Tr, core/light.cpp:64-85). The legacy scene-global
+``camera_medium`` is treated as media=(m,) with camera_med=0.
 """
 
 from __future__ import annotations
@@ -26,10 +32,74 @@ from pbrt_tpu.scene import media as media_mod
 
 Array = Any
 
+# shadow rays pass through at most this many null-material boundaries
+# (VisibilityTester::Tr's unbounded while loop, bounded for the TPU)
+_TR_SEGMENTS = 4
+
+
+def _effective_media(scene):
+    media = tuple(getattr(scene, "media", ()) or ())
+    cam_med = getattr(scene, "camera_med", -1)
+    legacy = getattr(scene, "camera_medium", None)
+    if not media and legacy is not None:
+        media = (legacy,)
+        cam_med = 0
+    return media, cam_med
+
+
+def _crossing_medium(scene, prim_id, entering):
+    """Medium id after crossing prim_id (inside when entering)."""
+    pid = jnp.clip(prim_id, 0, scene.n_prims - 1)
+    m_in = scene.prim_med_in[pid]
+    m_out = scene.prim_med_out[pid]
+    return jnp.where(entering, m_in, m_out)
+
+
+def tr_segmented(scene, media, med0, p0, p1, seed):
+    """Transmittance p0→p1 through up to _TR_SEGMENTS null-material
+    boundaries (VisibilityTester::Tr): real-material hits block; null hits
+    accumulate the current medium's Tr and switch medium. Returns (R,C)."""
+    C = scene.n_channels
+    R = p0.shape[0]
+
+    def body(i, carry):
+        p, med, tr, done, blocked = carry
+        seg = p1 - p
+        dist = vecmath.length(seg)
+        dn = seg / jnp.maximum(dist, 1e-12)[..., None]
+        hit = isect_mod.intersect(scene, p, dn, dist * (1.0 - 1e-3))
+        mat_t = scene.prim_mat[jnp.clip(hit.prim_id, 0, scene.n_prims - 1)]
+        # NONE rows are pass-through boundaries
+        g = mat_mod.gather_materials(scene.materials, mat_t)
+        null_mat = g.mtype == mat_mod.NONE
+        passes = hit.valid & null_mat
+        blocks = hit.valid & ~null_mat
+
+        p_seg_end = jnp.where(hit.valid[..., None], hit.p, p1)
+        tr_seg = media_mod.transmittance_set(
+            media, med, p, p_seg_end, seed + jnp.uint32(i * 7919)) \
+            if media else jnp.ones((R, C))
+        tr = jnp.where(done[..., None], tr, tr * tr_seg)
+        blocked = blocked | (~done & blocks)
+        # cross the null boundary: switch medium, restart past the surface
+        entering = vecmath.dot(dn, hit.ng) < 0
+        med_next = _crossing_medium(scene, hit.prim_id, entering)
+        med = jnp.where(~done & passes, med_next, med)
+        p_next = vecmath.offset_ray_origin(hit.p, hit.ng, dn)
+        p = jnp.where((~done & passes)[..., None], p_next, p)
+        done = done | ~passes
+        return p, med, tr, done, blocked
+
+    tr0 = jnp.ones((R, C))
+    done0 = jnp.zeros(R, bool)
+    _, _, tr, _, blocked = jax.lax.fori_loop(
+        0, _TR_SEGMENTS, body, (p0, med0, tr0, done0, done0))
+    return jnp.where(blocked[..., None], 0.0, tr), blocked
+
 
 def li_volpath(scene, o, d, pid, sidx, sfn, cfg, power_distr):
-    med = getattr(scene, "camera_medium", None)
-    if med is None:
+    media, cam_med = _effective_media(scene)
+    if not media:
         from pbrt_tpu.integrators.render import li_path
         return li_path(scene, o, d, pid, sidx, sfn, cfg, power_distr)
 
@@ -42,30 +112,40 @@ def li_volpath(scene, o, d, pid, sidx, sfn, cfg, power_distr):
     active = zero_r == 0.0
     specular = zero_r == 0.0
     o_cur, d_cur = o, d
+    cur_med = jnp.full(R, cam_med, jnp.int32) + (zero_r).astype(jnp.int32)
 
-    def nee_from(p, ns_or_wo, is_medium, mp, wo_world, b, dims):
+    def nee_from(p, ns_or_wo, is_medium, cur_med, mp, wo_world, b, dims,
+                 hit):
         """NEE valid at both surface and medium vertices
         (volpath.cpp handleMedia path in EstimateDirect)."""
         u_sel = sfn(pid, sidx, dims["select"], cfg.seed)
         u_l = _sample2(sfn, pid, sidx, dims["light_u"], cfg.seed)
         light_idx, sel_pmf = common.choose_light(scene, u_sel, power_distr)
         ls = lights_mod.sample_li(scene, light_idx, p, u_l)
-        # geometric visibility
-        offset_n = jnp.where(is_medium[..., None], ls["wi"], ns_or_wo)
-        vis = isect_mod.unoccluded(scene, p, offset_n, ls["p_light"])
-        # medium transmittance along the shadow ray (VisibilityTester::Tr)
-        tr = media_mod.transmittance(
-            med, p, ls["p_light"],
+        # offset surface origins off the surface before the segmented trace
+        p_from = jnp.where(
+            is_medium[..., None], p,
+            vecmath.offset_ray_origin(p, ns_or_wo, ls["wi"]))
+        tr, blocked = tr_segmented(
+            scene, media, cur_med, p_from, ls["p_light"],
             pid * jnp.uint32(2654435761) + jnp.uint32(b))
         # scattering term
-        t1, t2 = common.make_frame(ns_or_wo)
+        t1, t2 = common.shading_frame(hit, mp)
+        t1 = jnp.where(is_medium[..., None],
+                       common.make_frame(ns_or_wo)[0], t1)
+        t2 = jnp.where(is_medium[..., None],
+                       common.make_frame(ns_or_wo)[1], t2)
         wi_loc = common.to_local(t1, t2, ns_or_wo, ls["wi"])
         wo_loc = common.to_local(t1, t2, ns_or_wo, wo_world)
-        f_surf = mat_mod.bsdf_f(mp, wo_loc, wi_loc) \
+        h_hair = common.hair_offset(mp, hit)
+        f_surf = mat_mod.bsdf_f(mp, wo_loc, wi_loc, h=h_hair,
+                                fourier=scene.fourier) \
             * absdot(ls["wi"], ns_or_wo)[..., None]
-        sp_surf = mat_mod.bsdf_pdf(mp, wo_loc, wi_loc)
+        sp_surf = mat_mod.bsdf_pdf(mp, wo_loc, wi_loc, h=h_hair,
+                                   fourier=scene.fourier)
         cos_t = vecmath.dot(wo_world, ls["wi"])
-        ph = media_mod.hg_phase(cos_t, med.g)
+        g_lane = media_mod.phase_g_set(media, cur_med)
+        ph = media_mod.hg_phase(cos_t, g_lane)
         f_med = jnp.broadcast_to(ph[..., None], (R, C))
         f = jnp.where(is_medium[..., None], f_med, f_surf)
         sp = jnp.where(is_medium, ph, sp_surf)
@@ -73,20 +153,21 @@ def li_volpath(scene, o, d, pid, sidx, sfn, cfg, power_distr):
                       power_heuristic(1.0, ls["pdf"] * sel_pmf, 1.0, sp))
         ld = f * ls["li"] * tr * (
             w / jnp.maximum(ls["pdf"] * sel_pmf, 1e-20))[..., None]
-        return jnp.where((vis & (ls["pdf"] > 0))[..., None], ld, 0.0)
+        return jnp.where((~blocked & (ls["pdf"] > 0))[..., None], ld, 0.0)
 
     def body(b, state):
-        L, beta, active, specular, o_cur, d_cur = state
+        L, beta, active, specular, o_cur, d_cur, cur_med = state
         dims = _bounce_dims(b)
         hit = isect_mod.intersect(scene, o_cur, d_cur,
                                   jnp.full(R, vecmath.INF))
         t_max = jnp.where(hit.valid, hit.t, 2.0 * scene.world_radius())
 
-        # ---- medium event sampling (volpath.cpp:55-66)
+        # ---- medium event sampling in the lane's current medium
+        # (volpath.cpp:55-66)
         u_med = sfn(pid, sidx, dims["mis_lobe"], cfg.seed)
         seed = pid * jnp.uint32(0x9e3779b9) + jnp.uint32(b)
-        t_m, in_medium, w_med, w_surf = media_mod.sample_distance(
-            med, o_cur, d_cur, t_max, u_med, seed)
+        t_m, in_medium, w_med, w_surf = media_mod.sample_distance_set(
+            media, cur_med, o_cur, d_cur, t_max, u_med, seed)
         beta = jnp.where(active[..., None],
                          beta * jnp.where(in_medium[..., None], w_med,
                                           w_surf), beta)
@@ -108,12 +189,15 @@ def li_volpath(scene, o, d, pid, sidx, sfn, cfg, power_distr):
         mp = mat_mod.gather_materials(
             scene.materials,
             scene.prim_mat[jnp.clip(hit.prim_id, 0, scene.n_prims - 1)])
+        is_null = mp.mtype == mat_mod.NONE
 
-        # ---- NEE from the actual vertex (medium point or surface point)
+        # ---- NEE from the actual vertex (medium point or surface point);
+        # null-material surfaces are not scattering vertices
         p_v = jnp.where(in_medium[..., None], p_med, hit.p)
         ns_v = jnp.where(in_medium[..., None], -d_cur, hit.ns)
-        alive_v = active & (in_medium | hit.valid)
-        ld = nee_from(p_v, ns_v, in_medium, mp, -d_cur, b, dims)
+        alive_v = active & (in_medium | (hit.valid & ~is_null))
+        ld = nee_from(p_v, ns_v, in_medium, cur_med, mp, -d_cur, b, dims,
+                      hit)
         L = L + jnp.where(alive_v[..., None], beta * ld, 0.0)
 
         # ---- continuation: phase sample (medium) or BSDF sample (surface)
@@ -121,15 +205,19 @@ def li_volpath(scene, o, d, pid, sidx, sfn, cfg, power_distr):
         u_cu = _sample2(sfn, pid, sidx, dims["cont_u"], cfg.seed)
         # pbrt convention: wo points back along the incoming ray; forward
         # scattering (g>0) then concentrates wi near -wo = d_cur
-        wi_med, _ = media_mod.sample_hg(-d_cur, u_cu, med.g)
+        g_lane = media_mod.phase_g_set(media, cur_med)
+        wi_med, _ = media_mod.sample_hg(-d_cur, u_cu, g_lane)
 
-        t1, t2 = common.make_frame(hit.ns)
+        t1, t2 = common.shading_frame(hit, mp)
         wo = common.to_local(t1, t2, hit.ns, -d_cur)
-        wi_loc, f, pdf, flags = mat_mod.bsdf_sample(mp, wo, u_cl, u_cu)
+        wi_loc, f, pdf, flags = mat_mod.bsdf_sample(
+            mp, wo, u_cl, u_cu, h=common.hair_offset(mp, hit),
+            fourier=scene.fourier)
         wi_surf = common.to_world(t1, t2, hit.ns, wi_loc)
         thr_surf = f * (absdot(wi_surf, hit.ns)
                         / jnp.maximum(pdf, 1e-20))[..., None]
         is_spec = (flags & mat_mod.FLAG_SPECULAR) > 0
+        is_trans = (flags & mat_mod.FLAG_TRANSMISSION) > 0
 
         wi = jnp.where(in_medium[..., None], wi_med, wi_surf)
         thr = jnp.where(in_medium[..., None], 1.0, thr_surf)  # HG: f/pdf=1
@@ -137,6 +225,13 @@ def li_volpath(scene, o, d, pid, sidx, sfn, cfg, power_distr):
         alive = active & (in_medium | ok_surf)
         beta_new = beta * thr
         alive = alive & (jnp.max(beta_new, -1) > 0) & (b < cfg.max_depth)
+
+        # ---- medium switch at transmissive boundary crossings
+        # (SpawnRay picking MediumInterface inside/outside)
+        crossed = alive & ~in_medium & is_trans
+        entering = vecmath.dot(wi, hit.ng) < 0
+        med_next = _crossing_medium(scene, hit.prim_id, entering)
+        cur_med = jnp.where(crossed, med_next, cur_med)
 
         # russian roulette
         rr_max = jnp.max(beta_new, -1)
@@ -155,10 +250,12 @@ def li_volpath(scene, o, d, pid, sidx, sfn, cfg, power_distr):
         beta = jnp.where(alive[..., None], beta_new, beta)
         o_cur = jnp.where(alive[..., None], o_next, o_cur)
         d_cur = jnp.where(alive[..., None], wi, d_cur)
-        specular = jnp.where(alive, is_spec & ~in_medium, specular)
+        # null boundaries stay "specular" so the next emission hit counts
+        specular = jnp.where(alive, (is_spec | is_null) & ~in_medium,
+                             specular)
         active = alive
-        return (L, beta, active, specular, o_cur, d_cur)
+        return (L, beta, active, specular, o_cur, d_cur, cur_med)
 
-    state = (L, beta, active, specular, o_cur, d_cur)
+    state = (L, beta, active, specular, o_cur, d_cur, cur_med)
     state = jax.lax.fori_loop(0, cfg.max_depth + 1, body, state)
     return state[0]

@@ -165,6 +165,26 @@ def fourier_sum(ak: Array, m: Array, cos_phi: Array, m_max: int) -> Array:
     return val
 
 
+def eval_fourier_set(tables, fourier_id: Array, wo: Array, wi: Array,
+                     n_channels: int) -> Array:
+    """Evaluate a tuple of FourierTables, dispatching per-ray on
+    ``fourier_id`` (MaterialTable.fourier_id gathered per hit). The table
+    count is static and small (one per distinct .bsdf file), so a masked
+    Python loop compiles to K fused evaluations — the TPU replacement for
+    FourierBSDF's per-hit table pointer."""
+    out = jnp.zeros(wo.shape[:-1] + (n_channels,))
+    for k, tbl in enumerate(tables):
+        rgb = eval_fourier(tbl, wo, wi)     # (R,3)
+        if n_channels == 3:
+            v = rgb
+        else:
+            # sampled-spectrum build: flat spectrum at the RGB mean (the
+            # measured tables are RGB; exact SPD upsampling is out of scope)
+            v = jnp.repeat(rgb.mean(-1, keepdims=True), n_channels, -1)
+        out = jnp.where((fourier_id == k)[..., None], v, out)
+    return out
+
+
 def eval_fourier(table: FourierTable, wo: Array, wi: Array) -> Array:
     """FourierBSDF::f (reflection.cpp) batched: wo, wi local-frame unit
     vectors (R,3) → (R,3) RGB (or greyscale broadcast)."""

@@ -147,6 +147,7 @@ def finalize_hit(scene, o, d, t, prim_id, results=None) -> Hit:
     ng = jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0]), (R, 3))
     ns = ng
     uv = jnp.zeros((R, 2))
+    dpdu = jnp.broadcast_to(jnp.array([1.0, 0.0, 0.0]), (R, 3))
 
     nt, nsp, npl = scene.n_tri, scene.n_sph, scene.n_pln
     if nt:
@@ -178,6 +179,17 @@ def finalize_hit(scene, o, d, t, prim_id, results=None) -> Hit:
         ng = jnp.where(is_tri[..., None], ngt, ng)
         ns = jnp.where(is_tri[..., None], nst, ns)
         uv = jnp.where(is_tri[..., None], uvt, uv)
+        # ∂p/∂u from the uv parameterization (triangle.cpp:157-168)
+        duv1 = g.tri_uv1[ti] - g.tri_uv0[ti]
+        duv2 = g.tri_uv2[ti] - g.tri_uv0[ti]
+        det = duv1[..., 0] * duv2[..., 1] - duv1[..., 1] * duv2[..., 0]
+        inv = jnp.where(jnp.abs(det) > 1e-12, 1.0 / jnp.where(
+            jnp.abs(det) > 1e-12, det, 1.0), 0.0)
+        dpdu_t = (duv2[..., 1:2] * e1 - duv1[..., 1:2] * e2) * inv[..., None]
+        # degenerate uvs → arbitrary in-plane tangent
+        t1_fb, _ = vecmath.coordinate_system(ngt)
+        dpdu_t = jnp.where((jnp.abs(det) > 1e-12)[..., None], dpdu_t, t1_fb)
+        dpdu = jnp.where(is_tri[..., None], dpdu_t, dpdu)
     if nsp:
         si = jnp.clip(prim_id - nt, 0, nsp - 1)
         is_sph = valid & (prim_id >= nt) & (prim_id < nt + nsp)
@@ -186,6 +198,15 @@ def finalize_hit(scene, o, d, t, prim_id, results=None) -> Hit:
         ng = jnp.where(is_sph[..., None], nsph, ng)
         ns = jnp.where(is_sph[..., None], nsph, ns)
         uv = jnp.where(is_sph[..., None], uvs, uv)
+        # ∂p/∂u = 2π·(−y, x, 0) in sphere-local coords (sphere.cpp:145)
+        pl = p - g.sph_center[si]
+        dpdu_s = 2.0 * jnp.pi * jnp.stack(
+            [-pl[..., 1], pl[..., 0], jnp.zeros_like(pl[..., 0])], axis=-1)
+        t1_fbs, _ = vecmath.coordinate_system(nsph)
+        dpdu_s = jnp.where(
+            (vecmath.length_squared(dpdu_s) > 1e-12)[..., None],
+            dpdu_s, t1_fbs)
+        dpdu = jnp.where(is_sph[..., None], dpdu_s, dpdu)
     if npl:
         pi = jnp.clip(prim_id - nt - nsp, 0, npl - 1)
         is_pln = valid & (prim_id >= nt + nsp) & (prim_id < nt + nsp + npl)
@@ -203,7 +224,7 @@ def finalize_hit(scene, o, d, t, prim_id, results=None) -> Hit:
     # (pbrt keeps ng independent); shading normal faceforwarded to ng
     ns = vecmath.face_forward(ns, ng)
     return Hit(valid=valid, t=t, p=p, ng=ng, ns=ns, uv=uv,
-               prim_id=jnp.where(valid, prim_id, -1))
+               prim_id=jnp.where(valid, prim_id, -1), dpdu=dpdu)
 
 
 def _intersect_p_brute(scene, o: Array, d: Array, tmax: Array) -> Array:

@@ -46,6 +46,8 @@ TRANSLUCENT = 8
 NONE = 9          # medium interface / null material → pass-through
 DISNEY = 10
 SUBSURFACE = 11
+HAIR = 12         # materials/hair.cpp — Marschner/Chiang fiber BSDF
+FOURIER = 13      # materials/fourier.cpp — measured FourierBSDF tables
 
 # sampled-lobe flags (BxDFType analogue, reflection.h:70-80)
 FLAG_SPECULAR = 1
@@ -79,10 +81,23 @@ class MaterialTable:
     sheen_tint: Array      # (M,)
     clearcoat: Array       # (M,)
     clearcoat_gloss: Array  # (M,)
+    # hair fiber parameters (materials/hair.cpp; absorption rides in
+    # sss_sigma_a)
+    beta_m: Array          # (M,) longitudinal roughness
+    beta_n: Array          # (M,) azimuthal roughness
+    hair_alpha: Array      # (M,) scale tilt, degrees
+    # fourier: index into the scene's stacked FourierBSDF tables (−1 none)
+    fourier_id: Array      # (M,) int32
     # texture hooks (−1 = constant): resolved by scene/textures.py
     kd_tex: Array      # (M,) int32
     sigma_tex: Array   # (M,) int32
     bump_tex: Array    # (M,) int32
+    # static family flags let bsdf_* skip whole lobe families at trace time
+    # (pure-Python bools, uniform across the table)
+    has_hair: bool = dataclasses.field(metadata=dict(static=True),
+                                       default=False)
+    has_fourier: bool = dataclasses.field(metadata=dict(static=True),
+                                          default=False)
 
 
 def make_material_table(rows: list[dict], n_channels: int) -> MaterialTable:
@@ -117,9 +132,15 @@ def make_material_table(rows: list[dict], n_channels: int) -> MaterialTable:
         sheen_tint=jnp.asarray(f("sheen_tint", 0.5)),
         clearcoat=jnp.asarray(f("clearcoat", 0.0)),
         clearcoat_gloss=jnp.asarray(f("clearcoat_gloss", 1.0)),
+        beta_m=jnp.asarray(f("beta_m", 0.3)),
+        beta_n=jnp.asarray(f("beta_n", 0.3)),
+        hair_alpha=jnp.asarray(f("hair_alpha", 2.0)),
+        fourier_id=jnp.asarray(i32("fourier_id", -1)),
         kd_tex=jnp.asarray(i32("kd_tex", -1)),
         sigma_tex=jnp.asarray(i32("sigma_tex", -1)),
         bump_tex=jnp.asarray(i32("bump_tex", -1)),
+        has_hair=any(r.get("type") == HAIR for r in rows),
+        has_fourier=any(r.get("type") == FOURIER for r in rows),
     )
 
 
@@ -456,12 +477,15 @@ def _mat_alpha(mp: MaterialTable) -> Array:
     return jnp.maximum(roughness_to_alpha(mp.roughness), 1e-4)
 
 
-def bsdf_f(mp: MaterialTable, wo: Array, wi: Array, kd_override=None
-           ) -> Array:
+def bsdf_f(mp: MaterialTable, wo: Array, wi: Array, kd_override=None,
+           h=None, fourier=None) -> Array:
     """Evaluate the non-delta part of the BSDF: f(wo, wi), (R,C).
 
     Mirrors BSDF::f dispatch over lobes (reflection.cpp:575+): each
     material type's non-specular lobes are evaluated and masked together.
+    ``h`` (R,) is the hair azimuthal offset (curve ribbon v → [−1,1]);
+    ``fourier`` is the scene's stacked FourierBSDF tables. Both are only
+    consulted when the table's static family flags say the type exists.
     """
     t = mp.mtype
     C = mp.kd.shape[-1]
@@ -534,11 +558,22 @@ def bsdf_f(mp: MaterialTable, wo: Array, wi: Array, kd_override=None
     out = jnp.where(glass_rough[..., None], rough_glass_f, out)
     out = jnp.where((t == DISNEY)[..., None], _disney_f(mp, kd, wo, wi),
                     out)
+    if mp.has_hair:
+        from pbrt_tpu.scene import hair as hair_mod
+        hh = jnp.zeros(wo.shape[:-1]) if h is None else h
+        hf = hair_mod.hair_f(wo, wi, hh, mp.sss_sigma_a,
+                             mp.beta_m, mp.beta_n, mp.hair_alpha, mp.eta)
+        out = jnp.where((t == HAIR)[..., None], hf, out)
+    if mp.has_fourier and fourier is not None:
+        from pbrt_tpu.scene import fourier as fourier_mod
+        ff = fourier_mod.eval_fourier_set(fourier, mp.fourier_id, wo, wi, C)
+        out = jnp.where((t == FOURIER)[..., None], ff, out)
     # MIRROR / smooth GLASS / DISPERSIVE_GLASS are pure-delta: f = 0
     return out
 
 
-def bsdf_pdf(mp: MaterialTable, wo: Array, wi: Array) -> Array:
+def bsdf_pdf(mp: MaterialTable, wo: Array, wi: Array, h=None,
+             fourier=None) -> Array:
     """Solid-angle pdf of bsdf_sample for non-delta materials (R,)."""
     t = mp.mtype
     refl = same_hemisphere(wo, wi)
@@ -561,11 +596,21 @@ def bsdf_pdf(mp: MaterialTable, wo: Array, wi: Array) -> Array:
     out = jnp.where(t == TRANSLUCENT, trans_pdf, out)
     out = jnp.where(glass_rough, rough_glass_pdf, out)
     out = jnp.where(t == DISNEY, _disney_pdf(mp, wo, wi), out)
+    if mp.has_hair:
+        from pbrt_tpu.scene import hair as hair_mod
+        hh = jnp.zeros(wo.shape[:-1]) if h is None else h
+        hp = hair_mod.hair_pdf(wo, wi, hh, mp.sss_sigma_a,
+                               mp.beta_m, mp.beta_n, mp.hair_alpha, mp.eta)
+        out = jnp.where(t == HAIR, hp, out)
+    if mp.has_fourier:
+        # fourier sampling uses a two-sided cosine lobe (see bsdf_sample)
+        f_pdf = 0.5 * abs_cos_theta(wi) * INV_PI
+        out = jnp.where(t == FOURIER, f_pdf, out)
     return out
 
 
 def bsdf_sample(mp: MaterialTable, wo: Array, u_lobe: Array, u: Array,
-                kd_override=None, eta_override=None):
+                kd_override=None, eta_override=None, h=None, fourier=None):
     """Sample wi ~ BSDF (BSDF::Sample_f, reflection.cpp:605+).
 
     Returns (wi, f, pdf, flags) with the convention that for specular lobes
@@ -684,6 +729,34 @@ def bsdf_sample(mp: MaterialTable, wo: Array, u_lobe: Array, u: Array,
     f_rg = jnp.where(rg_ok[..., None], f_rg, 0.0)
     pdf_rg = jnp.where(rg_ok, pdf_rg, 0.0)
 
+    # NONE (null material = pure medium interface): the ray passes straight
+    # through; f/|cos| folded so beta *= f·|cos|/pdf is exactly 1
+    # (GeometricPrimitive::ComputeScatteringFunctions early-out when
+    # !material, core/primitive.cpp)
+    wi_none = -wo
+    f_none = jnp.ones(R + (C,)) \
+        / jnp.maximum(abs_cos_theta(wi_none), 1e-6)[..., None]
+
+    # HAIR: exact Ap/Mp/Np importance sampling (hair.cpp Sample_f)
+    if mp.has_hair:
+        from pbrt_tpu.scene import hair as hair_mod
+        hh = jnp.zeros(R) if h is None else h
+        wi_hair, f_hair, pdf_hair = hair_mod.hair_sample(
+            wo, hh, mp.sss_sigma_a, u_lobe, u[..., 0], u[..., 1],
+            beta_m=mp.beta_m, beta_n=mp.beta_n, alpha=mp.hair_alpha,
+            eta=mp.eta)
+
+    # FOURIER: two-sided cosine lobe; f from the measured table
+    if mp.has_fourier:
+        from pbrt_tpu.scene import fourier as fourier_mod
+        wi_four = jnp.where((u_lobe < 0.5)[..., None], wi_cos, -wi_cos)
+        pdf_four = 0.5 * abs_cos_theta(wi_four) * INV_PI
+        if fourier is not None:
+            f_four = fourier_mod.eval_fourier_set(
+                fourier, mp.fourier_id, wo, wi_four, C)
+        else:
+            f_four = jnp.zeros(R + (C,))
+
     # ---------------- select outputs by type
     def sel(vals, default):
         out = default
@@ -695,42 +768,61 @@ def bsdf_sample(mp: MaterialTable, wo: Array, u_lobe: Array, u: Array,
         return out
 
     zeroC = jnp.zeros(R + (C,))
-    wi = sel([((t == MATTE), wi_cos),
-              ((t == PLASTIC) | (t == UBER) | (t == SUBSTRATE), wi_pl),
-              ((t == METAL), wi_mf),
-              (glass_rough, wi_rg),
-              ((t == MIRROR), wi_mirror),
-              (((t == GLASS) & ~glass_rough) | (t == DISPERSIVE_GLASS),
-               wi_glass),
-              ((t == TRANSLUCENT), wi_tr),
-              ((t == DISNEY), wi_dis)], wi_cos)
-    f = sel([((t == MATTE), f_matte),
-             ((t == PLASTIC) | (t == UBER) | (t == SUBSTRATE), f_pl),
-             ((t == METAL), f_metal),
-             (glass_rough, f_rg),
-             ((t == MIRROR), f_mirror),
-             (((t == GLASS) & ~glass_rough) | (t == DISPERSIVE_GLASS),
-              f_glass),
-             ((t == TRANSLUCENT), f_tr),
-             ((t == DISNEY), f_dis)], zeroC)
-    pdf = sel([((t == MATTE), pdf_matte[..., None]),
-               ((t == PLASTIC) | (t == UBER) | (t == SUBSTRATE),
-                pdf_pl[..., None]),
-               ((t == METAL), pdf_metal[..., None]),
-               (glass_rough, pdf_rg[..., None]),
-               ((t == MIRROR), jnp.ones(R + (1,))),
+    wi_rows = [((t == MATTE), wi_cos),
+               ((t == PLASTIC) | (t == UBER) | (t == SUBSTRATE), wi_pl),
+               ((t == METAL), wi_mf),
+               (glass_rough, wi_rg),
+               ((t == MIRROR), wi_mirror),
                (((t == GLASS) & ~glass_rough) | (t == DISPERSIVE_GLASS),
-                pdf_glass[..., None]),
-               ((t == TRANSLUCENT), pdf_tr[..., None]),
-               ((t == DISNEY), pdf_dis[..., None])],
-              pdf_matte[..., None])[..., 0]
+                wi_glass),
+               ((t == TRANSLUCENT), wi_tr),
+               ((t == DISNEY), wi_dis)]
+    f_rows = [((t == MATTE), f_matte),
+              ((t == PLASTIC) | (t == UBER) | (t == SUBSTRATE), f_pl),
+              ((t == METAL), f_metal),
+              (glass_rough, f_rg),
+              ((t == MIRROR), f_mirror),
+              (((t == GLASS) & ~glass_rough) | (t == DISPERSIVE_GLASS),
+               f_glass),
+              ((t == TRANSLUCENT), f_tr),
+              ((t == DISNEY), f_dis)]
+    pdf_rows = [((t == MATTE), pdf_matte[..., None]),
+                ((t == PLASTIC) | (t == UBER) | (t == SUBSTRATE),
+                 pdf_pl[..., None]),
+                ((t == METAL), pdf_metal[..., None]),
+                (glass_rough, pdf_rg[..., None]),
+                ((t == MIRROR), jnp.ones(R + (1,))),
+                (((t == GLASS) & ~glass_rough) | (t == DISPERSIVE_GLASS),
+                 pdf_glass[..., None]),
+                ((t == TRANSLUCENT), pdf_tr[..., None]),
+                ((t == DISNEY), pdf_dis[..., None])]
+    if mp.has_hair:
+        wi_rows.append(((t == HAIR), wi_hair))
+        f_rows.append(((t == HAIR), f_hair))
+        pdf_rows.append(((t == HAIR), pdf_hair[..., None]))
+    if mp.has_fourier:
+        wi_rows.append(((t == FOURIER), wi_four))
+        f_rows.append(((t == FOURIER), f_four))
+        pdf_rows.append(((t == FOURIER), pdf_four[..., None]))
+    wi_rows.append(((t == NONE), wi_none))
+    f_rows.append(((t == NONE), f_none))
+    pdf_rows.append(((t == NONE), jnp.ones(R + (1,))))
+    wi = sel(wi_rows, wi_cos)
+    f = sel(f_rows, zeroC)
+    pdf = sel(pdf_rows, pdf_matte[..., None])[..., 0]
 
     is_specular = ((t == MIRROR) | ((t == GLASS) & ~glass_rough)
-                   | (t == DISPERSIVE_GLASS))
+                   | (t == DISPERSIVE_GLASS) | (t == NONE))
     is_transmission = ((((t == GLASS) & ~glass_rough)
                         | (t == DISPERSIVE_GLASS)) & ~choose_refl) \
         | ((t == TRANSLUCENT) & (u_lobe >= 0.5)) \
-        | (glass_rough & pick_rg_trans)
+        | (glass_rough & pick_rg_trans) | (t == NONE)
+    if mp.has_hair:
+        is_transmission = is_transmission | \
+            ((t == HAIR) & ~same_hemisphere(wo, wi))
+    if mp.has_fourier:
+        is_transmission = is_transmission | \
+            ((t == FOURIER) & ~same_hemisphere(wo, wi))
     flags = (is_specular.astype(jnp.int32) * FLAG_SPECULAR
              | is_transmission.astype(jnp.int32) * FLAG_TRANSMISSION)
     return wi, f, pdf, flags

@@ -221,3 +221,50 @@ def sample_distance(med: Medium, o: Array, dn: Array, t_max: Array,
                              t.shape + (C,))
     w_surf = jnp.ones(t.shape + (C,))
     return t, sampled, w_med, w_surf
+
+
+# ---------------------------------------------------------------------------
+# Per-primitive medium sets (MediumInterface, core/medium.h:114 +
+# GeometricPrimitive's inside/outside media). Media live in a static tuple
+# on the Scene; rays carry a per-lane medium id (−1 = vacuum) and the set
+# functions dispatch by masked evaluation over the (small, static) tuple.
+# ---------------------------------------------------------------------------
+
+def transmittance_set(media, med_id: Array, p0: Array, p1: Array,
+                      u_seed: Array) -> Array:
+    """Tr between two points through the per-lane medium ``med_id``
+    (−1 → vacuum, Tr = 1). media: static tuple of Medium."""
+    C = media[0].sigma_t.shape[0] if media else 3
+    out = jnp.ones(p0.shape[:-1] + (C,))
+    for k, med in enumerate(media):
+        tr_k = transmittance(med, p0, p1, u_seed)
+        out = jnp.where((med_id == k)[..., None], tr_k, out)
+    return out
+
+
+def sample_distance_set(media, med_id: Array, o: Array, dn: Array,
+                        t_max: Array, u: Array, u_seed: Array):
+    """sample_distance dispatched on per-lane medium id; vacuum lanes never
+    scatter (sampled=False, weights=1)."""
+    C = media[0].sigma_t.shape[0] if media else 3
+    R = t_max.shape
+    t = jnp.minimum(t_max, t_max)
+    sampled = jnp.zeros(R, bool)
+    w_med = jnp.ones(R + (C,))
+    w_surf = jnp.ones(R + (C,))
+    for k, med in enumerate(media):
+        t_k, s_k, wm_k, ws_k = sample_distance(med, o, dn, t_max, u, u_seed)
+        sel = med_id == k
+        t = jnp.where(sel, t_k, t)
+        sampled = jnp.where(sel, s_k, sampled)
+        w_med = jnp.where(sel[..., None], wm_k, w_med)
+        w_surf = jnp.where(sel[..., None], ws_k, w_surf)
+    return t, sampled, w_med, w_surf
+
+
+def phase_g_set(media, med_id: Array) -> Array:
+    """Per-lane HG asymmetry g for the lane's current medium (0 in vacuum)."""
+    g = jnp.zeros(med_id.shape)
+    for k, med in enumerate(media):
+        g = jnp.where(med_id == k, med.g, g)
+    return g

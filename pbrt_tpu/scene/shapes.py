@@ -43,6 +43,9 @@ class Hit:
     ns: Array       # (R,3) shading normal
     uv: Array       # (R,2)
     prim_id: Array  # (R,) global primitive index (-1 = miss)
+    # ∂p/∂u (unnormalized): the u-parametric tangent. Triangle uv gradient
+    # solve (triangle.cpp:157-168); drives hair fiber frames + anisotropy.
+    dpdu: Array = None  # (R,3) or None when the intersector skips it
 
 
 # ---------------------------------------------------------------------------

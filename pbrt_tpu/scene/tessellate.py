@@ -156,7 +156,14 @@ def tessellate_curve(cp: np.ndarray, width0: float, width1: float,
         a = 2 * k
         faces.append((a, a + 2, a + 3))
         faces.append((a, a + 3, a + 1))
-    return verts, np.asarray(faces, np.int32), None
+    # uv: u along the curve, v across the ribbon width (curve.cpp's
+    # parameterization; hair BSDF derives h = −1 + 2v from it)
+    uvs = np.zeros((2 * (n_seg + 1), 2), np.float32)
+    uvs[0::2, 0] = us
+    uvs[1::2, 0] = us
+    uvs[0::2, 1] = 0.0
+    uvs[1::2, 1] = 1.0
+    return verts, np.asarray(faces, np.int32), uvs
 
 
 def _nurbs_basis(i, k, t, knots):

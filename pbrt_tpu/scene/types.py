@@ -82,6 +82,17 @@ class Scene:
     n_channels: int = dataclasses.field(metadata=dict(static=True))
     has_sss: bool = dataclasses.field(metadata=dict(static=True),
                                       default=False)
+    # tuple of scene/fourier.py FourierTables (() = none); material rows
+    # reference them by MaterialTable.fourier_id
+    fourier: Any = ()
+    # per-primitive interior/exterior media (MediumInterface,
+    # core/medium.h:114): static tuple of scene/media.py Medium + (N,)
+    # int32 ids (−1 = vacuum); camera_med is the camera-side medium id
+    media: Any = ()
+    prim_med_in: Optional[Array] = None
+    prim_med_out: Optional[Array] = None
+    camera_med: int = dataclasses.field(metadata=dict(static=True),
+                                        default=-1)
 
     @property
     def n_prims(self) -> int:
@@ -109,6 +120,24 @@ class SceneBuilder:
         self.light_rows = []  # parameter dicts (scene/lights.py)
         self.texture_rows = []  # parameter dicts (scene/textures.py)
         self.images = []      # (H,W,C) numpy arrays for imagemap textures
+        self.fourier_tables = []  # scene/fourier.py FourierTables
+        self.media = []       # scene/media.py Medium rows
+        self.camera_med = -1  # camera-side medium id (−1 vacuum)
+
+    def add_medium(self, medium) -> int:
+        """Register a participating medium (MakeNamedMedium's role);
+        returns the id used by shape med_in/med_out and camera_med."""
+        self.media.append(medium)
+        return len(self.media) - 1
+
+    def add_fourier_table(self, table_or_path) -> int:
+        """Register a measured FourierBSDF table (materials/fourier.cpp);
+        returns the id for MaterialTable.fourier_id."""
+        if isinstance(table_or_path, str):
+            from pbrt_tpu.scene import fourier as fourier_mod
+            table_or_path = fourier_mod.read_bsdf(table_or_path)
+        self.fourier_tables.append(table_or_path)
+        return len(self.fourier_tables) - 1
 
     def add_texture(self, **params) -> int:
         for key in ("v1", "v2"):
@@ -152,14 +181,15 @@ class SceneBuilder:
 
     # -- shapes ------------------------------------------------------------
     def add_triangle(self, v0, v1, v2, mat=0, light=-1, n0=None, n1=None,
-                     n2=None, uv0=(0, 0), uv1=(1, 0), uv2=(1, 1)):
+                     n2=None, uv0=(0, 0), uv1=(1, 0), uv2=(1, 1),
+                     med_in=-1, med_out=-1):
         self.tris.append(dict(v0=v0, v1=v1, v2=v2, n0=n0, n1=n1, n2=n2,
                               uv0=uv0, uv1=uv1, uv2=uv2, mat=mat,
-                              light=light))
+                              light=light, med_in=med_in, med_out=med_out))
         return len(self.tris) - 1
 
     def add_mesh(self, vertices, indices, mat=0, light=-1, normals=None,
-                 uvs=None):
+                 uvs=None, med_in=-1, med_out=-1):
         """trianglemesh: vertices (V,3), indices (F,3)."""
         vertices = np.asarray(vertices, np.float32)
         indices = np.asarray(indices, np.int32).reshape(-1, 3)
@@ -171,23 +201,30 @@ class SceneBuilder:
                           n2=normals[f[2]])
             if uvs is not None:
                 kw.update(uv0=uvs[f[0]], uv1=uvs[f[1]], uv2=uvs[f[2]])
+            kw.update(med_in=med_in, med_out=med_out)
             ids.append(self.add_triangle(vertices[f[0]], vertices[f[1]],
                                          vertices[f[2]], mat, light, **kw))
         return ids
 
-    def add_sphere(self, center, radius, mat=0, light=-1):
+    def add_sphere(self, center, radius, mat=0, light=-1, med_in=-1,
+                   med_out=-1):
         self.spheres.append(dict(center=center, radius=radius, mat=mat,
-                                 light=light))
+                                 light=light, med_in=med_in,
+                                 med_out=med_out))
         return len(self.spheres) - 1
 
-    def add_aaplane(self, lo, hi, axis, facing_fw=True, mat=0, light=-1):
+    def add_aaplane(self, lo, hi, axis, facing_fw=True, mat=0, light=-1,
+                    med_in=-1, med_out=-1):
         self.planes.append(dict(lo=lo, hi=hi, ax=axis, facing=facing_fw,
-                                mat=mat, light=light))
+                                mat=mat, light=light, med_in=med_in,
+                                med_out=med_out))
         return len(self.planes) - 1
 
-    def add_disk(self, center, normal, radius, inner=0.0, mat=0, light=-1):
+    def add_disk(self, center, normal, radius, inner=0.0, mat=0, light=-1,
+                 med_in=-1, med_out=-1):
         self.disks.append(dict(center=center, normal=normal, radius=radius,
-                               inner=inner, mat=mat, light=light))
+                               inner=inner, mat=mat, light=light,
+                               med_in=med_in, med_out=med_out))
         return len(self.disks) - 1
 
     # -- finalize ----------------------------------------------------------
@@ -261,8 +298,8 @@ class SceneBuilder:
                            np.float32)),
         )
 
-        def ids(rows, k):
-            return np.asarray([r[k] for r in rows], np.int32) \
+        def ids(rows, k, default=0):
+            return np.asarray([r.get(k, default) for r in rows], np.int32) \
                 if rows else np.zeros(0, np.int32)
 
         prim_mat = np.concatenate([ids(self.tris, "mat"),
@@ -273,9 +310,19 @@ class SceneBuilder:
                                      ids(self.spheres, "light"),
                                      ids(self.planes, "light"),
                                      ids(self.disks, "light")])
+        med_in = np.concatenate([ids(self.tris, "med_in", -1),
+                                 ids(self.spheres, "med_in", -1),
+                                 ids(self.planes, "med_in", -1),
+                                 ids(self.disks, "med_in", -1)])
+        med_out = np.concatenate([ids(self.tris, "med_out", -1),
+                                  ids(self.spheres, "med_out", -1),
+                                  ids(self.planes, "med_out", -1),
+                                  ids(self.disks, "med_out", -1)])
         if prim_mat.size == 0:
             prim_mat = np.zeros(1, np.int32)
             prim_light = -np.ones(1, np.int32)
+            med_in = -np.ones(1, np.int32)
+            med_out = -np.ones(1, np.int32)
 
         # world bounds
         pts = [tv0[:nt].reshape(-1, 3), tv1[:nt].reshape(-1, 3),
@@ -313,7 +360,12 @@ class SceneBuilder:
             bvh=None, camera_medium=None,
             textures=None,
             n_tri=nt, n_sph=ns, n_pln=npl, n_dsk=nd,
-            n_channels=self.cfg.n_channels, has_sss=has_sss)
+            n_channels=self.cfg.n_channels, has_sss=has_sss,
+            fourier=tuple(self.fourier_tables),
+            media=tuple(self.media),
+            prim_med_in=jnp.asarray(med_in),
+            prim_med_out=jnp.asarray(med_out),
+            camera_med=self.camera_med)
         lights = lights_mod.build_light_table(self, scene)
         scene = dataclasses.replace(scene, lights=lights)
         if self.texture_rows:

@@ -27,6 +27,10 @@ def main(argv=None):
                     help="use 60-bin sampled spectra (hero integrators)")
     ap.add_argument("--cpu", action="store_true",
                     help="force CPU backend")
+    ap.add_argument("--cropwindow", type=float, nargs=4, default=None,
+                    metavar=("X0", "X1", "Y0", "Y1"),
+                    help="render a sub-window (NDC fractions, pbrt "
+                         "--cropwindow)")
     args = ap.parse_args(argv)
 
     if args.cpu:
@@ -61,9 +65,11 @@ def main(argv=None):
               f"({integrator}, sampler {opts['sampler']})", file=sys.stderr)
     t0 = time.time()
     filt_name, filt_kwargs = opts.get("filter", ("box", {}))
+    crop = args.cropwindow or opts["film"].get("crop")
     img = render(scene, cam, spp=spp, integrator=integrator,
                  sampler=opts["sampler"], max_depth=opts["max_depth"],
-                 filter_name=filt_name, filter_kwargs=filt_kwargs)
+                 filter_name=filt_name, filter_kwargs=filt_kwargs,
+                 crop_window=crop)
     img = np.asarray(img)
     if img.shape[-1] != 3:
         img = np.asarray(spec_mod.spectrum_to_rgb(img))

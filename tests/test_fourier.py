@@ -70,3 +70,33 @@ class TestFourierBSDF:
                 ak, jnp.asarray([3]), jnp.asarray([np.cos(phi)]), 3)[0])
             expect = 0.5 + 0.25 * np.cos(phi) + 0.1 * np.cos(2 * phi)
             np.testing.assert_allclose(v, expect, atol=1e-5)
+
+
+class TestFourierMaterial:
+    def test_fourier_sphere_furnace(self):
+        """A FOURIER material backed by a lambertian SCATFUN table renders
+        like matte: sphere furnace mean = rho·L (material-row wiring through
+        scene.fourier + MaterialTable.fourier_id)."""
+        from pbrt_tpu.core.spectrum import RGB
+        from pbrt_tpu.core import transform
+        from pbrt_tpu.integrators import render
+        from pbrt_tpu.scene import camera as cam_mod
+        from pbrt_tpu.scene import materials as mat
+        from pbrt_tpu.scene.types import SceneBuilder
+
+        with tempfile.TemporaryDirectory() as td:
+            p = os.path.join(td, "lam.bsdf")
+            make_lambertian_table(p, rho=0.5, n_mu=64)
+            b = SceneBuilder(RGB)
+            fid = b.add_fourier_table(p)
+            m = b.add_material(type=mat.FOURIER, fourier_id=fid)
+            b.add_sphere((0, 0, 3), 1.0, mat=m)
+            b.add_light(type="infinite", L=1.0,
+                        env_map=np.ones((1, 1, 3), np.float32))
+            scene = b.build()
+            cam = cam_mod.make_perspective(
+                transform.look_at((0, 0, 0), (0, 0, 3), (0, 1, 0)),
+                20.0, (10, 10))
+            img = np.asarray(render(scene, cam, spp=196, integrator="path",
+                                    max_depth=2))
+            np.testing.assert_allclose(img.mean(), 0.5, atol=0.03)

@@ -82,3 +82,47 @@ class TestHair:
         sr = np.asarray(hair.sigma_a_from_reflectance(
             jnp.asarray([0.5, 0.3, 0.1]), 0.3))
         assert (np.diff(sr) > 0).all()  # darker channels absorb more
+
+    def test_sample_pdf_consistency(self):
+        """Importance sampling is exact: E[f·|cos|/pdf] = 1 in a white
+        furnace, and hair_pdf integrates to 1 over the sphere (the pdf↔
+        sample consistency check hair.cpp's SamplingConsistency test does)."""
+        N = 100000
+        rs = np.random.RandomState(7)
+        wo = jnp.tile(jnp.asarray([[0.3, 0.5, 0.81]])
+                      / np.linalg.norm([0.3, 0.5, 0.81]), (N, 1))
+        h = jnp.full(N, 0.3)
+        sigma_a = jnp.zeros((N, 3))
+        u = jnp.asarray(rs.rand(3, N), jnp.float32)
+        wi, f, pdf = hair.hair_sample(wo, h, sigma_a, u[0], u[1], u[2],
+                                      beta_m=0.25, beta_n=0.3, alpha=2.0)
+        est = (f * jnp.abs(wi[:, 2:3])
+               / jnp.maximum(pdf, 1e-12)[:, None]).mean(0)
+        np.testing.assert_allclose(np.asarray(est), 1.0, atol=0.01)
+        wiu = uniform_sphere(N, seed=9)
+        pu = hair.hair_pdf(wo, wiu, h, sigma_a, beta_m=0.25, beta_n=0.3,
+                           alpha=2.0)
+        assert abs(float((pu * 4 * math.pi).mean()) - 1.0) < 0.05
+
+    def test_material_table_dispatch(self):
+        """HAIR rows route bsdf_f/pdf/sample through the hair model and the
+        returned (f, pdf) match re-evaluation (scene/materials.py lanes)."""
+        from pbrt_tpu.scene import materials as mat
+        rows = [dict(type=mat.MATTE, kd=(.5, .5, .5)),
+                dict(type=mat.HAIR, sss_sigma_a=(0.1, 0.2, 0.3),
+                     beta_m=0.25, beta_n=0.3, hair_alpha=2.0, eta=1.55)]
+        tbl = mat.make_material_table(rows, 3)
+        assert tbl.has_hair
+        mp = mat.gather_materials(tbl, jnp.asarray([0, 1, 1, 0]))
+        rs = np.random.RandomState(1)
+        wo = jnp.tile(jnp.asarray([[0.3, 0.5, 0.81]])
+                      / np.linalg.norm([0.3, 0.5, 0.81]), (4, 1))
+        hh = jnp.asarray([0.0, 0.4, -0.2, 0.0])
+        ul = jnp.asarray(rs.rand(4), jnp.float32)
+        uu = jnp.asarray(rs.rand(4, 2), jnp.float32)
+        wi, f, pdf, _ = mat.bsdf_sample(mp, wo, ul, uu, h=hh)
+        fe = mat.bsdf_f(mp, wo, wi, h=hh)
+        pe = mat.bsdf_pdf(mp, wo, wi, h=hh)
+        np.testing.assert_allclose(np.asarray(fe), np.asarray(f), atol=1e-4)
+        np.testing.assert_allclose(np.asarray(pe), np.asarray(pdf),
+                                   atol=1e-4)
