@@ -1,0 +1,97 @@
+"""Converter + diagnostic tools (src/tools/: obj2pbrt, cyhair2pbrt,
+bsdftest, imgtool makesky)."""
+
+import io
+import os
+import struct
+import tempfile
+
+import numpy as np
+
+
+class TestObj2Pbrt:
+    def test_convert_and_parse(self):
+        from pbrt_tpu.tools import obj2pbrt
+        with tempfile.TemporaryDirectory() as td:
+            obj = os.path.join(td, "box.obj")
+            with open(obj, "w") as f:
+                f.write("""mtllib box.mtl
+v 0 0 0
+v 1 0 0
+v 1 1 0
+v 0 1 0
+vn 0 0 1
+usemtl red
+f 1//1 2//1 3//1 4//1
+""")
+            with open(os.path.join(td, "box.mtl"), "w") as f:
+                f.write("newmtl red\nKd 0.8 0.1 0.1\n")
+            out = io.StringIO()
+            obj2pbrt.convert(obj, out)
+            txt = out.getvalue()
+            assert 'Shape "trianglemesh"' in txt
+            assert '"rgb Kd" [0.8 0.1 0.1]' in txt
+            # quad → 2-triangle fan
+            assert txt.count("indices") == 1
+            # parses back through the frontend
+            from pbrt_tpu.frontend.parser import PbrtParser
+            ps = PbrtParser(base_dir=td).parse(
+                "WorldBegin\n" + txt + "\nWorldEnd")
+            assert len(ps.builder.tris) == 2
+
+    def test_negative_indices(self):
+        from pbrt_tpu.tools import obj2pbrt
+        with tempfile.TemporaryDirectory() as td:
+            obj = os.path.join(td, "t.obj")
+            with open(obj, "w") as f:
+                f.write("v 0 0 0\nv 1 0 0\nv 0 1 0\nf -3 -2 -1\n")
+            out = io.StringIO()
+            obj2pbrt.convert(obj, out)
+            assert "0 1 2" in out.getvalue()
+
+
+class TestCyhair2Pbrt:
+    def test_convert(self):
+        from pbrt_tpu.tools import cyhair2pbrt
+        with tempfile.TemporaryDirectory() as td:
+            path = os.path.join(td, "s.hair")
+            pts = np.asarray([[0, 0, 0], [0, 1, 0], [0, 2, 0.5],
+                              [0, 3, 1.0]], np.float32)
+            with open(path, "wb") as f:
+                f.write(b"HAIR")
+                f.write(struct.pack("<IIII", 1, 4, 2, 3))  # points only
+                f.write(struct.pack("<ff", 0.1, 1.0))
+                f.write(struct.pack("<fff", 0.5, 0.3, 0.1))
+                f.write(b"\0" * 88)
+                f.write(pts.tobytes())
+            out = io.StringIO()
+            cyhair2pbrt.convert(path, out)
+            txt = out.getvalue()
+            # 4-point strand → 3 Bézier segments
+            assert txt.count('Shape "curve"') == 3
+            assert '"float width0" [0.2]' in txt
+
+
+class TestBsdfTest:
+    def test_all_lobes_pass(self):
+        from pbrt_tpu.tools import bsdftest
+        out = io.StringIO()
+        failures = bsdftest.run(20_000, out)
+        assert failures == 0, out.getvalue()
+
+
+class TestMakeSky:
+    def test_sky_map(self):
+        from pbrt_tpu.tools import imgtool
+        with tempfile.TemporaryDirectory() as td:
+            path = os.path.join(td, "sky.exr")
+            rc = imgtool.main(["makesky", path, "--resolution", "32",
+                               "--elevation", "40"])
+            assert rc == 0
+            from pbrt_tpu.utils import imageio
+            img = imageio.read_image(path)
+            assert img.shape == (32, 64, 3)
+            # zenith is blue-ish; below horizon black
+            zen = img[0].mean(0)
+            assert zen[2] > zen[0]
+            assert img[-1].max() == 0.0
