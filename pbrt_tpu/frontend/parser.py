@@ -70,6 +70,11 @@ def _convert(ptype: str, vals):
         return [v.strip('"') == "true" for v in vals]
     if ptype in ("string", "texture"):
         return [v.strip('"') for v in vals]
+    if ptype == "spectrum" and vals and isinstance(vals[0], str) \
+            and vals[0].startswith('"'):
+        # on-disk SPD: "spectrum Kd" "metal-Cu.spd" (core/floatfile.cpp via
+        # paramset.cpp:... ) — keep the filename; resolved in spectrum_rgb
+        return [v.strip('"') for v in vals]
     return np.asarray([float(v) for v in vals], np.float64)
 
 
@@ -93,11 +98,22 @@ class Params(dict):
             return default
         return tuple(np.asarray(self[name][1], np.float64).reshape(-1)[:3])
 
+    # set by PbrtParser so on-disk SPDs resolve relative to the scene file
+    _base_dir = "."
+
     def spectrum_rgb(self, name, default=None):
         """Resolve any spectrum-typed parameter to linear RGB."""
         if name not in self:
             return default
         ptype, vals = self[name]
+        if ptype == "spectrum" and len(vals) and isinstance(vals[0], str):
+            # "spectrum X" "file.spd": (λ_nm, value) pairs on disk
+            # (core/floatfile.cpp ReadFloatFile)
+            import os
+            from pbrt_tpu.utils.floatfile import read_float_file
+            path = vals[0] if os.path.isabs(vals[0]) \
+                else os.path.join(self._base_dir, vals[0])
+            vals = np.asarray(read_float_file(path), np.float64)
         a = np.asarray(vals, np.float64).reshape(-1)
         if ptype in ("rgb", "color"):
             return tuple(a[:3])
@@ -165,6 +181,7 @@ class PbrtParser:
     def __init__(self, spectrum_cfg=spec_mod.RGB, base_dir="."):
         self.builder = SceneBuilder(spectrum_cfg)
         self.base_dir = base_dir
+        Params._base_dir = base_dir
         self.ctm = np.eye(4)
         self.ctm_stack = []
         self.gs = GraphicsState()

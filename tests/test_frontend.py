@@ -135,3 +135,23 @@ class TestReferenceScenes:
         # killeroo mesh has ~10k+ triangles via Include
         assert scene.n_tri > 5000
         assert scene.bvh is not None
+
+
+class TestSpdFiles:
+    def test_spectrum_from_float_file(self):
+        """"spectrum Kd" "file.spd" resolves via the float-file reader
+        (core/floatfile.cpp ReadFloatFile + paramset spectrum params)."""
+        import os
+        import tempfile
+
+        from pbrt_tpu.frontend.parser import PbrtParser
+        with tempfile.TemporaryDirectory() as td:
+            with open(os.path.join(td, "white.spd"), "w") as f:
+                f.write("# comment\n400 1.0\n550 1.0\n700 1.0\n")
+            txt = ('WorldBegin\n'
+                   'Material "matte" "spectrum Kd" "white.spd"\n'
+                   'Shape "sphere" "float radius" [1]\nWorldEnd')
+            ps = PbrtParser(base_dir=td).parse(txt)
+            kd = np.asarray(ps.builder.materials[-1]["kd"])
+            assert kd.shape == (3,)
+            assert (kd > 0.5).all()          # flat SPD ≈ white
