@@ -20,6 +20,11 @@ import numpy as np
 
 def main():
     import jax
+
+    # persistent compile cache: axon remote-compiles run minutes/program;
+    # warmed by test/dev runs so the driver's bench run is compile-free
+    jax.config.update("jax_compilation_cache_dir", "/tmp/pbrt_tpu_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
 
     import __graft_entry__ as ge

@@ -873,7 +873,15 @@ def parse_pbrt_string(text: str, base_dir=".", spectrum_cfg=spec_mod.RGB):
     """Parse scene text → (scene, camera, options dict)."""
     ps = PbrtParser(spectrum_cfg, base_dir)
     ps.parse(text)
-    scene = ps.builder.build()
+    # camera pixel spread drives imagemap mip LOD (MIPMap width from ray
+    # differentials, core/camera.cpp GenerateRayDifferential's 1px offset)
+    cam_name, cam_p = ps.options["camera"]
+    yres = max(1, int(ps.options["film"]["yres"]))
+    tex_spread = 0.0
+    if cam_name == "perspective":
+        tex_spread = float(2.0 * np.tan(np.radians(
+            cam_p.one("fov", 90.0)) / 2.0) / yres)
+    scene = ps.builder.build(tex_spread=tex_spread)
     # Accelerator "kdtree": swap the aggregate (api.cpp:788-801)
     if (ps.options.get("accelerator") == "kdtree" and scene.n_tri > 256):
         import dataclasses as _dc

@@ -4,8 +4,12 @@ imagemap, and Perlin-noise textures (fbm, wrinkled, windy, marble).
 TPU-native counterpart of ``src/textures/`` + Texture<T>/MIPMap
 (core/texture.{h,cpp}, core/mipmap.h). Textures are rows of an SoA table
 evaluated branchlessly at shading points; image maps live in one padded
-image stack (bilinear lookups; EWA/mipmap chains in a later round —
-imagemap.cpp:191/MIPMap trilinear is approximated by bilinear at level 0).
+image stack holding a full mip pyramid per image (MIPMap trilinear,
+core/mipmap.h:63 — level 0 at the left, levels 1.. packed in a right-hand
+strip), with an isotropic LOD derived from hit distance × camera pixel
+spread / |dpdu| (the reference's ray-differential footprint collapsed to
+its isotropic width; EWA's anisotropic filter is approximated by the
+trilinear chain).
 Perlin noise follows pbrt's Noise() permutation-hash construction
 (texture.cpp:316-380) with a pcg-hash lattice instead of the static table.
 """
@@ -49,13 +53,50 @@ class TextureTable:
     octaves: Array   # (T,) fbm octaves
     omega: Array     # (T,) fbm roughness
     scale3d: Array   # (T,) 3D noise frequency
-    images: Array    # (N, Hm, Wm, C) padded stack
-    img_wh: Array    # (N, 2)
+    images: Array    # (N, Hm, Wm', C) padded mip-atlas stack
+    img_wh: Array    # (N, 2) level-0 (w, h)
+    mip_off: Array   # (N, L, 2) per-level atlas (x0, y0)
+    mip_wh: Array    # (N, L, 2) per-level (w, h)
+    n_levels: Array  # (N,)
+    spread: Array    # () camera pixel spread (radians/px); 0 → level 0
 
 
-def make_texture_table(rows, images, n_channels) -> TextureTable:
+def _downsample2(im: np.ndarray) -> np.ndarray:
+    """One 2×2 box-filter mip step with edge clamping for odd dims
+    (MIPMap pyramid build, core/mipmap.h:63 — resampling to pow2 replaced
+    by edge-clamped averaging, same filter support)."""
+    h, w = im.shape[:2]
+    if h > 1 and h % 2:
+        im = np.concatenate([im, im[-1:]], axis=0)
+    if w > 1 and w % 2:
+        im = np.concatenate([im, im[:, -1:]], axis=1)
+    if im.shape[0] > 1:
+        im = 0.5 * (im[0::2] + im[1::2])
+    if im.shape[1] > 1:
+        im = 0.5 * (im[:, 0::2] + im[:, 1::2])
+    return im
+
+
+def _mip_pyramid(im: np.ndarray):
+    """Full pyramid down to 1×1: list of (level_img, x0, y0). Level 0 at
+    (0, 0); levels 1.. stacked top-to-bottom in a strip at x = W0."""
+    levels = [(im, 0, 0)]
+    x0 = im.shape[1]
+    y0 = 0
+    cur = im
+    while cur.shape[0] > 1 or cur.shape[1] > 1:
+        cur = _downsample2(cur)
+        levels.append((cur, x0, y0))
+        y0 += cur.shape[0]
+    return levels
+
+
+def make_texture_table(rows, images, n_channels,
+                       spread: float = 0.0) -> TextureTable:
     """rows: dicts(type, v1, v2, uscale, vscale, udelta, vdelta, img,
-    octaves, omega, scale3d); images: list of (H,W,C) arrays."""
+    octaves, omega, scale3d); images: list of (H,W,C) arrays. ``spread`` =
+    camera pixel spread angle (rad/px) driving the trilinear mip LOD;
+    0 disables mip selection (level-0 bilinear)."""
     t = max(1, len(rows))
     f = lambda k, d: np.asarray([r.get(k, d) for r in rows] or [d],
                                 np.float32)
@@ -64,16 +105,34 @@ def make_texture_table(rows, images, n_channels) -> TextureTable:
                          (n_channels,)) for r in rows]
         or [np.full(n_channels, d, np.float32)], np.float32)
     if images:
-        hm = max(im.shape[0] for im in images)
-        wm = max(im.shape[1] for im in images)
+        pyramids = [_mip_pyramid(np.asarray(im, np.float32))
+                    for im in images]
+        lmax = max(len(p) for p in pyramids)
+        hm = max(max(im.shape[0], p[-1][2] + 1) for im, p in
+                 zip(images, pyramids))
+        wm = max(im.shape[1] + (im.shape[1] + 1) // 2 for im in images)
         stack = np.zeros((len(images), hm, wm, n_channels), np.float32)
         wh = np.zeros((len(images), 2), np.int32)
-        for i, im in enumerate(images):
-            stack[i, :im.shape[0], :im.shape[1]] = im
+        mip_off = np.zeros((len(images), lmax, 2), np.int32)
+        mip_wh = np.ones((len(images), lmax, 2), np.int32)
+        n_levels = np.ones(len(images), np.int32)
+        for i, (im, pyr) in enumerate(zip(images, pyramids)):
             wh[i] = (im.shape[1], im.shape[0])
+            n_levels[i] = len(pyr)
+            for l, (lim, x0, y0) in enumerate(pyr):
+                stack[i, y0:y0 + lim.shape[0], x0:x0 + lim.shape[1]] = lim
+                mip_off[i, l] = (x0, y0)
+                mip_wh[i, l] = (lim.shape[1], lim.shape[0])
+            # pad unused level slots with the 1×1 tail
+            for l in range(len(pyr), lmax):
+                mip_off[i, l] = mip_off[i, len(pyr) - 1]
+                mip_wh[i, l] = mip_wh[i, len(pyr) - 1]
     else:
         stack = np.zeros((1, 1, 1, n_channels), np.float32)
         wh = np.ones((1, 2), np.int32)
+        mip_off = np.zeros((1, 1, 2), np.int32)
+        mip_wh = np.ones((1, 1, 2), np.int32)
+        n_levels = np.ones(1, np.int32)
     return TextureTable(
         ttype=jnp.asarray(
             np.asarray([r.get("type", CONSTANT) for r in rows] or [0],
@@ -88,7 +147,10 @@ def make_texture_table(rows, images, n_channels) -> TextureTable:
         octaves=jnp.asarray(f("octaves", 6.0)),
         omega=jnp.asarray(f("omega", 0.5)),
         scale3d=jnp.asarray(f("scale3d", 1.0)),
-        images=jnp.asarray(stack), img_wh=jnp.asarray(wh))
+        images=jnp.asarray(stack), img_wh=jnp.asarray(wh),
+        mip_off=jnp.asarray(mip_off), mip_wh=jnp.asarray(mip_wh),
+        n_levels=jnp.asarray(n_levels),
+        spread=jnp.asarray(spread, jnp.float32))
 
 
 # ---------------------------------------------------------------------------
@@ -155,33 +217,56 @@ def turbulence(p: Array, octaves: Array, omega: Array, max_oct: int = 8
 # evaluation
 # ---------------------------------------------------------------------------
 
-def _bilinear_image(tt: TextureTable, img_id, uv):
-    wh = tt.img_wh[img_id].astype(jnp.float32)
-    x = uv[..., 0] * wh[..., 0] - 0.5
-    y = (1.0 - uv[..., 1]) * wh[..., 1] - 0.5
+def _bilinear_image(tt: TextureTable, img_id, uv, level=None):
+    """Bilinear tap at one mip level (MIPMap::triangle, core/mipmap.h)."""
+    if level is None:
+        level = jnp.zeros(jnp.shape(img_id), jnp.int32)
+    off = tt.mip_off[img_id, level]
+    whl = tt.mip_wh[img_id, level]
+    whf = whl.astype(jnp.float32)
+    x = uv[..., 0] * whf[..., 0] - 0.5
+    y = (1.0 - uv[..., 1]) * whf[..., 1] - 0.5
     x0 = jnp.floor(x).astype(jnp.int32)
     y0 = jnp.floor(y).astype(jnp.int32)
     fx = (x - x0)[..., None]
     fy = (y - y0)[..., None]
     wmax = tt.images.shape[2] - 1
     hmax = tt.images.shape[1] - 1
-    wlim = tt.img_wh[img_id][..., 0] - 1
-    hlim = tt.img_wh[img_id][..., 1] - 1
+    wlim = whl[..., 0] - 1
+    hlim = whl[..., 1] - 1
 
     def tap(ox, oy):
-        xi = jnp.clip(jnp.clip(x0 + ox, 0, wlim), 0, wmax)
-        yi = jnp.clip(jnp.clip(y0 + oy, 0, hlim), 0, hmax)
+        xi = jnp.clip(jnp.clip(x0 + ox, 0, wlim) + off[..., 0], 0, wmax)
+        yi = jnp.clip(jnp.clip(y0 + oy, 0, hlim) + off[..., 1], 0, hmax)
         return tt.images[img_id, yi, xi]
 
     return ((tap(0, 0) * (1 - fx) + tap(1, 0) * fx) * (1 - fy)
             + (tap(0, 1) * (1 - fx) + tap(1, 1) * fx) * fy)
 
 
-def eval_texture(tt: TextureTable, tex_id: Array, uv: Array, p: Array
-                 ) -> Array:
+def _trilinear_image(tt: TextureTable, img_id, uv, width_uv):
+    """MIPMap::Lookup (core/mipmap.h:63): isotropic trilinear filtering —
+    level = levels-1 + log2(max(width)), lerped between adjacent levels."""
+    whf = tt.img_wh[img_id].astype(jnp.float32)
+    texels = width_uv * jnp.maximum(whf[..., 0], whf[..., 1])
+    lod = jnp.log2(jnp.maximum(texels, 1.0))
+    lmax = (tt.n_levels[img_id] - 1).astype(jnp.float32)
+    lod = jnp.clip(lod, 0.0, lmax)
+    l0 = jnp.floor(lod).astype(jnp.int32)
+    l1 = jnp.minimum(l0 + 1, tt.n_levels[img_id] - 1)
+    fl = (lod - l0.astype(jnp.float32))[..., None]
+    a = _bilinear_image(tt, img_id, uv, l0)
+    b = _bilinear_image(tt, img_id, uv, l1)
+    return a * (1.0 - fl) + b * fl
+
+
+def eval_texture(tt: TextureTable, tex_id: Array, uv: Array, p: Array,
+                 width_uv: Array = None) -> Array:
     """Evaluate texture rows tex_id (R,) at uv (R,2) / world p (R,3) →
-    (R,C). Nested texture references resolve one level (scale/mix take
-    constant operands, as the shipped scenes use)."""
+    (R,C). ``width_uv`` (R,) = isotropic uv-space filter footprint for
+    mip selection (None → level-0 bilinear). Nested texture references
+    resolve one level (scale/mix take constant operands, as the shipped
+    scenes use)."""
     tid = jnp.clip(tex_id, 0, tt.ttype.shape[0] - 1)
     t = tt.ttype[tid]
     v1 = tt.v1[tid]
@@ -222,8 +307,13 @@ def eval_texture(tt: TextureTable, tex_id: Array, uv: Array, p: Array
         + (u_ * (1 - v_) + (1 - u_) * v_) * 0.5 * (v1 + v2)
     out = jnp.where((t == BILERP)[..., None], bl, out)
 
-    # image map
-    img = _bilinear_image(tt, tt.img_id[tid], st - jnp.floor(st))
+    # image map (trilinear mip chain when a footprint is supplied)
+    if width_uv is None:
+        img = _bilinear_image(tt, tt.img_id[tid], st - jnp.floor(st))
+    else:
+        w_st = width_uv * jnp.max(tt.uv_scale[tid], axis=-1)
+        img = _trilinear_image(tt, tt.img_id[tid], st - jnp.floor(st),
+                               w_st)
     out = jnp.where((t == IMAGEMAP)[..., None], img * v1, out)
 
     # noise textures over world position (textures/{fbm,wrinkled,windy,
@@ -253,10 +343,22 @@ def eval_texture(tt: TextureTable, tex_id: Array, uv: Array, p: Array
 
 
 def resolve_kd(scene, mp, hit) -> Array:
-    """kd with texture override: materials.kd_tex ≥ 0 → texture lookup."""
+    """kd with texture override: materials.kd_tex ≥ 0 → texture lookup.
+
+    Mip footprint: the camera pixel spread (tt.spread, rad/px) grows
+    linearly with hit distance; dividing by |∂p/∂u| converts the world
+    width into uv space (the reference's ray-differential footprint,
+    core/interaction.cpp ComputeDifferentials, collapsed to its isotropic
+    width). spread == 0 (default) → level-0 bilinear."""
     tt = getattr(scene, "textures", None)
     if tt is None:
         return mp.kd
     has_tex = mp.kd_tex >= 0
-    tex_val = eval_texture(tt, jnp.maximum(mp.kd_tex, 0), hit.uv, hit.p)
+    width_uv = None
+    if getattr(tt, "spread", None) is not None and hit.dpdu is not None:
+        from pbrt_tpu.core import vecmath
+        world_w = hit.t * tt.spread
+        width_uv = world_w / jnp.maximum(vecmath.length(hit.dpdu), 1e-8)
+    tex_val = eval_texture(tt, jnp.maximum(mp.kd_tex, 0), hit.uv, hit.p,
+                           width_uv=width_uv)
     return jnp.where(has_tex[..., None], tex_val, mp.kd)

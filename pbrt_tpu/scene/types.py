@@ -235,7 +235,8 @@ class SceneBuilder:
                 "dsk": nt + ns + npl}[family]
         return base + local_idx
 
-    def build(self, use_bvh: str = "auto") -> Scene:
+    def build(self, use_bvh: str = "auto",
+              tex_spread: float = 0.0) -> Scene:
         from pbrt_tpu.scene import lights as lights_mod
 
         nt, ns, npl, nd = (len(self.tris), len(self.spheres),
@@ -372,7 +373,8 @@ class SceneBuilder:
             from pbrt_tpu.scene import textures as tex_mod
             scene = dataclasses.replace(
                 scene, textures=tex_mod.make_texture_table(
-                    self.texture_rows, self.images, self.cfg.n_channels))
+                    self.texture_rows, self.images, self.cfg.n_channels,
+                    spread=tex_spread))
         if use_bvh == "always" or (use_bvh == "auto" and nt > 256):
             from pbrt_tpu.scene import bvh as bvh_mod
             scene = dataclasses.replace(scene,

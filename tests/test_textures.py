@@ -41,6 +41,33 @@ class TestEval:
             jnp.zeros((1, 3))))
         np.testing.assert_allclose(out[0], [1, 1, 1], atol=1e-5)
 
+    def test_mip_pyramid_build(self):
+        # 4x4 image → levels 4x4, 2x2, 1x1; top level = overall mean
+        img = np.arange(48, dtype=np.float32).reshape(4, 4, 3)
+        t = _tt([dict(type=tex.IMAGEMAP, img=0, v1=1.0)], [img])
+        assert int(t.n_levels[0]) == 3
+        assert np.all(np.asarray(t.mip_wh[0]) == [[4, 4], [2, 2], [1, 1]])
+        x1, y1 = np.asarray(t.mip_off[0, 2])
+        np.testing.assert_allclose(np.asarray(t.images[0, y1, x1]),
+                                   img.reshape(-1, 3).mean(0), rtol=1e-5)
+
+    def test_mip_trilinear_lod(self):
+        # checker image: level 0 resolves texels, coarse LOD → mean 0.5
+        img = np.zeros((8, 8, 3), np.float32)
+        img[::2, 1::2] = 1.0
+        img[1::2, ::2] = 1.0
+        t = _tt([dict(type=tex.IMAGEMAP, img=0, v1=1.0)], [img])
+        uv = jnp.asarray([[0.3, 0.6]])
+        tid = jnp.zeros(1, jnp.int32)
+        p = jnp.zeros((1, 3))
+        fine = np.asarray(tex.eval_texture(
+            t, tid, uv, p, width_uv=jnp.asarray([1e-6])))
+        base = np.asarray(tex.eval_texture(t, tid, uv, p))
+        np.testing.assert_allclose(fine, base, atol=1e-6)
+        coarse = np.asarray(tex.eval_texture(
+            t, tid, uv, p, width_uv=jnp.asarray([4.0])))
+        np.testing.assert_allclose(coarse[0], [0.5, 0.5, 0.5], atol=1e-3)
+
     def test_noise_bounded_and_smooth(self):
         p = jnp.asarray(np.random.RandomState(0).randn(1000, 3) * 3,
                         jnp.float32)
