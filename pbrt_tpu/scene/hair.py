@@ -10,10 +10,10 @@ Convention (hair.cpp:265-273): the local frame has **x along the fiber**;
 sinTheta = w.x, phi = atan2(w.z, w.y). ``h`` ∈ [-1,1] is the azimuthal
 offset across the curve width (from the ribbon's v coordinate).
 
-Everything is batched over shading points; evaluation + cosine-hemisphere
-sampling pdf (exact importance sampling of Mp/Np lands with the curve-heavy
-scenes in a later round; MIS stays consistent because sample and pdf use
-the same cosine fallback).
+Everything is batched over shading points. ``hair_sample`` importance-samples
+the exact model — lobe selection by ApPdf CDF, Mp inversion for theta, and
+trimmed-logistic Np inversion for phi (hair.cpp:429-483) — and ``hair_pdf``
+returns the matching Σp apPdf·Mp·Np density (hair.cpp:485-521).
 """
 
 from __future__ import annotations
