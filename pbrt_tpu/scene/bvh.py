@@ -1,11 +1,21 @@
 """BVH: host-side binned-SAH build + flattened on-device traversal.
 
 TPU-native counterpart of ``accelerators/bvh.{h,cpp}``: the recursive
-pointer-based build (bvh.cpp:203-260) runs on host (numpy, cold path) and is
-flattened into the depth-first LinearBVHNode array layout (bvh.cpp:223,
-bvh.h:88) as SoA device arrays; traversal is the reference's iterative
-stack walk (bvh.cpp FlattenBVHTree consumers) expressed as a
-``lax.while_loop`` vmapped over the ray batch.
+pointer-based build (bvh.cpp:203-260) runs on host (numpy / native C++, cold
+path) and is flattened into the depth-first LinearBVHNode array layout
+(bvh.cpp:223, bvh.h:88) as SoA device arrays.
+
+Traversal is **stackless**, unlike the reference's explicit-stack walk
+(bvh.cpp:299-365): per-lane stacks would lower to (R, depth) scatters every
+step — poison on the VPU. Instead the flat DFS layout is threaded with
+octant-ordered hit/miss links (a "threaded BVH"): for each of the 8 ray
+direction octants, `first[o,i]` is the near child of interior node i and
+`miss[o,i]` is the node that follows once i's subtree is done or skipped.
+Device state per ray is then just (node, best_t, best_i) and each
+`lax.while_loop` step is a handful of row gathers + selects over the whole
+ray batch — no scatters, no vmap. Near-first ordering is preserved per
+octant, so the shrinking best_t prunes far subtrees exactly like the
+reference's ordered stack traversal.
 
 The BVH covers the *triangle* family only — the only family that grows to
 10^5+ primitives (killeroo-simple has ~100k tris); spheres/aaplanes/disks
@@ -44,6 +54,13 @@ class FlatBVH:
     v0: Array          # (P,3)
     v1: Array
     v2: Array
+    # threaded (stackless) traversal links, one set per direction octant:
+    # nodes8[o*N+i] = [lo, hi, first_if_hit, next_if_miss_or_done, off, cnt]
+    # packed as (8N, 8) f32 with int fields bitcast — ONE row gather per
+    # traversal step. tri9 = (P+pad, 9) [v0|v1|v2] — one row gather per
+    # leaf primitive test.
+    nodes8: Array = None      # (8N, 8) float32
+    tri9: Array = None        # (P_pad, 9) float32
 
 
 def build_bvh(builder, scene) -> FlatBVH:
@@ -62,13 +79,16 @@ def build_bvh(builder, scene) -> FlatBVH:
     native = _build_native(lo_p, hi_p)
     if native is not None:
         lo_a, hi_a, right_a, count_a, axis_a, order = native
+        nodes8, tri9 = _pack_threaded(lo_a, hi_a, right_a, count_a, axis_a,
+                                      v0[order], v1[order], v2[order])
         return FlatBVH(
             lo=jnp.asarray(lo_a), hi=jnp.asarray(hi_a),
             right=jnp.asarray(right_a), count=jnp.asarray(count_a),
             axis=jnp.asarray(axis_a),
             prim_order=jnp.asarray(order, jnp.int32),
             v0=jnp.asarray(v0[order]), v1=jnp.asarray(v1[order]),
-            v2=jnp.asarray(v2[order]))
+            v2=jnp.asarray(v2[order]),
+            nodes8=jnp.asarray(nodes8), tri9=jnp.asarray(tri9))
 
     order = np.arange(n)
     nodes = []  # dicts: lo, hi, right, count, axis, offset
@@ -137,12 +157,15 @@ def build_bvh(builder, scene) -> FlatBVH:
     right_a = np.asarray([nd["right"] for nd in nodes], np.int32)
     count_a = np.asarray([nd["count"] for nd in nodes], np.int32)
     axis_a = np.asarray([nd["axis"] for nd in nodes], np.int32)
+    nodes8, tri9 = _pack_threaded(lo_a, hi_a, right_a, count_a, axis_a,
+                                  v0[order], v1[order], v2[order])
     return FlatBVH(
         lo=jnp.asarray(lo_a), hi=jnp.asarray(hi_a),
         right=jnp.asarray(right_a), count=jnp.asarray(count_a),
         axis=jnp.asarray(axis_a), prim_order=jnp.asarray(order, jnp.int32),
         v0=jnp.asarray(v0[order]), v1=jnp.asarray(v1[order]),
-        v2=jnp.asarray(v2[order]))
+        v2=jnp.asarray(v2[order]),
+        nodes8=jnp.asarray(nodes8), tri9=jnp.asarray(tri9))
 
 
 def _build_native(lo_p: np.ndarray, hi_p: np.ndarray):
@@ -179,8 +202,148 @@ def _build_native(lo_p: np.ndarray, hi_p: np.ndarray):
 
 
 # ---------------------------------------------------------------------------
+# threaded links (host, build time)
+# ---------------------------------------------------------------------------
+
+def _octant_links(right: np.ndarray, count: np.ndarray, axis: np.ndarray):
+    """Hit/miss successor links of the DFS-flat BVH for the 8 direction
+    octants. For octant o at interior node i the near child is left (i+1)
+    when direction bit (o >> axis[i]) & 1 == 0, else right[i]; ``miss`` is
+    the node visited after i's subtree is exhausted or skipped.
+
+    DFS layout ⇒ parent index < child index; far-child miss pointers form
+    ancestor chains resolved by pointer jumping (log passes, no Python
+    per-node loop). Returns (first (8,N), miss (8,N)) int32, miss sentinel
+    = N (traversal done).
+    """
+    N = right.shape[0]
+    interior = count == 0
+    idx = np.arange(N, dtype=np.int32)
+    left = idx + 1
+    ii = np.nonzero(interior)[0]
+    parent = np.full(N, -1, np.int32)
+    parent[left[ii]] = ii
+    parent[right[ii]] = ii
+
+    first = np.zeros((8, N), np.int32)
+    miss = np.empty((8, N), np.int32)
+    has_parent = parent >= 0
+    p_safe = np.maximum(parent, 0)
+    for o in range(8):
+        bit = (o >> axis) & 1                       # per-node direction bit
+        near = np.where(bit == 0, left, right).astype(np.int32)
+        far = np.where(bit == 0, right, left).astype(np.int32)
+        first[o] = np.where(interior, near, 0)
+        # a node's miss: root → N; near child of p → far sibling;
+        # far child of p → miss[p] (chase ancestors)
+        pbit = bit[p_safe]
+        p_near = np.where(pbit == 0, left[p_safe], right[p_safe])
+        is_near = has_parent & (idx == p_near)
+        is_far = has_parent & ~is_near
+        base = np.where(is_near,
+                        np.where(pbit == 0, right[p_safe], left[p_safe]),
+                        N).astype(np.int32)        # root/far placeholder N
+        # src chain: far children take their parent's value
+        src = np.where(is_far, parent, idx).astype(np.int32)
+        for _ in range(max(1, int(np.ceil(np.log2(max(N, 2)))) + 1)):
+            nxt = src[src]
+            if np.array_equal(nxt, src):
+                break
+            src = nxt
+        miss[o] = base[src]
+    return first, miss
+
+
+def _pack_threaded(bvh_lo, bvh_hi, right, count, axis, v0, v1, v2):
+    """Pack per-octant node rows (8N, 10) + padded leaf triangles (P+pad, 9)
+    so each traversal step is one node-row gather and one 4-row tri gather."""
+    N = right.shape[0]
+    first, miss = _octant_links(right, count, axis)
+    lo = np.asarray(bvh_lo, np.float32)
+    hi = np.asarray(bvh_hi, np.float32)
+    P = v0.shape[0]
+    pad = LEAF_MAX
+    # leaf off/cnt; interior nodes point at the degenerate pad rows
+    is_leaf = count > 0
+    off = np.where(is_leaf, right, P).astype(np.int32)
+    cnt = count.astype(np.int32)
+    rows = np.empty((8, N, 10), np.float32)
+    rows[:, :, 0:3] = lo[None]
+    rows[:, :, 3:6] = hi[None]
+    rows[:, :, 6] = first.astype(np.int32).view(np.float32)
+    rows[:, :, 7] = miss.astype(np.int32).view(np.float32)
+    rows[:, :, 8] = off.view(np.float32)[None]
+    rows[:, :, 9] = cnt.view(np.float32)[None]
+    tri9 = np.zeros((P + pad, 9), np.float32)
+    tri9[:P, 0:3] = v0
+    tri9[:P, 3:6] = v1
+    tri9[:P, 6:9] = v2
+    return rows.reshape(8 * N, 10), tri9
+
+
+# ---------------------------------------------------------------------------
 # traversal
 # ---------------------------------------------------------------------------
+
+def _traverse_batch(bvh: FlatBVH, o, d, tmax, any_hit: bool):
+    """Stackless threaded traversal over the whole (R,) ray batch in one
+    ``lax.while_loop`` — per-step work is vector gathers + selects, no
+    scatters, no vmap. Role of BVHAccel::Intersect's ordered stack walk
+    (bvh.cpp:299-365) with identical near-first visit order per octant."""
+    R = o.shape[0]
+    N = bvh.lo.shape[0]
+    inv_d = 1.0 / jnp.where(jnp.abs(d) > 1e-12, d, 1e-12)
+    octant = ((d[:, 0] < 0).astype(jnp.int32)
+              | ((d[:, 1] < 0).astype(jnp.int32) << 1)
+              | ((d[:, 2] < 0).astype(jnp.int32) << 2))
+    base = octant * N
+
+    def cond(state):
+        cur, _, _ = state
+        return jnp.any(cur < N)
+
+    def step(state):
+        cur, best_t, best_i = state
+        active = cur < N
+        rows = bvh.nodes8[base + jnp.minimum(cur, N - 1)]      # (R,10)
+        n_lo, n_hi = rows[:, 0:3], rows[:, 3:6]
+        first = jax.lax.bitcast_convert_type(rows[:, 6], jnp.int32)
+        miss = jax.lax.bitcast_convert_type(rows[:, 7], jnp.int32)
+        off = jax.lax.bitcast_convert_type(rows[:, 8], jnp.int32)
+        cnt = jax.lax.bitcast_convert_type(rows[:, 9], jnp.int32)
+
+        hit_box = active & vecmath.bounds_intersect_p(n_lo, n_hi, o, inv_d,
+                                                      best_t)
+        is_leaf = cnt > 0
+        do_leaf = hit_box & is_leaf
+
+        # up to LEAF_MAX triangles in one gather: (R,4,9)
+        k = jnp.arange(LEAF_MAX, dtype=jnp.int32)
+        pidx = jnp.where(do_leaf[:, None], off[:, None] + k[None, :],
+                         bvh.tri9.shape[0] - LEAF_MAX + k[None, :])
+        tr = bvh.tri9[pidx]                                     # (R,4,9)
+        t4, _, _, h4 = shapes.intersect_triangle_paired(
+            o[:, None, :], d[:, None, :],
+            jnp.broadcast_to(best_t[:, None], (R, LEAF_MAX)),
+            tr[..., 0:3], tr[..., 3:6], tr[..., 6:9])
+        h4 = h4 & (k[None, :] < cnt[:, None]) & do_leaf[:, None]
+        t4 = jnp.where(h4, t4, jnp.inf)
+        kbest = jnp.argmin(t4, axis=1)
+        tbest = jnp.take_along_axis(t4, kbest[:, None], axis=1)[:, 0]
+        upd = (tbest < best_t) & do_leaf
+        best_t = jnp.where(upd, tbest, best_t)
+        best_i = jnp.where(upd, off + kbest, best_i)
+
+        nxt = jnp.where(hit_box & ~is_leaf, first, miss)
+        if any_hit:
+            nxt = jnp.where(best_i >= 0, N, nxt)
+        cur = jnp.where(active, nxt, cur)
+        return (cur, best_t, best_i)
+
+    state = (jnp.zeros(R, jnp.int32), tmax, jnp.full(R, -1, jnp.int32))
+    _, t, i = jax.lax.while_loop(cond, step, state)
+    return t, i
+
 
 def _traverse(bvh: FlatBVH, o, d, tmax, any_hit: bool):
     """Single-ray stack traversal; vmapped. Returns (t, leaf_prim_idx)."""
@@ -243,18 +406,29 @@ def _traverse(bvh: FlatBVH, o, d, tmax, any_hit: bool):
     return t, i
 
 
+def _use_stack_traversal() -> bool:
+    import os
+    return bool(os.environ.get("PBRT_TPU_BVH_STACK"))
+
+
 def bvh_intersect_tris(bvh: FlatBVH, o, d, tmax):
     """Closest triangle hit via BVH. Returns (t, global_tri_idx, hit)."""
-    t, leaf_i = jax.vmap(lambda oo, dd, tt: _traverse(bvh, oo, dd, tt,
-                                                      False))(o, d, tmax)
+    if bvh.nodes8 is not None and not _use_stack_traversal():
+        t, leaf_i = _traverse_batch(bvh, o, d, tmax, False)
+    else:
+        t, leaf_i = jax.vmap(lambda oo, dd, tt: _traverse(bvh, oo, dd, tt,
+                                                          False))(o, d, tmax)
     hit = leaf_i >= 0
     tri_idx = jnp.where(hit, bvh.prim_order[jnp.maximum(leaf_i, 0)], -1)
     return t, tri_idx, hit
 
 
 def bvh_intersect_p_tris(bvh: FlatBVH, o, d, tmax):
-    _, leaf_i = jax.vmap(lambda oo, dd, tt: _traverse(bvh, oo, dd, tt,
-                                                      True))(o, d, tmax)
+    if bvh.nodes8 is not None and not _use_stack_traversal():
+        _, leaf_i = _traverse_batch(bvh, o, d, tmax, True)
+    else:
+        _, leaf_i = jax.vmap(lambda oo, dd, tt: _traverse(bvh, oo, dd, tt,
+                                                          True))(o, d, tmax)
     return leaf_i >= 0
 
 
