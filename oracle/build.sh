@@ -11,7 +11,11 @@ STUB="$(cd "$(dirname "$0")" && pwd)"/ptex_stub.cpp
 OUT=${1:-/tmp/pbrt_oracle}
 mkdir -p "$OUT/obj"
 
-DEFS="-DNDEBUG -DPBRT_CONSTEXPR=constexpr -DPBRT_THREAD_LOCAL=thread_local \
+# SPECTRAL=1 builds the 60-bin SampledSpectrum variant (CMakeLists.txt:21)
+# — required by the fork's hero_path/hero_path_mis integrators
+SPECTRAL_DEF=""
+if [ "${SPECTRAL:-0}" = "1" ]; then SPECTRAL_DEF="-DPBRT_SAMPLED_SPECTRUM"; fi
+DEFS="$SPECTRAL_DEF -DNDEBUG -DPBRT_CONSTEXPR=constexpr -DPBRT_THREAD_LOCAL=thread_local \
  -DPBRT_HAVE_ALLOCA_H -DPBRT_HAVE_MEMORY_H -DPBRT_HAVE_HEX_FP_CONSTANTS \
  -DPBRT_HAVE_BINARY_CONSTANTS -DPBRT_HAVE_CONSTEXPR -DPBRT_HAVE_ALIGNAS \
  -DPBRT_HAVE_ALIGNOF -DPBRT_HAVE_ITIMER -DPBRT_HAVE_NONPOD_IN_UNIONS \

@@ -183,6 +183,8 @@ class PbrtParser:
         self.base_dir = base_dir
         Params._base_dir = base_dir
         self.ctm = np.eye(4)
+        self.ctm2 = np.eye(4)          # end-time CTM (TransformSet[1])
+        self.active = (True, True)     # pbrtActiveTransformAll default
         self.ctm_stack = []
         self.gs = GraphicsState()
         self.gs_stack = []
@@ -204,10 +206,29 @@ class PbrtParser:
     # -- transforms --------------------------------------------------------
 
     def _apply(self, m):
-        self.ctm = self.ctm @ m
+        # pbrt keeps MaxTransforms=2 CTMs (start/end time, api.cpp
+        # TransformSet); ActiveTransform selects which ones directives hit
+        if self.active[0]:
+            self.ctm = self.ctm @ m
+        if self.active[1]:
+            self.ctm2 = self.ctm2 @ m
+
+    def _set(self, m):
+        if self.active[0]:
+            self.ctm = m.copy()
+        if self.active[1]:
+            self.ctm2 = m.copy()
+
+    @property
+    def animated(self) -> bool:
+        return not np.allclose(self.ctm, self.ctm2)
 
     def _xf_point(self, p):
         v = self.ctm @ np.append(np.asarray(p, np.float64), 1.0)
+        return tuple(v[:3] / v[3])
+
+    def _xf_point2(self, p):
+        v = self.ctm2 @ np.append(np.asarray(p, np.float64), 1.0)
         return tuple(v[:3] / v[3])
 
     def _xf_vec(self, p):
@@ -272,14 +293,28 @@ class PbrtParser:
 
     def _d_Transform(self, tokens, peeked, nxt):
         vals = self._matrix_vals(tokens, nxt)
-        self.ctm = np.asarray(vals, np.float64).reshape(4, 4).T
+        self._set(np.asarray(vals, np.float64).reshape(4, 4).T)
 
     def _d_ConcatTransform(self, tokens, peeked, nxt):
         vals = self._matrix_vals(tokens, nxt)
         self._apply(np.asarray(vals, np.float64).reshape(4, 4).T)
 
     def _d_Identity(self, tokens, peeked, nxt):
-        self.ctm = np.eye(4)
+        self._set(np.eye(4))
+
+    def _d_ActiveTransform(self, tokens, peeked, nxt):
+        """pbrtActiveTransform{All,StartTime,EndTime}
+        (core/parser.cpp:867-875)."""
+        which = nxt().strip('"')
+        self.active = {"All": (True, True), "StartTime": (True, False),
+                       "EndTime": (False, True)}.get(which, (True, True))
+
+    def _d_TransformTimes(self, tokens, peeked, nxt):
+        """pbrtTransformTimes (core/api.cpp: shutter interval the two CTMs
+        correspond to)."""
+        t0 = float(nxt())
+        t1 = float(nxt())
+        self.options["transform_times"] = (t0, t1)
 
     def _matrix_vals(self, tokens, nxt):
         t = nxt()
@@ -298,9 +333,12 @@ class PbrtParser:
     def _d_Camera(self, tokens, peeked, nxt):
         name = nxt().strip('"')
         params = parse_params(tokens, peeked)
-        # camera-to-world = inverse(CTM) (api.cpp pbrtCamera)
+        # camera-to-world = inverse(CTM) (api.cpp pbrtCamera); both time
+        # endpoints kept — differing ones make an animated camera
+        # (api.cpp:814 MakeCamera's AnimatedTransform)
         self.options["camera"] = (name, params)
         self.options["camera_to_world"] = np.linalg.inv(self.ctm)
+        self.options["camera_to_world_end"] = np.linalg.inv(self.ctm2)
 
     def _d_Film(self, tokens, peeked, nxt):
         nxt()  # "image"
@@ -343,25 +381,29 @@ class PbrtParser:
     def _d_WorldBegin(self, tokens, peeked, nxt):
         self.world = True
         self.ctm = np.eye(4)
+        self.ctm2 = np.eye(4)
+        self.active = (True, True)
 
     def _d_WorldEnd(self, tokens, peeked, nxt):
         pass
 
     def _d_AttributeBegin(self, tokens, peeked, nxt):
         self.gs_stack.append(copy.deepcopy(self.gs))
-        self.ctm_stack.append(self.ctm.copy())
+        self.ctm_stack.append((self.ctm.copy(), self.ctm2.copy(),
+                               self.active))
 
     def _d_AttributeEnd(self, tokens, peeked, nxt):
         self.gs = self.gs_stack.pop()
-        self.ctm = self.ctm_stack.pop()
+        self.ctm, self.ctm2, self.active = self.ctm_stack.pop()
 
     def _d_TransformBegin(self, tokens, peeked, nxt):
         # pbrtTransformBegin (api.cpp): saves the CTM ONLY — material /
         # texture / light state set inside the block persists past the End
-        self.ctm_stack.append(self.ctm.copy())
+        self.ctm_stack.append((self.ctm.copy(), self.ctm2.copy(),
+                               self.active))
 
     def _d_TransformEnd(self, tokens, peeked, nxt):
-        self.ctm = self.ctm_stack.pop()
+        self.ctm, self.ctm2, self.active = self.ctm_stack.pop()
 
     def _d_ObjectBegin(self, tokens, peeked, nxt):
         self._d_AttributeBegin(tokens, peeked, nxt)
@@ -740,6 +782,11 @@ class PbrtParser:
             idx = np.asarray(p["indices"][1], np.int32).reshape(-1, 3)
             pts = np.asarray(p["P"][1], np.float64).reshape(-1, 3)
             pts_w = np.stack([self._xf_point(q) for q in pts])
+            # animated shape transform → shutter-end vertex positions
+            # (TransformedPrimitive + AnimatedTransform, api.cpp:1414)
+            pts_w_end = None
+            if self.animated:
+                pts_w_end = np.stack([self._xf_point2(q) for q in pts])
             normals = None
             if "N" in p:
                 ns = np.asarray(p["N"][1], np.float64).reshape(-1, 3)
@@ -765,7 +812,7 @@ class PbrtParser:
                     b.light_rows[li]["prim"] = ("tri", tid)
             else:
                 b.add_mesh(pts_w, idx, mat=mat, light=-1, normals=normals,
-                           uvs=uvs)
+                           uvs=uvs, vertices_end=pts_w_end)
         elif name in ("cylinder", "cone", "paraboloid", "hyperboloid",
                       "heightfield", "nurbs", "curve"):
             from pbrt_tpu.scene import tessellate as tess
@@ -903,15 +950,29 @@ def parse_pbrt_string(text: str, base_dir=".", spectrum_cfg=spec_mod.RGB):
     c2w = tr.Transform(jnp.asarray(c2w_np, jnp.float32),
                        jnp.asarray(np.linalg.inv(c2w_np), jnp.float32))
     res = (ps.options["film"]["xres"], ps.options["film"]["yres"])
+    shutter = (cp.one("shutteropen", 0.0), cp.one("shutterclose", 1.0))
     if name == "perspective":
         cam = cam_mod.make_perspective(
             c2w, cp.one("fov", 90.0), res,
             lens_radius=cp.one("lensradius", 0.0),
-            focal_distance=cp.one("focaldistance", 1e6))
+            focal_distance=cp.one("focaldistance", 1e6),
+            shutter_open=shutter[0], shutter_close=shutter[1])
     elif name == "orthographic":
         cam = cam_mod.make_orthographic(c2w, res)
     else:
         cam = cam_mod.make_environment(c2w, res)
+    # animated camera (api.cpp:814): differing start/end CTMs → per-ray
+    # interpolated camera-to-world over [TransformTimes t0, t1]
+    c2w_end = np.asarray(ps.options.get("camera_to_world_end", c2w_np),
+                         np.float64)
+    if not np.allclose(c2w_np, c2w_end):
+        import dataclasses as _dc
+        tt = ps.options.get("transform_times", (0.0, 1.0))
+        c2w_end_t = tr.Transform(jnp.asarray(c2w_end, jnp.float32),
+                                 jnp.asarray(np.linalg.inv(c2w_end),
+                                             jnp.float32))
+        cam = _dc.replace(cam, anim=tr.make_animated(
+            c2w, c2w_end_t, t_start=tt[0], t_end=tt[1]))
 
     imap = {"path": "path", "directlighting": "direct", "whitted": "whitted",
             "ambientocclusion": "ao", "mypath": "mypath",

@@ -99,13 +99,13 @@ def choose_light(scene, u: Array, power_distr=None, p: Array = None):
 # traced emission: radiance arriving from the first hit along wi
 # ---------------------------------------------------------------------------
 
-def trace_radiance(scene, p: Array, ns: Array, wi: Array):
+def trace_radiance(scene, p: Array, ns: Array, wi: Array, time=None):
     """Closest-hit trace from (offset) p along wi; returns
     (hit, Le (R,C)) where Le is the emission of whatever was hit, toward p
     (lightIsect.Le(-wi) in portal_arealight.cpp:140-148)."""
     o = vecmath.offset_ray_origin(p, ns, wi)
     hit = isect_mod.intersect(scene, o, wi,
-                              jnp.full(p.shape[0], vecmath.INF))
+                              jnp.full(p.shape[0], vecmath.INF), time=time)
     light_id = scene.prim_light[jnp.clip(hit.prim_id, 0,
                                          scene.n_prims - 1)]
     light_id = jnp.where(hit.valid, light_id, -1)
@@ -122,7 +122,7 @@ def trace_radiance(scene, p: Array, ns: Array, wi: Array):
 def estimate_direct(scene, hit, mp, wo_world: Array,
                     u_select: Array, u_light: Array, u_scatter: Array,
                     u_bsdf_lobe: Array, power_distr=None,
-                    with_bsdf_half: bool = True):
+                    with_bsdf_half: bool = True, time=None):
     """One-light NEE estimate at shading points ``hit`` with materials
     ``mp`` (gathered rows). Returns Ld (R,C).
 
@@ -171,7 +171,8 @@ def estimate_direct(scene, hit, mp, wo_world: Array,
                         ls["pdf"])
 
     # ---- one closest-hit trace serves visibility AND portal emission
-    hit2, le2, hit2_light = trace_radiance(scene, hit.p, hit.ns, wi_nee)
+    hit2, le2, hit2_light = trace_radiance(scene, hit.p, hit.ns, wi_nee,
+                                           time=time)
 
     # received radiance per branch
     dist = vecmath.length(ls["p_light"] - hit.p)
@@ -221,7 +222,8 @@ def estimate_direct(scene, hit, mp, wo_world: Array,
         wi_b = to_world(t1, t2, hit.ns, wi_b_loc)
         is_spec = (flags & mat_mod.FLAG_SPECULAR) > 0
         f_b = f_b * absdot(wi_b, hit.ns)[..., None]
-        hit3, le3, hit3_light = trace_radiance(scene, hit.p, hit.ns, wi_b)
+        hit3, le3, hit3_light = trace_radiance(scene, hit.p, hit.ns, wi_b,
+                                               time=time)
         # radiance only counts when this very light is hit (or escapes to
         # the chosen infinite light)
         li_b = jnp.where((hit3_light == light_idx)[..., None], le3, 0.0)
@@ -248,7 +250,7 @@ def estimate_direct(scene, hit, mp, wo_world: Array,
 # ---------------------------------------------------------------------------
 
 def subsurface_transport(scene, hit, mp, beta, wo_world, pid, sidx, sfn,
-                         seed, dims):
+                         seed, dims, time=None):
     """Separable-BSSRDF traversal for SUBSURFACE material hits.
 
     Design (pbrt's TabulatedBSSRDF photon-beam-diffusion profile replaced by
@@ -308,7 +310,7 @@ def subsurface_transport(scene, hit, mp, beta, wo_world, pid, sidx, sfn,
     h_probe = jnp.maximum(2.0 * r, 1e-3)
     o_probe = hit.p + disk + ns_o * h_probe[:, None]
     probe = isect_mod.intersect(scene, o_probe, -ns_o,
-                                2.0 * h_probe)
+                                2.0 * h_probe, time=time)
     probe_mat = scene.prim_mat[jnp.clip(probe.prim_id, 0,
                                         scene.n_prims - 1)]
     probe_mp = mat_mod.gather_materials(scene.materials, probe_mat)

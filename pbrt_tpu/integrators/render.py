@@ -70,41 +70,47 @@ def _sample2(sfn, pid, sidx, dims, seed):
 # integrators (Li over a ray batch)
 # ---------------------------------------------------------------------------
 
-def li_direct(scene, o, d, pid, sidx, sfn, cfg: RenderConfig, power_distr):
+def li_direct(scene, o, d, pid, sidx, sfn, cfg: RenderConfig, power_distr,
+              time=None):
     """`directlighting` with UniformSampleOne strategy
     (integrators/directlighting.cpp:49-101) + specular recursion up to
     max_depth via the wavefront loop."""
     return _li_loop(scene, o, d, pid, sidx, sfn, cfg, power_distr,
-                    nee=True, indirect=False)
+                    nee=True, indirect=False, time=time)
 
 
-def li_path(scene, o, d, pid, sidx, sfn, cfg: RenderConfig, power_distr):
+def li_path(scene, o, d, pid, sidx, sfn, cfg: RenderConfig, power_distr,
+            time=None):
     """`path` (integrators/path.cpp): NEE every bounce + BSDF continuation,
     emission collected on camera/specular vertices only, Russian roulette."""
     return _li_loop(scene, o, d, pid, sidx, sfn, cfg, power_distr,
-                    nee=True, indirect=True)
+                    nee=True, indirect=True, time=time)
 
 
-def li_mypath(scene, o, d, pid, sidx, sfn, cfg: RenderConfig, power_distr):
+def li_mypath(scene, o, d, pid, sidx, sfn, cfg: RenderConfig, power_distr,
+              time=None):
     """fork `mypath` (integrators/mypath.cpp:31-142): path tracing whose
     direct estimation is light-sampling only (no BSDF half) — portal
     dispatch intact."""
     return _li_loop(scene, o, d, pid, sidx, sfn, cfg, power_distr,
-                    nee=True, indirect=True, bsdf_half=False)
+                    nee=True, indirect=True, bsdf_half=False, time=time)
 
 
-def li_whitted(scene, o, d, pid, sidx, sfn, cfg: RenderConfig, power_distr):
+def li_whitted(scene, o, d, pid, sidx, sfn, cfg: RenderConfig, power_distr,
+               time=None):
     """`whitted` (integrators/whitted.cpp): direct from all lights (delta
     semantics retained via the same NEE estimator) + specular recursion."""
     return _li_loop(scene, o, d, pid, sidx, sfn, cfg, power_distr,
-                    nee=True, indirect=False)
+                    nee=True, indirect=False, time=time)
 
 
-def li_ao(scene, o, d, pid, sidx, sfn, cfg: RenderConfig, power_distr):
+def li_ao(scene, o, d, pid, sidx, sfn, cfg: RenderConfig, power_distr,
+          time=None):
     """`ambientocclusion` (integrators/ao.cpp:57-103)."""
     R = o.shape[0]
     C = scene.n_channels
-    hit = isect_mod.intersect(scene, o, d, jnp.full(R, vecmath.INF))
+    hit = isect_mod.intersect(scene, o, d, jnp.full(R, vecmath.INF),
+                              time=time)
     dims = _bounce_dims(0)
     u = _sample2(sfn, pid, sidx, dims["light_u"], cfg.seed)
     from pbrt_tpu.core.sampling import (cosine_sample_hemisphere,
@@ -119,13 +125,13 @@ def li_ao(scene, o, d, pid, sidx, sfn, cfg: RenderConfig, power_distr):
     w = common.to_world(t1, t2, hit.ns, w_loc)
     o2 = vecmath.offset_ray_origin(hit.p, hit.ns, w)
     occ = isect_mod.intersect_p(scene, o2, w,
-                                jnp.full(R, cfg.ao_radius))
+                                jnp.full(R, cfg.ao_radius), time=time)
     vis = jnp.where(hit.valid, (~occ).astype(jnp.float32) * ratio, 0.0)
     return jnp.broadcast_to(vis[..., None], (R, C))
 
 
 def _li_loop(scene, o, d, pid, sidx, sfn, cfg: RenderConfig, power_distr,
-             nee=True, indirect=True, bsdf_half=True):
+             nee=True, indirect=True, bsdf_half=True, time=None):
     """Shared wavefront loop (PathIntegrator::Li shape, path.cpp /
     mypath.cpp:31-142). Bounce count is a static unroll via fori_loop with
     per-bounce dims."""
@@ -148,7 +154,7 @@ def _li_loop(scene, o, d, pid, sidx, sfn, cfg: RenderConfig, power_distr,
         L, beta, active, specular, eta_scale, o_cur, d_cur = state
         dims = _bounce_dims(b)
         hit = isect_mod.intersect(scene, o_cur, d_cur,
-                                  jnp.full(R, vecmath.INF))
+                                  jnp.full(R, vecmath.INF), time=time)
 
         # emitted radiance at camera/specular vertices (path.cpp:291-310)
         light_id = scene.prim_light[jnp.clip(hit.prim_id, 0,
@@ -173,7 +179,7 @@ def _li_loop(scene, o, d, pid, sidx, sfn, cfg: RenderConfig, power_distr,
         if scene.has_sss and indirect:
             hit, mp, beta, _ = common.subsurface_transport(
                 scene, hit, mp, beta, -d_cur, pid, sidx, sfn, cfg.seed,
-                dims)
+                dims, time=time)
 
         # NEE
         if nee:
@@ -183,7 +189,8 @@ def _li_loop(scene, o, d, pid, sidx, sfn, cfg: RenderConfig, power_distr,
             u_mu = _sample2(sfn, pid, sidx, dims["mis_u"], cfg.seed)
             ld = common.estimate_direct(
                 scene, hit, mp, -d_cur, u_sel, u_l, u_mu, u_ml,
-                power_distr=power_distr, with_bsdf_half=bsdf_half)
+                power_distr=power_distr, with_bsdf_half=bsdf_half,
+                time=time)
             L = L + jnp.where(active[..., None], beta * ld, 0.0)
 
         # continuation (path.cpp:320-360)
@@ -317,7 +324,15 @@ def render_pass(scene, cam, filt, cfg: RenderConfig, width: int, height: int,
     if power_distr is None and cfg.light_strategy == "power":
         power_distr = lights_mod.power_distribution(scene.lights)
     li_fn = _INTEGRATORS[cfg.integrator]
-    L = li_fn(scene, rays.o, rays.d, pid, sidx, sfn, cfg, power_distr)
+    if scene.has_motion and cfg.integrator in (
+            "path", "direct", "directlighting", "whitted", "ao",
+            "ambientocclusion", "mypath"):
+        t_ray = cam.shutter_open + u_time * (cam.shutter_close
+                                             - cam.shutter_open)
+        L = li_fn(scene, rays.o, rays.d, pid, sidx, sfn, cfg, power_distr,
+                  time=t_ray)
+    else:
+        L = li_fn(scene, rays.o, rays.d, pid, sidx, sfn, cfg, power_distr)
 
     # clamp NaN/negative/inf to black (integrator.cpp:592-613)
     bad = (~jnp.isfinite(L)).any(-1) | (jnp.sum(L, -1) < -1e-5)

@@ -74,13 +74,25 @@ def build_bvh(builder, scene) -> FlatBVH:
     n = v0.shape[0]
     lo_p = np.minimum(np.minimum(v0, v1), v2)
     hi_p = np.maximum(np.maximum(v0, v1), v2)
+    dv = None
+    if scene.has_motion:
+        # node bounds must cover the whole shutter interval: union of the
+        # two keyframes (AnimatedTransform::MotionBounds role)
+        dv = tuple(np.asarray(x)[:scene.n_tri] for x in
+                   (scene.geom.tri_dv0, scene.geom.tri_dv1,
+                    scene.geom.tri_dv2))
+        e0, e1, e2 = v0 + dv[0], v1 + dv[1], v2 + dv[2]
+        lo_p = np.minimum(lo_p, np.minimum(np.minimum(e0, e1), e2))
+        hi_p = np.maximum(hi_p, np.maximum(np.maximum(e0, e1), e2))
     cent = 0.5 * (lo_p + hi_p)
 
     native = _build_native(lo_p, hi_p)
     if native is not None:
         lo_a, hi_a, right_a, count_a, axis_a, order = native
         nodes8, tri9 = _pack_threaded(lo_a, hi_a, right_a, count_a, axis_a,
-                                      v0[order], v1[order], v2[order])
+                                      v0[order], v1[order], v2[order],
+                                      dv=None if dv is None else
+                                      tuple(x[order] for x in dv))
         return FlatBVH(
             lo=jnp.asarray(lo_a), hi=jnp.asarray(hi_a),
             right=jnp.asarray(right_a), count=jnp.asarray(count_a),
@@ -158,7 +170,9 @@ def build_bvh(builder, scene) -> FlatBVH:
     count_a = np.asarray([nd["count"] for nd in nodes], np.int32)
     axis_a = np.asarray([nd["axis"] for nd in nodes], np.int32)
     nodes8, tri9 = _pack_threaded(lo_a, hi_a, right_a, count_a, axis_a,
-                                  v0[order], v1[order], v2[order])
+                                  v0[order], v1[order], v2[order],
+                                  dv=None if dv is None else
+                                  tuple(x[order] for x in dv))
     return FlatBVH(
         lo=jnp.asarray(lo_a), hi=jnp.asarray(hi_a),
         right=jnp.asarray(right_a), count=jnp.asarray(count_a),
@@ -254,9 +268,11 @@ def _octant_links(right: np.ndarray, count: np.ndarray, axis: np.ndarray):
     return first, miss
 
 
-def _pack_threaded(bvh_lo, bvh_hi, right, count, axis, v0, v1, v2):
+def _pack_threaded(bvh_lo, bvh_hi, right, count, axis, v0, v1, v2, dv=None):
     """Pack per-octant node rows (8N, 10) + padded leaf triangles (P+pad, 9)
-    so each traversal step is one node-row gather and one 4-row tri gather."""
+    so each traversal step is one node-row gather and one 4-row tri gather.
+    With two-keyframe motion (``dv``), tri rows widen to 18 columns
+    [v0|v1|v2|dv0|dv1|dv2] and the leaf test lerps by ray time."""
     N = right.shape[0]
     first, miss = _octant_links(right, count, axis)
     lo = np.asarray(bvh_lo, np.float32)
@@ -274,10 +290,15 @@ def _pack_threaded(bvh_lo, bvh_hi, right, count, axis, v0, v1, v2):
     rows[:, :, 7] = miss.astype(np.int32).view(np.float32)
     rows[:, :, 8] = off.view(np.float32)[None]
     rows[:, :, 9] = cnt.view(np.float32)[None]
-    tri9 = np.zeros((P + pad, 9), np.float32)
+    width = 9 if dv is None else 18
+    tri9 = np.zeros((P + pad, width), np.float32)
     tri9[:P, 0:3] = v0
     tri9[:P, 3:6] = v1
     tri9[:P, 6:9] = v2
+    if dv is not None:
+        tri9[:P, 9:12] = dv[0]
+        tri9[:P, 12:15] = dv[1]
+        tri9[:P, 15:18] = dv[2]
     return rows.reshape(8 * N, 10), tri9
 
 
@@ -285,7 +306,7 @@ def _pack_threaded(bvh_lo, bvh_hi, right, count, axis, v0, v1, v2):
 # traversal
 # ---------------------------------------------------------------------------
 
-def _traverse_batch(bvh: FlatBVH, o, d, tmax, any_hit: bool):
+def _traverse_batch(bvh: FlatBVH, o, d, tmax, any_hit: bool, time=None):
     """Stackless threaded traversal over the whole (R,) ray batch in one
     ``lax.while_loop`` — per-step work is vector gathers + selects, no
     scatters, no vmap. Role of BVHAccel::Intersect's ordered stack walk
@@ -317,15 +338,21 @@ def _traverse_batch(bvh: FlatBVH, o, d, tmax, any_hit: bool):
         is_leaf = cnt > 0
         do_leaf = hit_box & is_leaf
 
-        # up to LEAF_MAX triangles in one gather: (R,4,9)
+        # up to LEAF_MAX triangles in one gather: (R,4,9|18)
         k = jnp.arange(LEAF_MAX, dtype=jnp.int32)
         pidx = jnp.where(do_leaf[:, None], off[:, None] + k[None, :],
                          bvh.tri9.shape[0] - LEAF_MAX + k[None, :])
-        tr = bvh.tri9[pidx]                                     # (R,4,9)
+        tr = bvh.tri9[pidx]                                     # (R,4,9|18)
+        w0, w1, w2 = tr[..., 0:3], tr[..., 3:6], tr[..., 6:9]
+        if tr.shape[-1] == 18 and time is not None:
+            tt = time[:, None, None]
+            w0 = w0 + tt * tr[..., 9:12]
+            w1 = w1 + tt * tr[..., 12:15]
+            w2 = w2 + tt * tr[..., 15:18]
         t4, _, _, h4 = shapes.intersect_triangle_paired(
             o[:, None, :], d[:, None, :],
             jnp.broadcast_to(best_t[:, None], (R, LEAF_MAX)),
-            tr[..., 0:3], tr[..., 3:6], tr[..., 6:9])
+            w0, w1, w2)
         h4 = h4 & (k[None, :] < cnt[:, None]) & do_leaf[:, None]
         t4 = jnp.where(h4, t4, jnp.inf)
         kbest = jnp.argmin(t4, axis=1)
@@ -411,10 +438,10 @@ def _use_stack_traversal() -> bool:
     return bool(os.environ.get("PBRT_TPU_BVH_STACK"))
 
 
-def bvh_intersect_tris(bvh: FlatBVH, o, d, tmax):
+def bvh_intersect_tris(bvh: FlatBVH, o, d, tmax, time=None):
     """Closest triangle hit via BVH. Returns (t, global_tri_idx, hit)."""
     if bvh.nodes8 is not None and not _use_stack_traversal():
-        t, leaf_i = _traverse_batch(bvh, o, d, tmax, False)
+        t, leaf_i = _traverse_batch(bvh, o, d, tmax, False, time=time)
     else:
         t, leaf_i = jax.vmap(lambda oo, dd, tt: _traverse(bvh, oo, dd, tt,
                                                           False))(o, d, tmax)
@@ -423,9 +450,9 @@ def bvh_intersect_tris(bvh: FlatBVH, o, d, tmax):
     return t, tri_idx, hit
 
 
-def bvh_intersect_p_tris(bvh: FlatBVH, o, d, tmax):
+def bvh_intersect_p_tris(bvh: FlatBVH, o, d, tmax, time=None):
     if bvh.nodes8 is not None and not _use_stack_traversal():
-        _, leaf_i = _traverse_batch(bvh, o, d, tmax, True)
+        _, leaf_i = _traverse_batch(bvh, o, d, tmax, True, time=time)
     else:
         _, leaf_i = jax.vmap(lambda oo, dd, tt: _traverse(bvh, oo, dd, tt,
                                                           True))(o, d, tmax)
@@ -436,14 +463,14 @@ def bvh_intersect_p_tris(bvh: FlatBVH, o, d, tmax):
 # scene-level entry points (dispatched from scene/intersect.py)
 # ---------------------------------------------------------------------------
 
-def intersect_bvh(scene, o, d, tmax):
+def intersect_bvh(scene, o, d, tmax, time=None):
     from pbrt_tpu.scene import intersect as isect_mod
     g = scene.geom
     R = o.shape[0]
     best_t = jnp.minimum(tmax, isect_mod.BIG)
     prim_id = jnp.full(R, -1, jnp.int32)
 
-    t, tri_idx, h = bvh_intersect_tris(scene.bvh, o, d, best_t)
+    t, tri_idx, h = bvh_intersect_tris(scene.bvh, o, d, best_t, time=time)
     upd = h & (t < best_t)
     best_t = jnp.where(upd, t, best_t)
     prim_id = jnp.where(upd, tri_idx, prim_id)
@@ -473,12 +500,12 @@ def intersect_bvh(scene, o, d, tmax):
         prim_id = jnp.where(
             upd, scene.n_tri + scene.n_sph + scene.n_pln + idx, prim_id)
 
-    return isect_mod.finalize_hit(scene, o, d, best_t, prim_id)
+    return isect_mod.finalize_hit(scene, o, d, best_t, prim_id, time=time)
 
 
-def intersect_p_bvh(scene, o, d, tmax):
+def intersect_p_bvh(scene, o, d, tmax, time=None):
     g = scene.geom
-    occ = bvh_intersect_p_tris(scene.bvh, o, d, tmax)
+    occ = bvh_intersect_p_tris(scene.bvh, o, d, tmax, time=time)
     if scene.n_sph:
         _, h = shapes.intersect_spheres(o, d, tmax, g.sph_center,
                                         g.sph_radius)

@@ -46,6 +46,10 @@ class Camera:
     shutter_close: Array    # ()
     fov_scale: Array        # () tan(fov/2)
     resolution: Array       # (2,) int32 (nx, ny)
+    # camera motion blur: when set, cam_to_world is replaced per-ray by
+    # anim.interpolate(time) (AnimatedTransform, core/api.cpp:814's
+    # MakeCamera CameraToWorld AnimatedTransform)
+    anim: Any = None        # core.transform.AnimatedTransform | None
 
 
 def make_perspective(cam_to_world: Transform, fov_deg: float,
@@ -144,6 +148,17 @@ def generate_rays(cam: Camera, p_film: Array, u_lens: Array,
     o = jnp.where(use_dof, o_dof, o)
     d = jnp.where(use_dof, d_dof, d)
 
+    if cam.anim is not None:
+        # camera motion blur: per-ray interpolated camera-to-world
+        # (AnimatedTransform::InterpolateRay role, core/camera.cpp
+        # GenerateRay's ray.time + CameraToWorld(ray))
+        time = cam.shutter_open + u_time * (cam.shutter_close
+                                            - cam.shutter_open)
+        m = cam.anim.interpolate(time)              # (R,4,4)
+        rot = m[..., :3, :3]
+        o_w = jnp.einsum("...ij,...j->...i", rot, o) + m[..., :3, 3]
+        d_w = jnp.einsum("...ij,...j->...i", rot, d)
+        return vecmath.make_ray(o_w, d_w)
     ray = vecmath.make_ray(cam.cam_to_world.apply_point(o),
                            cam.cam_to_world.apply_vector(d))
     return ray

@@ -39,17 +39,31 @@ def _use_pallas(scene) -> bool:
         return False
     return (jax.default_backend() not in ("cpu",)
             and scene.bvh is None and scene.n_dsk == 0
+            and not scene.has_motion
             and scene.n_prims <= 4096)
 
 
-def intersect(scene, o: Array, d: Array, tmax: Array) -> Hit:
-    """Closest-hit query. o,d: (R,3); tmax: (R,). Returns Hit (R,...)."""
+def _tri_verts(scene, time):
+    """Triangle vertices at each ray's time: (T,3) static, (R,T,3) when the
+    scene has two-keyframe motion (AnimatedTransform shape lerp)."""
+    g = scene.geom
+    if scene.has_motion and time is not None:
+        t = time[:, None, None]
+        return (g.tri_v0[None] + t * g.tri_dv0[None],
+                g.tri_v1[None] + t * g.tri_dv1[None],
+                g.tri_v2[None] + t * g.tri_dv2[None])
+    return g.tri_v0, g.tri_v1, g.tri_v2
+
+
+def intersect(scene, o: Array, d: Array, tmax: Array, time=None) -> Hit:
+    """Closest-hit query. o,d: (R,3); tmax: (R,); time: (R,) shutter times
+    for motion-blurred scenes (None = shutter start). Returns Hit (R,...)."""
     if scene.bvh is not None:
         from pbrt_tpu.scene import bvh as bvh_mod
         from pbrt_tpu.scene import kdtree as kd_mod
         if isinstance(scene.bvh, kd_mod.KdTree):
             return kd_mod.intersect_kd(scene, o, d, tmax)
-        return bvh_mod.intersect_bvh(scene, o, d, tmax)
+        return bvh_mod.intersect_bvh(scene, o, d, tmax, time=time)
     if _use_pallas(scene):
         from pbrt_tpu.ops import intersect_pallas as ip
         tri, sph, pln = ip.pack_scene(scene)
@@ -57,17 +71,17 @@ def intersect(scene, o: Array, d: Array, tmax: Array) -> Hit:
             tri, sph, pln, o, d, tmax, scene.n_tri, scene.n_sph,
             scene.n_pln)
         return finalize_hit(scene, o, d, t, prim)
-    return _intersect_brute(scene, o, d, tmax)
+    return _intersect_brute(scene, o, d, tmax, time=time)
 
 
-def intersect_p(scene, o: Array, d: Array, tmax: Array) -> Array:
+def intersect_p(scene, o: Array, d: Array, tmax: Array, time=None) -> Array:
     """Any-hit (shadow) query → occluded mask (R,)."""
     if scene.bvh is not None:
         from pbrt_tpu.scene import bvh as bvh_mod
         from pbrt_tpu.scene import kdtree as kd_mod
         if isinstance(scene.bvh, kd_mod.KdTree):
             return kd_mod.intersect_p_kd(scene, o, d, tmax)
-        return bvh_mod.intersect_p_bvh(scene, o, d, tmax)
+        return bvh_mod.intersect_p_bvh(scene, o, d, tmax, time=time)
     if _use_pallas(scene):
         from pbrt_tpu.ops import intersect_pallas as ip
         tri, sph, pln = ip.pack_scene(scene)
@@ -75,7 +89,7 @@ def intersect_p(scene, o: Array, d: Array, tmax: Array) -> Array:
             tri, sph, pln, o, d, tmax, scene.n_tri, scene.n_sph,
             scene.n_pln)
         return prim >= 0
-    return _intersect_p_brute(scene, o, d, tmax)
+    return _intersect_p_brute(scene, o, d, tmax, time=time)
 
 
 def _family_best(t: Array, hit: Array):
@@ -86,7 +100,8 @@ def _family_best(t: Array, hit: Array):
     return tbest, idx, tbest < BIG
 
 
-def _intersect_brute(scene, o: Array, d: Array, tmax: Array) -> Hit:
+def _intersect_brute(scene, o: Array, d: Array, tmax: Array,
+                     time=None) -> Hit:
     g = scene.geom
     R = o.shape[0]
     best_t = jnp.minimum(tmax, BIG)
@@ -94,8 +109,8 @@ def _intersect_brute(scene, o: Array, d: Array, tmax: Array) -> Hit:
 
     results = {}
     if scene.n_tri:
-        t, u, v, h = shapes.intersect_triangles(o, d, best_t, g.tri_v0,
-                                                g.tri_v1, g.tri_v2)
+        tv0, tv1, tv2 = _tri_verts(scene, time)
+        t, u, v, h = shapes.intersect_triangles(o, d, best_t, tv0, tv1, tv2)
         tb, idx, any_h = _family_best(t, h)
         ub = jnp.take_along_axis(u, idx[:, None], axis=-1)[:, 0]
         vb = jnp.take_along_axis(v, idx[:, None], axis=-1)[:, 0]
@@ -133,10 +148,10 @@ def _intersect_brute(scene, o: Array, d: Array, tmax: Array) -> Hit:
                             scene.n_tri + scene.n_sph + scene.n_pln + idx,
                             prim_id)
 
-    return finalize_hit(scene, o, d, best_t, prim_id, results)
+    return finalize_hit(scene, o, d, best_t, prim_id, results, time=time)
 
 
-def finalize_hit(scene, o, d, t, prim_id, results=None) -> Hit:
+def finalize_hit(scene, o, d, t, prim_id, results=None, time=None) -> Hit:
     """Compute hit attributes (p, ng, ns, uv) from (t, prim_id)."""
     g = scene.geom
     R = o.shape[0]
@@ -153,13 +168,18 @@ def finalize_hit(scene, o, d, t, prim_id, results=None) -> Hit:
     if nt:
         ti = jnp.clip(prim_id, 0, nt - 1)
         is_tri = valid & (prim_id < nt)
-        ngt = shapes.triangle_normal(g.tri_v0[ti], g.tri_v1[ti],
-                                     g.tri_v2[ti])
+        hv0, hv1, hv2 = g.tri_v0[ti], g.tri_v1[ti], g.tri_v2[ti]
+        if scene.has_motion and time is not None:
+            tt = time[:, None]
+            hv0 = hv0 + tt * g.tri_dv0[ti]
+            hv1 = hv1 + tt * g.tri_dv1[ti]
+            hv2 = hv2 + tt * g.tri_dv2[ti]
+        ngt = shapes.triangle_normal(hv0, hv1, hv2)
         # recompute barycentrics at hit point (cheap, avoids carrying u,v
         # through BVH traversal): project onto triangle basis
-        e1 = g.tri_v1[ti] - g.tri_v0[ti]
-        e2 = g.tri_v2[ti] - g.tri_v0[ti]
-        rp = p - g.tri_v0[ti]
+        e1 = hv1 - hv0
+        e2 = hv2 - hv0
+        rp = p - hv0
         d00 = vecmath.dot(e1, e1)
         d01 = vecmath.dot(e1, e2)
         d11 = vecmath.dot(e2, e2)
@@ -227,12 +247,13 @@ def finalize_hit(scene, o, d, t, prim_id, results=None) -> Hit:
                prim_id=jnp.where(valid, prim_id, -1), dpdu=dpdu)
 
 
-def _intersect_p_brute(scene, o: Array, d: Array, tmax: Array) -> Array:
+def _intersect_p_brute(scene, o: Array, d: Array, tmax: Array,
+                       time=None) -> Array:
     g = scene.geom
     occluded = jnp.zeros(o.shape[0], bool)
     if scene.n_tri:
-        _, _, _, h = shapes.intersect_triangles(o, d, tmax, g.tri_v0,
-                                                g.tri_v1, g.tri_v2)
+        tv0, tv1, tv2 = _tri_verts(scene, time)
+        _, _, _, h = shapes.intersect_triangles(o, d, tmax, tv0, tv1, tv2)
         occluded |= h.any(-1)
     if scene.n_sph:
         _, h = shapes.intersect_spheres(o, d, tmax, g.sph_center,

@@ -56,20 +56,24 @@ def intersect_triangles(o: Array, d: Array, tmax: Array,
                         v0: Array, v1: Array, v2: Array):
     """All-pairs ray×triangle test.
 
-    o,d: (R,3); v0..v2: (T,3). Returns (t, u, v, hit): each (R,T).
-    Möller–Trumbore with backface hits allowed (pbrt intersects both sides).
-    """
-    e1 = v1 - v0                          # (T,3)
-    e2 = v2 - v0
-    ro = o[:, None, :] - v0[None, :, :]   # (R,T,3)
+    o,d: (R,3); v0..v2: (T,3) static, or (R,T,3) per-ray (motion-blur verts
+    already interpolated to each ray's time). Returns (t, u, v, hit): each
+    (R,T). Möller–Trumbore with backface hits allowed (pbrt intersects both
+    sides)."""
+    V0 = v0 if v0.ndim == 3 else v0[None]   # (1|R, T, 3)
+    V1 = v1 if v1.ndim == 3 else v1[None]
+    V2 = v2 if v2.ndim == 3 else v2[None]
+    e1 = V1 - V0
+    e2 = V2 - V0
+    ro = o[:, None, :] - V0               # (R,T,3)
     rd = d[:, None, :]                    # (R,1,3)
-    pvec = jnp.cross(rd, e2[None])        # (R,T,3)
-    det = jnp.sum(e1[None] * pvec, axis=-1)
+    pvec = jnp.cross(rd, e2)              # (R,T,3)
+    det = jnp.sum(e1 * pvec, axis=-1)
     inv_det = jnp.where(jnp.abs(det) > 1e-12, 1.0 / det, 0.0)
     u = jnp.sum(ro * pvec, axis=-1) * inv_det
-    qvec = jnp.cross(ro, e1[None])
+    qvec = jnp.cross(ro, e1)
     v = jnp.sum(rd * qvec, axis=-1) * inv_det
-    t = jnp.sum(e2[None] * qvec, axis=-1) * inv_det
+    t = jnp.sum(e2 * qvec, axis=-1) * inv_det
     hit = ((jnp.abs(det) > 1e-12) & (u >= 0.0) & (v >= 0.0)
            & (u + v <= 1.0) & (t > 1e-4) & (t < tmax[:, None]))
     return t, u, v, hit

@@ -60,6 +60,12 @@ class Geometry:
     dsk_normal: Array  # (D,3)
     dsk_radius: Array  # (D,)
     dsk_inner: Array   # (D,)
+    # two-keyframe motion (TransformedPrimitive with AnimatedTransform,
+    # core/api.cpp:1414): vertex deltas to the shutter-end positions; None
+    # for static scenes. v(t) = tri_v* + t * tri_dv*.
+    tri_dv0: Optional[Array] = None   # (T,3)
+    tri_dv1: Optional[Array] = None
+    tri_dv2: Optional[Array] = None
 
 
 @jax.tree_util.register_dataclass
@@ -82,6 +88,9 @@ class Scene:
     n_channels: int = dataclasses.field(metadata=dict(static=True))
     has_sss: bool = dataclasses.field(metadata=dict(static=True),
                                       default=False)
+    # two-keyframe triangle motion present (animated shape transforms)
+    has_motion: bool = dataclasses.field(metadata=dict(static=True),
+                                         default=False)
     # tuple of scene/fourier.py FourierTables (() = none); material rows
     # reference them by MaterialTable.fourier_id
     fourier: Any = ()
@@ -182,17 +191,24 @@ class SceneBuilder:
     # -- shapes ------------------------------------------------------------
     def add_triangle(self, v0, v1, v2, mat=0, light=-1, n0=None, n1=None,
                      n2=None, uv0=(0, 0), uv1=(1, 0), uv2=(1, 1),
-                     med_in=-1, med_out=-1):
+                     med_in=-1, med_out=-1, v0_e=None, v1_e=None,
+                     v2_e=None):
+        """v*_e = shutter-end positions for two-keyframe motion blur
+        (AnimatedTransform shape endpoint, core/api.cpp:1414)."""
         self.tris.append(dict(v0=v0, v1=v1, v2=v2, n0=n0, n1=n1, n2=n2,
                               uv0=uv0, uv1=uv1, uv2=uv2, mat=mat,
-                              light=light, med_in=med_in, med_out=med_out))
+                              light=light, med_in=med_in, med_out=med_out,
+                              v0_e=v0_e, v1_e=v1_e, v2_e=v2_e))
         return len(self.tris) - 1
 
     def add_mesh(self, vertices, indices, mat=0, light=-1, normals=None,
-                 uvs=None, med_in=-1, med_out=-1):
-        """trianglemesh: vertices (V,3), indices (F,3)."""
+                 uvs=None, med_in=-1, med_out=-1, vertices_end=None):
+        """trianglemesh: vertices (V,3), indices (F,3); ``vertices_end``
+        gives per-vertex shutter-end positions for motion blur."""
         vertices = np.asarray(vertices, np.float32)
         indices = np.asarray(indices, np.int32).reshape(-1, 3)
+        ve = None if vertices_end is None else np.asarray(vertices_end,
+                                                         np.float32)
         ids = []
         for f in indices:
             kw = {}
@@ -201,6 +217,8 @@ class SceneBuilder:
                           n2=normals[f[2]])
             if uvs is not None:
                 kw.update(uv0=uvs[f[0]], uv1=uvs[f[1]], uv2=uvs[f[2]])
+            if ve is not None:
+                kw.update(v0_e=ve[f[0]], v1_e=ve[f[1]], v2_e=ve[f[2]])
             kw.update(med_in=med_in, med_out=med_out)
             ids.append(self.add_triangle(vertices[f[0]], vertices[f[1]],
                                          vertices[f[2]], mat, light, **kw))
@@ -267,9 +285,21 @@ class SceneBuilder:
                           for i, r in enumerate(self.tris)], np.float32
                          ).reshape(max(nt, 1), 3) if nt else gn
 
+        # two-keyframe motion deltas (None = static scene)
+        has_motion = any(r.get("v0_e") is not None for r in self.tris)
+        tdv = {}
+        if has_motion:
+            for key, base in (("v0", tv0), ("v1", tv1), ("v2", tv2)):
+                end = np.asarray(
+                    [np.asarray(r[key + "_e"], np.float32)
+                     if r.get(key + "_e") is not None
+                     else np.asarray(r[key], np.float32)
+                     for r in self.tris], np.float32).reshape(max(nt, 1), 3)
+                tdv["tri_d" + key] = jnp.asarray(end - base)
+
         geom = Geometry(
             tri_v0=jnp.asarray(tv0), tri_v1=jnp.asarray(tv1),
-            tri_v2=jnp.asarray(tv2),
+            tri_v2=jnp.asarray(tv2), **tdv,
             tri_n0=jnp.asarray(tn0), tri_n1=jnp.asarray(tn1),
             tri_n2=jnp.asarray(tn2),
             tri_uv0=jnp.asarray(f32(self.tris, "uv0", (max(nt, 1), 2))),
@@ -325,9 +355,13 @@ class SceneBuilder:
             med_in = -np.ones(1, np.int32)
             med_out = -np.ones(1, np.int32)
 
-        # world bounds
+        # world bounds (union over both motion keyframes)
         pts = [tv0[:nt].reshape(-1, 3), tv1[:nt].reshape(-1, 3),
                tv2[:nt].reshape(-1, 3)]
+        if has_motion and nt:
+            pts += [(tv0[:nt] + np.asarray(tdv["tri_dv0"])[:nt]),
+                    (tv1[:nt] + np.asarray(tdv["tri_dv1"])[:nt]),
+                    (tv2[:nt] + np.asarray(tdv["tri_dv2"])[:nt])]
         if ns:
             c = f32(self.spheres, "center", (ns, 3))
             r = np.asarray([s["radius"] for s in self.spheres],
@@ -362,6 +396,7 @@ class SceneBuilder:
             textures=None,
             n_tri=nt, n_sph=ns, n_pln=npl, n_dsk=nd,
             n_channels=self.cfg.n_channels, has_sss=has_sss,
+            has_motion=has_motion,
             fourier=tuple(self.fourier_tables),
             media=tuple(self.media),
             prim_med_in=jnp.asarray(med_in),
