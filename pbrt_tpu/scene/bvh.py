@@ -61,6 +61,11 @@ class FlatBVH:
     # leaf primitive test.
     nodes8: Array = None      # (8N, 8) float32
     tri9: Array = None        # (P_pad, 9) float32
+    # packet-kernel layout (ops/bvh_pallas.py): SMEM meta + lane-packed
+    # VMEM bounds/tris; the TPU traversal path
+    pk_meta: Array = None     # (1, N) int32
+    pk_nb: Array = None       # (ceil(N/12), 128) float32
+    pk_tri: Array = None      # (ceil(P/14), 128) float32
 
 
 def build_bvh(builder, scene) -> FlatBVH:
@@ -89,18 +94,8 @@ def build_bvh(builder, scene) -> FlatBVH:
     native = _build_native(lo_p, hi_p)
     if native is not None:
         lo_a, hi_a, right_a, count_a, axis_a, order = native
-        nodes8, tri9 = _pack_threaded(lo_a, hi_a, right_a, count_a, axis_a,
-                                      v0[order], v1[order], v2[order],
-                                      dv=None if dv is None else
-                                      tuple(x[order] for x in dv))
-        return FlatBVH(
-            lo=jnp.asarray(lo_a), hi=jnp.asarray(hi_a),
-            right=jnp.asarray(right_a), count=jnp.asarray(count_a),
-            axis=jnp.asarray(axis_a),
-            prim_order=jnp.asarray(order, jnp.int32),
-            v0=jnp.asarray(v0[order]), v1=jnp.asarray(v1[order]),
-            v2=jnp.asarray(v2[order]),
-            nodes8=jnp.asarray(nodes8), tri9=jnp.asarray(tri9))
+        return _finish_flat(lo_a, hi_a, right_a, count_a, axis_a, order,
+                            v0, v1, v2, dv)
 
     order = np.arange(n)
     nodes = []  # dicts: lo, hi, right, count, axis, offset
@@ -169,17 +164,31 @@ def build_bvh(builder, scene) -> FlatBVH:
     right_a = np.asarray([nd["right"] for nd in nodes], np.int32)
     count_a = np.asarray([nd["count"] for nd in nodes], np.int32)
     axis_a = np.asarray([nd["axis"] for nd in nodes], np.int32)
+    return _finish_flat(lo_a, hi_a, right_a, count_a, axis_a, order,
+                        v0, v1, v2, dv)
+
+
+def _finish_flat(lo_a, hi_a, right_a, count_a, axis_a, order, v0, v1, v2,
+                 dv):
+    """Assemble the FlatBVH device arrays + both traversal layouts."""
     nodes8, tri9 = _pack_threaded(lo_a, hi_a, right_a, count_a, axis_a,
                                   v0[order], v1[order], v2[order],
                                   dv=None if dv is None else
                                   tuple(x[order] for x in dv))
+    from pbrt_tpu.ops import bvh_pallas as bp
+    pk_meta, pk_nb, pk_tri = bp.pack_bvh(
+        np.asarray(lo_a), np.asarray(hi_a), np.asarray(right_a),
+        np.asarray(count_a), np.asarray(axis_a),
+        v0[order], v1[order], v2[order])
     return FlatBVH(
         lo=jnp.asarray(lo_a), hi=jnp.asarray(hi_a),
         right=jnp.asarray(right_a), count=jnp.asarray(count_a),
         axis=jnp.asarray(axis_a), prim_order=jnp.asarray(order, jnp.int32),
         v0=jnp.asarray(v0[order]), v1=jnp.asarray(v1[order]),
         v2=jnp.asarray(v2[order]),
-        nodes8=jnp.asarray(nodes8), tri9=jnp.asarray(tri9))
+        nodes8=jnp.asarray(nodes8), tri9=jnp.asarray(tri9),
+        pk_meta=jnp.asarray(pk_meta), pk_nb=jnp.asarray(pk_nb),
+        pk_tri=jnp.asarray(pk_tri))
 
 
 def _build_native(lo_p: np.ndarray, hi_p: np.ndarray):
@@ -438,9 +447,31 @@ def _use_stack_traversal() -> bool:
     return bool(os.environ.get("PBRT_TPU_BVH_STACK"))
 
 
+def _use_packet_kernel(bvh: FlatBVH, time) -> bool:
+    """Packet Pallas kernel: TPU backends only (the XLA gather-loop path is
+    catastrophically slow there — see ops/bvh_pallas.py); no motion-blur
+    support (falls back to the threaded XLA path)."""
+    import os
+    if os.environ.get("PBRT_TPU_NO_PALLAS") or bvh.pk_meta is None:
+        return False
+    has_motion = bvh.tri9 is not None and bvh.tri9.shape[-1] == 18
+    if has_motion and time is not None:
+        return False
+    return jax.default_backend() not in ("cpu",)
+
+
+def _packet_traverse(bvh: FlatBVH, o, d, tmax, any_hit: bool):
+    from pbrt_tpu.ops import bvh_pallas as bp
+    return bp.bvh_traverse_pallas(
+        bvh.pk_meta, bvh.pk_nb, bvh.pk_tri, o, d, tmax,
+        bvh.lo.shape[0], bvh.v0.shape[0], any_hit)
+
+
 def bvh_intersect_tris(bvh: FlatBVH, o, d, tmax, time=None):
     """Closest triangle hit via BVH. Returns (t, global_tri_idx, hit)."""
-    if bvh.nodes8 is not None and not _use_stack_traversal():
+    if _use_packet_kernel(bvh, time):
+        t, leaf_i = _packet_traverse(bvh, o, d, tmax, False)
+    elif bvh.nodes8 is not None and not _use_stack_traversal():
         t, leaf_i = _traverse_batch(bvh, o, d, tmax, False, time=time)
     else:
         t, leaf_i = jax.vmap(lambda oo, dd, tt: _traverse(bvh, oo, dd, tt,
@@ -451,7 +482,9 @@ def bvh_intersect_tris(bvh: FlatBVH, o, d, tmax, time=None):
 
 
 def bvh_intersect_p_tris(bvh: FlatBVH, o, d, tmax, time=None):
-    if bvh.nodes8 is not None and not _use_stack_traversal():
+    if _use_packet_kernel(bvh, time):
+        _, leaf_i = _packet_traverse(bvh, o, d, tmax, True)
+    elif bvh.nodes8 is not None and not _use_stack_traversal():
         _, leaf_i = _traverse_batch(bvh, o, d, tmax, True, time=time)
     else:
         _, leaf_i = jax.vmap(lambda oo, dd, tt: _traverse(bvh, oo, dd, tt,
