@@ -61,10 +61,11 @@ def _bcast(vec_1x, col, shape):
     """Broadcast element [0, col] of a (1, K) vector to ``shape``.
 
     Mosaic can't broadcast (1,1)→(sublanes,lanes) in one op ("Broadcast in
-    both sublanes and lanes" unimplemented) — go lanes first, then
-    sublanes."""
+    both sublanes and lanes" unimplemented), and chained broadcasts fold
+    back into one — lane-broadcast to (1, lanes), then stack sublane
+    copies with concatenate (a distinct op Mosaic handles)."""
     v = jnp.broadcast_to(vec_1x[0:1, col:col + 1], (1, shape[1]))
-    return jnp.broadcast_to(v, shape)
+    return jnp.concatenate([v] * shape[0], axis=0)
 
 
 def _extract_fields(row_1x128, lane_off, nfields):
