@@ -150,25 +150,35 @@ def estimate_direct(scene, hit, mp, wo_world: Array,
     # ---- light-strategy sample (Sample_Li)
     ls = lights_mod.sample_li(scene, light_idx, hit.p, u_light)
 
-    # ---- portal strategy directions
-    in_front = portals_mod.portals_in_front(hit.p, g)
-    pidx, psel_pdf, behind_all = portals_mod.select_visible_portal(
-        in_front, u_select)
-    ap = lights_mod.gather_area_prim(scene, g.prim_id)
-    wi_port, pdf_port, _ = portals_mod.sample_portal(g, pidx, hit.p, u_light)
-    # projection needs the light rect (aaplane-backed portal lights)
-    wi_proj, pdf_proj, _ = portals_mod.sample_projection(
-        g, pidx, ap.lo, ap.hi, ap.ax, hit.p, u_light)
+    # ---- portal strategy directions (only traced when the scene has
+    # portal lights — lt.has_portals is static; the reference's dynamic_cast
+    # dispatch at integrator.cpp:130-133 likewise never runs without one)
+    if lt.has_portals:
+        in_front = portals_mod.portals_in_front(hit.p, g)
+        pidx, psel_pdf, behind_all = portals_mod.select_visible_portal(
+            in_front, u_select)
+        ap = lights_mod.gather_area_prim(scene, g.prim_id)
+        wi_port, pdf_port, _ = portals_mod.sample_portal(g, pidx, hit.p,
+                                                         u_light)
+        # projection needs the light rect (aaplane-backed portal lights)
+        wi_proj, pdf_proj, _ = portals_mod.sample_projection(
+            g, pidx, ap.lo, ap.hi, ap.ax, hit.p, u_light)
 
-    use_portal_dir = (is_portal_light & ~behind_all
-                      & (g.strategy != STRAT_LIGHT))
-    use_proj = use_portal_dir & (g.strategy == STRAT_PROJECTION)
-    wi_nee = jnp.where(use_portal_dir[..., None],
-                       jnp.where(use_proj[..., None], wi_proj, wi_port),
-                       ls["wi"])
-    pdf_nee = jnp.where(use_portal_dir,
-                        jnp.where(use_proj, pdf_proj, pdf_port),
-                        ls["pdf"])
+        use_portal_dir = (is_portal_light & ~behind_all
+                          & (g.strategy != STRAT_LIGHT))
+        use_proj = use_portal_dir & (g.strategy == STRAT_PROJECTION)
+        wi_nee = jnp.where(use_portal_dir[..., None],
+                           jnp.where(use_proj[..., None], wi_proj, wi_port),
+                           ls["wi"])
+        pdf_nee = jnp.where(use_portal_dir,
+                            jnp.where(use_proj, pdf_proj, pdf_port),
+                            ls["pdf"])
+    else:
+        is_portal_light = jnp.zeros(R, bool)
+        use_proj = jnp.zeros(R, bool)
+        psel_pdf = jnp.ones(R)
+        wi_nee = ls["wi"]
+        pdf_nee = ls["pdf"]
 
     # ---- one closest-hit trace serves visibility AND portal emission
     hit2, le2, hit2_light = trace_radiance(scene, hit.p, hit.ns, wi_nee,

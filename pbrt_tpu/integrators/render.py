@@ -307,7 +307,7 @@ def render_pass(scene, cam, filt, cfg: RenderConfig, width: int, height: int,
     lid = jnp.tile(jnp.arange(n_pix, dtype=jnp.uint32), chunk)
     sidx = (jnp.repeat(jnp.arange(chunk, dtype=jnp.uint32), n_pix)
             + spp_offset.astype(jnp.uint32))
-    sfn = make_sampler(cfg.sampler)
+    sfn = make_sampler(cfg.sampler, resolution=(width, height))
 
     px = (px0 + lid % wc).astype(jnp.float32)
     py = (py0 + lid // wc).astype(jnp.float32)

@@ -77,7 +77,7 @@ def _pass_shard(scene, cam, filt, spp_offset, *, cfg, width, height, chunk,
             + spp_offset.astype(jnp.uint32) + dp_idx.astype(jnp.uint32)
             * chunk)
 
-    sfn = make_sampler(cfg.sampler)
+    sfn = make_sampler(cfg.sampler, resolution=(width, height))
     u_film = jnp.stack([sfn(pid_t, sidx, 0, cfg.seed),
                         sfn(pid_t, sidx, 1, cfg.seed)], -1)
     off, w_filt = film_mod.sample_filter_offset(filt, u_film)

@@ -6,9 +6,21 @@ stateful objects walking a dimension counter; here a sampler is a *pure
 function* ``u = sample(pixel_id, sample_idx, dim)`` — any ray can evaluate
 any dimension independently (shard-invariant, resumable).
 
-Scrambling: per-(pixel,dim) Cranley–Patterson rotation for Halton and
-hash-based Owen-style scrambling for Sobol — the modern replacements for
-pbrt's permutation tables (lowdiscrepancy.cpp ComputeRadicalInversePermutations).
+When ``make_sampler`` is given the image resolution, ``halton`` and ``sobol``
+reproduce pbrt's *GlobalSampler* pixel-enumeration semantics exactly
+(samplers/halton.cpp GetIndexForSample / SampleDimension;
+lowdiscrepancy.h:229 SobolIntervalToIndex): one global low-discrepancy
+sequence tiles the image, each pixel pulls the subsequence landing inside it,
+dims 0/1 are the within-pixel offsets and dims >=2 share the pixel's global
+index.  Halton dims >=2 use per-dimension random digit permutations
+(ScrambledRadicalInverse, lowdiscrepancy.cpp:407); global Sobol is
+unscrambled, per the reference.  Without a resolution the older
+distribution-level stand-ins remain (Cranley–Patterson-rotated Halton,
+per-pixel Owen-scrambled (0,2)).  ``zerotwosequence`` stays the per-pixel
+Owen-scrambled (0,2) pair — that is the reference's PixelSampler class.
+``maxmindist`` is aliased onto it (pbrt's CMaxMinDist generator matrices are
+third-party search results with no construction to re-derive; same
+(0,2)-stratification class, documented delta).
 """
 
 from __future__ import annotations
@@ -20,12 +32,16 @@ import jax.numpy as jnp
 import numpy as np
 
 from pbrt_tpu.core import rng as rng_mod
+from pbrt_tpu.samplers.sobolmatrices import N_SOBOL_DIMS, SOBOL_MATRICES
 
 Array = Any
 
 _PRIMES = np.array([2, 3, 5, 7, 11, 13, 17, 19, 23, 29, 31, 37, 41, 43, 47,
                     53, 59, 61, 67, 71, 73, 79, 83, 89, 97, 101, 103, 107,
-                    109, 113, 127, 131], np.int32)
+                    109, 113, 127, 131, 137, 139, 149, 151, 157, 163, 167,
+                    173, 179, 181, 191, 193, 197, 199, 211, 223, 227, 229,
+                    233, 239, 241, 251, 257, 263, 269, 271, 277, 281, 283,
+                    293, 307, 311, 313, 317], np.int32)
 _N_PRIMES = len(_PRIMES)
 # digits needed so that base^digits >= 2^32
 _MAX_DIGITS = np.ceil(32.0 / np.log2(_PRIMES.astype(np.float64))).astype(
@@ -107,9 +123,313 @@ def _reverse_bits(v: Array) -> Array:
     return (v >> 16) | (v << 16)
 
 
-def make_sampler(name: str, spp: int = 16) -> Callable:
-    """Return sample(pixel_id, sample_idx, dim, seed) → float32 in [0,1)."""
+# ---------------------------------------------------------------------------
+# GlobalSampler machinery (pbrt pixel-enumeration semantics)
+# ---------------------------------------------------------------------------
+
+_KMAX_RESOLUTION = 128  # samplers/halton.cpp:41
+
+
+def _mult_inverse(a: int, n: int) -> int:
+    """multiplicativeInverse (samplers/halton.cpp:45-62)."""
+    return pow(a % n, -1, n)
+
+
+_MAX_HALTON_DIMS = 256  # perms repeat past this (pbrt hard-errors at 1024)
+
+
+def _perm_for_dim(dim: int, seed: int) -> np.ndarray:
+    """Random digit permutation for prime(dim % len) — the pure-function
+    analogue of ComputeRadicalInversePermutations + PermutationForDimension
+    (lowdiscrepancy.cpp / halton.h:70-75). Keyed by the *dimension* (mod 256,
+    not the base) so wrapped dims sharing a base stay decorrelated."""
+    dim = dim % _MAX_HALTON_DIMS
+    base = int(_PRIMES[dim % _N_PRIMES])
+    rs = np.random.RandomState((dim * 0x9E3779B9 + seed * 0x85EBCA6B)
+                               & 0x7FFFFFFF)
+    return rs.permutation(base).astype(np.int32)
+
+
+_PERM_TABLE_CACHE: dict = {}
+
+
+def _perm_table(seed: int):
+    """Flat concatenation of all 256 per-dim permutations + offsets, for
+    traced-dim lookups (pbrt's radicalInversePermutations + PrimeSums
+    layout, halton.h:58,73)."""
+    if seed not in _PERM_TABLE_CACHE:
+        perms = [_perm_for_dim(d, seed) for d in range(_MAX_HALTON_DIMS)]
+        offs = np.zeros(_MAX_HALTON_DIMS, np.int32)
+        acc = 0
+        for d, p in enumerate(perms):
+            offs[d] = acc
+            acc += len(p)
+        _PERM_TABLE_CACHE[seed] = (np.concatenate(perms).astype(np.int32),
+                                   offs)
+    return _PERM_TABLE_CACHE[seed]
+
+
+def _scrambled_radical_inverse(dim: int, a: Array, seed: int) -> Array:
+    """ScrambledRadicalInverse (lowdiscrepancy.cpp:405-424): permuted digits,
+    fixed digit count covering 2^32, plus the closed-form tail for the
+    infinite leading perm[0] digits."""
+    base = int(_PRIMES[dim % _N_PRIMES])
+    n_digits = int(_MAX_DIGITS[dim % _N_PRIMES])
+    perm_np = _perm_for_dim(dim, seed)
+    perm = jnp.asarray(perm_np, jnp.float32)
+    inv_base = np.float32(1.0 / base)
+    a = a.astype(jnp.uint32)
+    val = jnp.zeros(jnp.shape(a), jnp.float32)
+    inv_bn = np.float32(1.0)
+    for _ in range(n_digits):
+        nxt = a // base
+        digit = a - nxt * base
+        inv_bn = np.float32(inv_bn * inv_base)
+        val = val + jnp.take(perm, digit.astype(jnp.int32)) * inv_bn
+        a = nxt
+    # tail: digits beyond n_digits are all 0 → perm[0] each
+    tail = float(perm_np[0]) * inv_bn * inv_base / (1.0 - inv_base)
+    return jnp.minimum(val + tail, rng_mod.ONE_MINUS_EPS)
+
+
+def _radical_inverse_static(base: int, n_digits: int, a: Array) -> Array:
+    """RadicalInverse in a static base, unrolled (lowdiscrepancy.cpp:426+)."""
+    inv_base = np.float32(1.0 / base)
+    a = a.astype(jnp.uint32)
+    val = jnp.zeros(jnp.shape(a), jnp.float32)
+    inv_bn = np.float32(1.0)
+    for _ in range(n_digits):
+        nxt = a // base
+        digit = a - nxt * base
+        inv_bn = np.float32(inv_bn * inv_base)
+        val = val + digit.astype(jnp.float32) * inv_bn
+        a = nxt
+    return jnp.minimum(val, rng_mod.ONE_MINUS_EPS)
+
+
+def _reverse_digits(v: Array, base: int, n_digits: int) -> Array:
+    """InverseRadicalInverse (lowdiscrepancy.h:83-92): mirror the n_digits
+    base-`base` digits of v (leading zeros included)."""
+    v = v.astype(jnp.uint32)
+    out = jnp.zeros(jnp.shape(v), jnp.uint32)
+    for _ in range(n_digits):
+        nxt = v // base
+        out = out * base + (v - nxt * base)
+        v = nxt
+    return out
+
+
+def _static_dim(dim, seed):
+    try:
+        return int(dim), int(seed)
+    except (TypeError, jax.errors.TracerIntegerConversionError):
+        return None
+
+
+def _scrambled_radical_inverse_dyn(dim: Array, a: Array, seed: int) -> Array:
+    """ScrambledRadicalInverse with a *traced* dimension (dims computed from
+    the bounce index inside fori_loop): base and permutation come from
+    gathered tables; 32 masked digit steps cover every base."""
+    table, offs = _perm_table(seed)
+    table = jnp.asarray(table)
+    offs = jnp.asarray(offs)
+    dim = jnp.asarray(dim, jnp.uint32) % _MAX_HALTON_DIMS
+    base = jnp.asarray(_PRIMES, jnp.uint32)[(dim % _N_PRIMES).astype(
+        jnp.int32)]
+    base = jnp.broadcast_to(base, jnp.shape(a))
+    off = jnp.take(offs, dim.astype(jnp.int32))
+    off = jnp.broadcast_to(off, jnp.shape(a))
+    inv_base = 1.0 / base.astype(jnp.float32)
+    perm0 = jnp.take(table, off).astype(jnp.float32)
+
+    def body(_, st):
+        a, val, inv_bn = st
+        nxt = a // base
+        digit = a - nxt * base
+        upd = a > 0
+        inv_bn = jnp.where(upd, inv_bn * inv_base, inv_bn)
+        pv = jnp.take(table, off + digit.astype(jnp.int32)).astype(
+            jnp.float32)
+        val = val + jnp.where(upd, pv * inv_bn, 0.0)
+        return nxt, val, inv_bn
+
+    a = jnp.asarray(a, jnp.uint32)
+    _, val, inv_bn = jax.lax.fori_loop(
+        0, 32, body, (a, jnp.zeros(jnp.shape(a), jnp.float32),
+                      jnp.ones(jnp.shape(a), jnp.float32)))
+    tail = perm0 * inv_bn * inv_base / (1.0 - inv_base)
+    return jnp.minimum(val + tail, rng_mod.ONE_MINUS_EPS)
+
+
+def _sobol_bits_dyn(a: Array, dim: Array) -> Array:
+    """SobolSample bits with a traced dimension: gather the dim's 32-column
+    generator matrix, then the GF(2) product."""
+    rows = jnp.asarray(SOBOL_MATRICES)  # (D, 32)
+    mat = rows[(jnp.asarray(dim, jnp.uint32) % N_SOBOL_DIMS).astype(
+        jnp.int32)]  # (32,) or (R, 32)
+    a = jnp.asarray(a, jnp.uint32)
+    mat = jnp.broadcast_to(mat, jnp.shape(a) + (32,))
+
+    def body(i, acc):
+        return acc ^ (((a >> i) & jnp.uint32(1)) * mat[..., i])
+
+    return jax.lax.fori_loop(0, 32, body, jnp.zeros(jnp.shape(a), jnp.uint32))
+
+
+def make_halton_global(resolution, spp: int = 16) -> Callable:
+    """pbrt HaltonSampler semantics (samplers/halton.cpp:64-127): one global
+    Halton sequence; pixel (x,y) owns indices offset(x,y) + j*stride."""
+    bs, be = [], []
+    for i, base in ((0, 2), (1, 3)):
+        scale, exp = 1, 0
+        while scale < min(int(resolution[i]), _KMAX_RESOLUTION):
+            scale *= base
+            exp += 1
+        bs.append(scale)
+        be.append(exp)
+    stride = bs[0] * bs[1]
+    minv = (_mult_inverse(bs[1], bs[0]) if bs[0] > 1 else 0,
+            _mult_inverse(bs[0], bs[1]) if bs[1] > 1 else 0)
+    width = int(resolution[0])
+
+    def index_for(pid: Array, sample_idx: Array) -> Array:
+        pid = jnp.asarray(pid, jnp.uint32)
+        px = pid % width
+        py = pid // width
+        dof_x = _reverse_digits(px % bs[0], 2, be[0])
+        dof_y = _reverse_digits(py % bs[1], 3, be[1])
+        off = (dof_x * ((stride // bs[0]) * minv[0] % stride)
+               + dof_y * ((stride // bs[1]) * minv[1] % stride)) % stride
+        return off + jnp.asarray(sample_idx, jnp.uint32) * stride
+
+    def sample(pixel_id, sample_idx, dim, seed=0):
+        st = _static_dim(dim, seed)
+        idx = index_for(pixel_id, sample_idx)
+        if st is None:
+            # traced dim (bounce-indexed dims inside fori_loop) — always a
+            # dim >= 2 in every integrator; seed stays static
+            return _scrambled_radical_inverse_dyn(dim, idx, int(seed))
+        dim, seed = st
+        if dim == 0:
+            return _radical_inverse_static(2, 32 - be[0], idx >> be[0])
+        if dim == 1:
+            return _radical_inverse_static(3, 21, idx // bs[1])
+        return _scrambled_radical_inverse(dim, idx, seed)
+
+    sample.index_for = index_for
+    sample.base_scales, sample.base_exponents = tuple(bs), tuple(be)
+    sample.stride = stride
+    return sample
+
+
+def _sobol_bits_static(a: Array, cols: np.ndarray) -> Array:
+    """GF(2) matrix–vector product with a compile-time constant matrix,
+    unrolled so each column is an immediate (SobolSampleFloat,
+    lowdiscrepancy.h:259-267)."""
+    a = a.astype(jnp.uint32)
+    acc = jnp.zeros(jnp.shape(a), jnp.uint32)
+    for i in range(32):
+        c = np.uint32(cols[i])
+        if c:
+            acc = acc ^ (((a >> i) & jnp.uint32(1)) * c)
+    return acc
+
+
+def make_sobol_global(resolution, spp: int = 16) -> Callable:
+    """pbrt SobolSampler semantics (samplers/sobol.cpp + SobolIntervalToIndex,
+    lowdiscrepancy.h:229-249): the global Sobol' sequence over a power-of-2
+    square covering the image; the per-(pixel, sampleNum) global index is the
+    solution of a GF(2) linear system in the low 2m index bits, derived here
+    per-resolution by host-side Gaussian elimination (replacing the
+    reference's generated VdCSobolMatrices[Inv] tables).  Valid while
+    spp << 2^(32-2m); dims 0/1 are rescaled to within-pixel offsets."""
+    width, height = int(resolution[0]), int(resolution[1])
+    res = 1
+    m = 0
+    while res < max(width, height):
+        res *= 2
+        m += 1
+    m2 = 2 * m
+    if m2 > 26:
+        raise ValueError("sobol global sampler supports images up to 8192px")
+    c0, c1 = SOBOL_MATRICES[0], SOBOL_MATRICES[1]
+
+    def out_bits(j):  # constrained output bits for index bit j, packed 2m-bit
+        return (((int(c0[j]) >> (32 - m)) << m)
+                | (int(c1[j]) >> (32 - m))) if m else 0
+
+    # invert the low-bits → pixel-bits map over GF(2)
+    cols = [out_bits(j) for j in range(m2)]
+    n_frame_bits = min(32 - m2, 24)
+    frame_cols = [out_bits(m2 + c) for c in range(n_frame_bits)]
+    basis = list(cols)
+    inv = [1 << j for j in range(m2)]  # track index-bit combination per col
+    # Gaussian elimination (column ops): reduce matrix with columns `basis`
+    for bit in range(m2):
+        p = next((k for k in range(bit, m2) if (basis[k] >> bit) & 1), None)
+        if p is None:
+            raise ValueError("Sobol pixel matrix singular (bad matrices)")
+        basis[bit], basis[p] = basis[p], basis[bit]
+        inv[bit], inv[p] = inv[p], inv[bit]
+        for k in range(m2):
+            if k != bit and (basis[k] >> bit) & 1:
+                basis[k] ^= basis[bit]
+                inv[k] ^= inv[bit]
+    # now basis[k] == 1<<k, inv[k] = index-bit pattern producing pixel bit k
+    ainv = inv
+
+    def index_for(pid: Array, sample_idx: Array) -> Array:
+        pid = jnp.asarray(pid, jnp.uint32)
+        f = jnp.asarray(sample_idx, jnp.uint32)
+        if m == 0:
+            return f
+        px = pid % width
+        py = pid // width
+        target = (px << m) | py
+        for c in range(n_frame_bits):
+            fc = np.uint32(frame_cols[c])
+            if fc:
+                target = target ^ (((f >> c) & jnp.uint32(1)) * fc)
+        low = jnp.zeros(jnp.shape(target), jnp.uint32)
+        for t in range(m2):
+            at = np.uint32(ainv[t])
+            if at:
+                low = low ^ (((target >> t) & jnp.uint32(1)) * at)
+        return (f << m2) | low
+
+    def sample(pixel_id, sample_idx, dim, seed=0):
+        st = _static_dim(dim, seed)
+        idx = index_for(pixel_id, sample_idx)
+        if st is None:  # traced dim — always >= 2 (no pixel rescale)
+            return rng_mod.u32_to_uniform(_sobol_bits_dyn(idx, dim))
+        dim, _ = st
+        bits = _sobol_bits_static(idx, SOBOL_MATRICES[dim % N_SOBOL_DIMS])
+        s = rng_mod.u32_to_uniform(bits)
+        if dim < 2 and m > 0:
+            pid = jnp.asarray(pixel_id, jnp.uint32)
+            pix = (pid % width if dim == 0 else pid // width)
+            s = jnp.clip(s * res - pix.astype(jnp.float32), 0.0,
+                         rng_mod.ONE_MINUS_EPS)
+        return s
+
+    sample.index_for = index_for
+    sample.log2_resolution = m
+    return sample
+
+
+def make_sampler(name: str, spp: int = 16, resolution=None) -> Callable:
+    """Return sample(pixel_id, sample_idx, dim, seed) → float32 in [0,1).
+
+    With ``resolution=(width, height)``, ``halton`` and ``sobol`` use pbrt's
+    GlobalSampler pixel enumeration (see module docstring)."""
     name = name.lower()
+
+    if name == "halton" and resolution is not None:
+        return make_halton_global(resolution, spp)
+    if name == "sobol" and resolution is not None:
+        return make_sobol_global(resolution, spp)
+    if name == "halton_cp":
+        name = "halton"
 
     if name in ("independent", "random"):
         def sample(pixel_id, sample_idx, dim, seed=0):

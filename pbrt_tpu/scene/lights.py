@@ -73,10 +73,27 @@ class LightTable:
     env_distr: Distribution2D
     # power distribution over lights (PowerLightDistribution analogue)
     power: Array        # (L,C)
+    # sorted tuple of light types present: the batched Sample_Li/Pdf_Li only
+    # *trace* the type families a scene instantiates (same specialization as
+    # MaterialTable.present — pbrt's virtual dispatch never executes absent
+    # subclasses). Empty = unknown → trace everything.
+    present: tuple = dataclasses.field(metadata=dict(static=True),
+                                       default=())
+    # static: any portal area light in the scene? (guards tracing the whole
+    # portal-strategy machinery in estimate_direct)
+    has_portals: bool = dataclasses.field(metadata=dict(static=True),
+                                          default=True)
 
     @property
     def n(self) -> int:
         return self.ltype.shape[0]
+
+
+def _lt_present(lt: LightTable, *types: int) -> bool:
+    """Static check: can any of `types` occur in this table?"""
+    if not lt.present:
+        return True
+    return any(tt in lt.present for tt in types)
 
 
 def build_light_table(builder, scene) -> LightTable:
@@ -203,7 +220,9 @@ def build_light_table(builder, scene) -> LightTable:
         portal_ax=jnp.asarray(p_ax), portal_facing=jnp.asarray(p_fw),
         gonio_map=jnp.asarray(gonio_map), proj_fov=jnp.asarray(proj_fov),
         env_map=jnp.asarray(env_map), env_distr=env_distr,
-        power=jnp.asarray(power))
+        power=jnp.asarray(power),
+        present=tuple(sorted({int(v) for v in ltype} or {POINT})),
+        has_portals=bool((n_portals > 0).any()))
 
 
 def _prim_area_host(builder, gid: int) -> float:
@@ -312,91 +331,99 @@ def sample_li(scene, light_idx: Array, ref_p: Array, u: Array):
     C = g.emit.shape[-1]
     R = ref_p.shape[0]
 
-    # --- point / spot
+    # --- point / spot (cheap; li_pt also feeds spot/gonio/projection)
     to_l = g.pos - ref_p
     d2 = vecmath.length_squared(to_l)
     wi_pt = normalize(to_l)
     li_pt = g.emit / jnp.maximum(d2, 1e-12)[..., None]
-    # spot falloff (lights/spot.cpp Falloff)
-    cos_t = dot(-wi_pt, g.dir)
-    delta_cos = jnp.maximum(g.cos_falloff - g.cos_total, 1e-6)
-    t = jnp.clip((cos_t - g.cos_total) / delta_cos, 0.0, 1.0)
-    falloff = t * t * (t * t)  # (delta^2)^2 quartic per spot.cpp
-    li_spot = li_pt * jnp.where(cos_t < g.cos_total, 0.0,
-                                jnp.where(cos_t > g.cos_falloff, 1.0,
-                                          falloff))[..., None]
+    if _lt_present(lt, SPOT):
+        # spot falloff (lights/spot.cpp Falloff)
+        cos_t = dot(-wi_pt, g.dir)
+        delta_cos = jnp.maximum(g.cos_falloff - g.cos_total, 1e-6)
+        t = jnp.clip((cos_t - g.cos_total) / delta_cos, 0.0, 1.0)
+        falloff = t * t * (t * t)  # (delta^2)^2 quartic per spot.cpp
+        li_spot = li_pt * jnp.where(cos_t < g.cos_total, 0.0,
+                                    jnp.where(cos_t > g.cos_falloff, 1.0,
+                                              falloff))[..., None]
 
     # --- distant: wi = -dir, sample point far away
     wi_dist = -g.dir
     p_dist = ref_p + wi_dist * (2.0 * wr)
 
     # --- area: sample the bound primitive
-    ap = gather_area_prim(scene, g.prim_id)
-    p_tri, n_tri, ipdf_tri = shapes.sample_triangle(ap.v0, ap.v1, ap.v2, u)
-    p_pln, n_pln, ipdf_pln = shapes.sample_aaplane(ap.lo, ap.hi, ap.ax,
-                                                   ap.facing, u)
-    p_sph, n_sph, pdf_sph_sa = shapes.sample_sphere_from_ref(
-        ap.center, ap.radius, ref_p, u)
-    p_area = jnp.where(ap.is_sph[..., None], p_sph,
-                       jnp.where(ap.is_pln[..., None], p_pln, p_tri))
-    n_area = jnp.where(ap.is_sph[..., None], n_sph,
-                       jnp.where(ap.is_pln[..., None], n_pln, n_tri))
-    to_area = p_area - ref_p
-    d2a = vecmath.length_squared(to_area)
-    wi_area = normalize(to_area)
-    # area pdf → solid angle (shape.cpp Shape::Pdf(ref,wi))
-    area_pdf = jnp.where(ap.is_pln, ipdf_pln, ipdf_tri)
-    cos_l = absdot(n_area, -wi_area)
-    pdf_area = jnp.where(
-        ap.is_sph, pdf_sph_sa,
-        d2a * area_pdf / jnp.maximum(cos_l, 1e-9))
-    li_area = area_light_L(g.emit, g.two_sided, n_area, -wi_area)
-    li_area = jnp.where((d2a > 1e-12)[..., None], li_area, 0.0)
+    if _lt_present(lt, AREA):
+        ap = gather_area_prim(scene, g.prim_id)
+        p_tri, n_tri, ipdf_tri = shapes.sample_triangle(ap.v0, ap.v1, ap.v2,
+                                                        u)
+        p_pln, n_pln, ipdf_pln = shapes.sample_aaplane(ap.lo, ap.hi, ap.ax,
+                                                       ap.facing, u)
+        p_sph, n_sph, pdf_sph_sa = shapes.sample_sphere_from_ref(
+            ap.center, ap.radius, ref_p, u)
+        p_area = jnp.where(ap.is_sph[..., None], p_sph,
+                           jnp.where(ap.is_pln[..., None], p_pln, p_tri))
+        n_area = jnp.where(ap.is_sph[..., None], n_sph,
+                           jnp.where(ap.is_pln[..., None], n_pln, n_tri))
+        to_area = p_area - ref_p
+        d2a = vecmath.length_squared(to_area)
+        wi_area = normalize(to_area)
+        # area pdf → solid angle (shape.cpp Shape::Pdf(ref,wi))
+        area_pdf = jnp.where(ap.is_pln, ipdf_pln, ipdf_tri)
+        cos_l = absdot(n_area, -wi_area)
+        pdf_area = jnp.where(
+            ap.is_sph, pdf_sph_sa,
+            d2a * area_pdf / jnp.maximum(cos_l, 1e-9))
+        li_area = area_light_L(g.emit, g.two_sided, n_area, -wi_area)
+        li_area = jnp.where((d2a > 1e-12)[..., None], li_area, 0.0)
 
     # --- infinite: importance-sample env map (lights/infinite.cpp:108-140)
-    uv, pdf_uv = sample_distribution_2d(lt.env_distr, u)
-    theta = uv[..., 1] * jnp.pi
-    phi = uv[..., 0] * 2.0 * jnp.pi
-    sin_t_env = jnp.sin(theta)
-    wi_inf = jnp.stack([sin_t_env * jnp.cos(phi), jnp.cos(theta),
-                        sin_t_env * jnp.sin(phi)], axis=-1)
-    pdf_inf = pdf_uv / jnp.maximum(2.0 * jnp.pi * jnp.pi * sin_t_env, 1e-9)
-    li_inf = env_radiance(lt, wi_inf) * g.emit
-    p_inf = ref_p + wi_inf * (2.0 * wr)
-    # constant (1×1) env maps degenerate → uniform sphere sampling
-    const_env = lt.env_map.shape[0] * lt.env_map.shape[1] == 1
-    if const_env:
-        wi_inf = uniform_sample_sphere(u)
-        pdf_inf = jnp.full(R, INV_4PI)
-        li_inf = jnp.broadcast_to(lt.env_map[0, 0], (R, C)) * g.emit
+    if _lt_present(lt, INFINITE):
+        uv, pdf_uv = sample_distribution_2d(lt.env_distr, u)
+        theta = uv[..., 1] * jnp.pi
+        phi = uv[..., 0] * 2.0 * jnp.pi
+        sin_t_env = jnp.sin(theta)
+        wi_inf = jnp.stack([sin_t_env * jnp.cos(phi), jnp.cos(theta),
+                            sin_t_env * jnp.sin(phi)], axis=-1)
+        pdf_inf = pdf_uv / jnp.maximum(2.0 * jnp.pi * jnp.pi * sin_t_env,
+                                       1e-9)
+        li_inf = env_radiance(lt, wi_inf) * g.emit
         p_inf = ref_p + wi_inf * (2.0 * wr)
+        # constant (1×1) env maps degenerate → uniform sphere sampling
+        const_env = lt.env_map.shape[0] * lt.env_map.shape[1] == 1
+        if const_env:
+            wi_inf = uniform_sample_sphere(u)
+            pdf_inf = jnp.full(R, INV_4PI)
+            li_inf = jnp.broadcast_to(lt.env_map[0, 0], (R, C)) * g.emit
+            p_inf = ref_p + wi_inf * (2.0 * wr)
 
     # goniometric: point intensity modulated by a lat-long map along -wi
     # (lights/goniometric.cpp Scale); projection: modulated by projecting
     # -wi through the projector window (lights/projection.cpp)
-    wl = -wi_pt
-    theta_g = jnp.arccos(jnp.clip(wl[..., 1], -1.0, 1.0))
-    phi_g = jnp.arctan2(wl[..., 2], wl[..., 0])
-    phi_g = jnp.where(phi_g < 0, phi_g + 2 * jnp.pi, phi_g)
     Hg, Wg = lt.gonio_map.shape[0], lt.gonio_map.shape[1]
-    gx = jnp.clip((phi_g / (2 * jnp.pi) * Wg).astype(jnp.int32), 0, Wg - 1)
-    gy = jnp.clip((theta_g / jnp.pi * Hg).astype(jnp.int32), 0, Hg - 1)
-    li_gonio = li_pt * lt.gonio_map[gy, gx]
-    # projection: dir is +z of the light frame (g.dir); map uv from the
-    # perspective projection, black outside the fov cone
-    cos_p = dot(wl, g.dir)
-    tan_half = jnp.tan(jnp.radians(g.proj_fov) / 2.0)
-    t1p, t2p = vecmath.coordinate_system(g.dir)
-    x_p = dot(wl, t1p) / jnp.maximum(cos_p, 1e-6)
-    y_p = dot(wl, t2p) / jnp.maximum(cos_p, 1e-6)
-    inside_p = (cos_p > 0) & (jnp.abs(x_p) < tan_half) \
-        & (jnp.abs(y_p) < tan_half)
-    px_ = jnp.clip(((x_p / tan_half * 0.5 + 0.5) * Wg).astype(jnp.int32),
-                   0, Wg - 1)
-    py_ = jnp.clip(((y_p / tan_half * 0.5 + 0.5) * Hg).astype(jnp.int32),
-                   0, Hg - 1)
-    li_proj = li_pt * lt.gonio_map[py_, px_] \
-        * jnp.where(inside_p, 1.0, 0.0)[..., None]
+    wl = -wi_pt
+    if _lt_present(lt, GONIO):
+        theta_g = jnp.arccos(jnp.clip(wl[..., 1], -1.0, 1.0))
+        phi_g = jnp.arctan2(wl[..., 2], wl[..., 0])
+        phi_g = jnp.where(phi_g < 0, phi_g + 2 * jnp.pi, phi_g)
+        gx = jnp.clip((phi_g / (2 * jnp.pi) * Wg).astype(jnp.int32), 0,
+                      Wg - 1)
+        gy = jnp.clip((theta_g / jnp.pi * Hg).astype(jnp.int32), 0, Hg - 1)
+        li_gonio = li_pt * lt.gonio_map[gy, gx]
+    if _lt_present(lt, PROJECTION):
+        # projection: dir is +z of the light frame (g.dir); map uv from the
+        # perspective projection, black outside the fov cone
+        cos_p = dot(wl, g.dir)
+        tan_half = jnp.tan(jnp.radians(g.proj_fov) / 2.0)
+        t1p, t2p = vecmath.coordinate_system(g.dir)
+        x_p = dot(wl, t1p) / jnp.maximum(cos_p, 1e-6)
+        y_p = dot(wl, t2p) / jnp.maximum(cos_p, 1e-6)
+        inside_p = (cos_p > 0) & (jnp.abs(x_p) < tan_half) \
+            & (jnp.abs(y_p) < tan_half)
+        px_ = jnp.clip(((x_p / tan_half * 0.5 + 0.5) * Wg).astype(jnp.int32),
+                       0, Wg - 1)
+        py_ = jnp.clip(((y_p / tan_half * 0.5 + 0.5) * Hg).astype(jnp.int32),
+                       0, Hg - 1)
+        li_proj = li_pt * lt.gonio_map[py_, px_] \
+            * jnp.where(inside_p, 1.0, 0.0)[..., None]
 
     is_pt = g.ltype == POINT
     is_spot = g.ltype == SPOT
@@ -415,16 +442,33 @@ def sample_li(scene, light_idx: Array, ref_p: Array, u: Array):
 
     is_gonio = g.ltype == GONIO
     is_proj = g.ltype == PROJECTION
-    wi = selv(wi_pt, (is_dist, wi_dist), (is_area, wi_area),
-              (is_inf, wi_inf))
-    li = selv(li_pt, (is_spot, li_spot), (is_gonio, li_gonio),
-              (is_proj, li_proj),
-              (is_dist, g.emit * jnp.ones((R, 1))),
-              (is_area, li_area), (is_inf, li_inf))
-    pdf = selv(jnp.ones(R), (is_area, pdf_area), (is_inf, pdf_inf))
-    p_light = selv(g.pos, (is_dist, p_dist), (is_area, p_area),
-                   (is_inf, p_inf))
-    n_light = selv(-wi, (is_area, n_area))
+    wi_rows, li_rows, pdf_rows, p_rows, n_rows = [], [], [], [], []
+    if _lt_present(lt, SPOT):
+        li_rows.append((is_spot, li_spot))
+    if _lt_present(lt, GONIO):
+        li_rows.append((is_gonio, li_gonio))
+    if _lt_present(lt, PROJECTION):
+        li_rows.append((is_proj, li_proj))
+    if _lt_present(lt, DISTANT):
+        wi_rows.append((is_dist, wi_dist))
+        li_rows.append((is_dist, g.emit * jnp.ones((R, 1))))
+        p_rows.append((is_dist, p_dist))
+    if _lt_present(lt, AREA):
+        wi_rows.append((is_area, wi_area))
+        li_rows.append((is_area, li_area))
+        pdf_rows.append((is_area, pdf_area))
+        p_rows.append((is_area, p_area))
+        n_rows.append((is_area, n_area))
+    if _lt_present(lt, INFINITE):
+        wi_rows.append((is_inf, wi_inf))
+        li_rows.append((is_inf, li_inf))
+        pdf_rows.append((is_inf, pdf_inf))
+        p_rows.append((is_inf, p_inf))
+    wi = selv(wi_pt, *wi_rows)
+    li = selv(li_pt, *li_rows)
+    pdf = selv(jnp.ones(R), *pdf_rows)
+    p_light = selv(g.pos, *p_rows)
+    n_light = selv(-wi, *n_rows)
     is_delta = is_pt | is_spot | is_dist | is_gonio | is_proj
     return dict(wi=wi, li=li, pdf=pdf, p_light=p_light, n_light=n_light,
                 is_delta=is_delta)
@@ -435,44 +479,48 @@ def pdf_li(scene, light_idx: Array, ref_p: Array, wi: Array) -> Array:
     lt = scene.lights
     g = gather_lights(lt, light_idx)
     R = ref_p.shape[0]
+    pdf = jnp.zeros(R)
 
-    # area: intersect the bound primitive along wi (paired: one prim/ray)
-    ap = gather_area_prim(scene, g.prim_id)
-    tmax = jnp.full(R, vecmath.INF)
-    t_tri, _, _, hit_tri = shapes.intersect_triangle_paired(
-        ref_p, wi, tmax, ap.v0, ap.v1, ap.v2)
-    t_pln, _, _, hit_pln = shapes.intersect_aaplane_paired(
-        ref_p, wi, tmax, ap.lo, ap.hi, ap.ax)
-    area_tri = shapes.triangle_area(ap.v0, ap.v1, ap.v2)
-    area_pln = shapes.aaplane_area(ap.lo, ap.hi, ap.ax)
-    n_tri = shapes.triangle_normal(ap.v0, ap.v1, ap.v2)
-    n_pln = shapes.aaplane_normal(ap.ax, ap.facing)
-    t_hit = jnp.where(ap.is_pln, t_pln, t_tri)
-    hit = jnp.where(ap.is_pln, hit_pln, hit_tri)
-    n_l = jnp.where(ap.is_pln[..., None], n_pln, n_tri)
-    area = jnp.where(ap.is_pln, area_pln, area_tri)
-    pdf_flat = jnp.where(
-        hit,
-        (t_hit * t_hit) / jnp.maximum(absdot(n_l, -wi) * area, 1e-9), 0.0)
-    pdf_sph = shapes.sphere_pdf_wi(ap.center, ap.radius, ref_p, wi) \
-        if scene.n_sph else jnp.zeros(R)
-    pdf_area = jnp.where(ap.is_sph, pdf_sph, pdf_flat)
+    if _lt_present(lt, AREA):
+        # area: intersect the bound primitive along wi (paired: one
+        # prim/ray)
+        ap = gather_area_prim(scene, g.prim_id)
+        tmax = jnp.full(R, vecmath.INF)
+        t_tri, _, _, hit_tri = shapes.intersect_triangle_paired(
+            ref_p, wi, tmax, ap.v0, ap.v1, ap.v2)
+        t_pln, _, _, hit_pln = shapes.intersect_aaplane_paired(
+            ref_p, wi, tmax, ap.lo, ap.hi, ap.ax)
+        area_tri = shapes.triangle_area(ap.v0, ap.v1, ap.v2)
+        area_pln = shapes.aaplane_area(ap.lo, ap.hi, ap.ax)
+        n_tri = shapes.triangle_normal(ap.v0, ap.v1, ap.v2)
+        n_pln = shapes.aaplane_normal(ap.ax, ap.facing)
+        t_hit = jnp.where(ap.is_pln, t_pln, t_tri)
+        hit = jnp.where(ap.is_pln, hit_pln, hit_tri)
+        n_l = jnp.where(ap.is_pln[..., None], n_pln, n_tri)
+        area = jnp.where(ap.is_pln, area_pln, area_tri)
+        pdf_flat = jnp.where(
+            hit,
+            (t_hit * t_hit) / jnp.maximum(absdot(n_l, -wi) * area, 1e-9),
+            0.0)
+        pdf_sph = shapes.sphere_pdf_wi(ap.center, ap.radius, ref_p, wi) \
+            if scene.n_sph else jnp.zeros(R)
+        pdf_area = jnp.where(ap.is_sph, pdf_sph, pdf_flat)
+        pdf = jnp.where(g.ltype == AREA, pdf_area, pdf)
 
-    # infinite env pdf
-    const_env = lt.env_map.shape[0] * lt.env_map.shape[1] == 1
-    if const_env:
-        pdf_inf = jnp.full(R, INV_4PI)
-    else:
-        theta = jnp.arccos(jnp.clip(wi[..., 1], -1, 1))
-        phi = jnp.arctan2(wi[..., 2], wi[..., 0])
-        phi = jnp.where(phi < 0, phi + 2 * jnp.pi, phi)
-        uv = jnp.stack([phi / (2 * jnp.pi), theta / jnp.pi], axis=-1)
-        sin_t = jnp.maximum(jnp.sin(theta), 1e-6)
-        pdf_inf = distribution_2d_pdf(lt.env_distr, uv) \
-            / (2.0 * jnp.pi * jnp.pi * sin_t)
-
-    pdf = jnp.where(g.ltype == AREA, pdf_area,
-                    jnp.where(g.ltype == INFINITE, pdf_inf, 0.0))
+    if _lt_present(lt, INFINITE):
+        # infinite env pdf
+        const_env = lt.env_map.shape[0] * lt.env_map.shape[1] == 1
+        if const_env:
+            pdf_inf = jnp.full(R, INV_4PI)
+        else:
+            theta = jnp.arccos(jnp.clip(wi[..., 1], -1, 1))
+            phi = jnp.arctan2(wi[..., 2], wi[..., 0])
+            phi = jnp.where(phi < 0, phi + 2 * jnp.pi, phi)
+            uv = jnp.stack([phi / (2 * jnp.pi), theta / jnp.pi], axis=-1)
+            sin_t = jnp.maximum(jnp.sin(theta), 1e-6)
+            pdf_inf = distribution_2d_pdf(lt.env_distr, uv) \
+                / (2.0 * jnp.pi * jnp.pi * sin_t)
+        pdf = jnp.where(g.ltype == INFINITE, pdf_inf, pdf)
     return pdf
 
 
@@ -481,6 +529,8 @@ def infinite_pdf_li(scene, d: Array) -> Array:
     already multiplied by the uniform light-selection pmf
     (InfiniteAreaLight::Pdf_Li, lights/infinite.cpp:142-152)."""
     lt = scene.lights
+    if not _lt_present(lt, INFINITE):
+        return jnp.zeros(d.shape[:-1])
     has_inf = jnp.any(lt.ltype == INFINITE)
     const_env = lt.env_map.shape[0] * lt.env_map.shape[1] == 1
     if const_env:
@@ -515,6 +565,8 @@ def escaped_radiance(scene, d: Array) -> Array:
     """Sum of infinite lights' Le along escaped rays (scene.h:50-74
     infiniteLights loop)."""
     lt = scene.lights
+    if not _lt_present(lt, INFINITE):
+        return jnp.zeros(d.shape[:-1] + (lt.emit.shape[-1],))
     is_inf = lt.ltype == INFINITE
     base = env_radiance(lt, d)  # (R,C)
     # scale by each infinite light's emit; support a single env map shared

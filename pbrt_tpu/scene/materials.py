@@ -98,6 +98,14 @@ class MaterialTable:
                                        default=False)
     has_fourier: bool = dataclasses.field(metadata=dict(static=True),
                                           default=False)
+    # sorted tuple of material types present in the table. pbrt's virtual
+    # dispatch only executes the BxDF subclasses a scene instantiates; the
+    # branchless equivalent is to only *trace* the present families —
+    # absent lobe families never enter the XLA program (compile time and
+    # runtime both scale with the scene's material diversity, not the
+    # framework's). Empty tuple = unknown → trace everything.
+    present: tuple = dataclasses.field(metadata=dict(static=True),
+                                       default=())
 
 
 def make_material_table(rows: list[dict], n_channels: int) -> MaterialTable:
@@ -141,7 +149,26 @@ def make_material_table(rows: list[dict], n_channels: int) -> MaterialTable:
         bump_tex=jnp.asarray(i32("bump_tex", -1)),
         has_hair=any(r.get("type") == HAIR for r in rows),
         has_fourier=any(r.get("type") == FOURIER for r in rows),
+        present=_close_present({int(r.get("type", MATTE)) for r in rows}
+                               or {MATTE}),
     )
+
+
+def _close_present(types: set) -> tuple:
+    """Close the present-type set under runtime row rewrites:
+    subsurface_transport (integrators/common.py) turns SUBSURFACE rows into
+    MATTE (exit diffuse) or MIRROR (interface reflection)."""
+    if SUBSURFACE in types:
+        types = types | {MATTE, MIRROR}
+    return tuple(sorted(types))
+
+
+def _present(mp: MaterialTable, *types: int) -> bool:
+    """Static check: can any of `types` occur in this table? Used to skip
+    tracing whole lobe families (see MaterialTable.present)."""
+    if not mp.present:
+        return True
+    return any(tt in mp.present for tt in types)
 
 
 def gather_materials(table: MaterialTable, mat_id: Array) -> MaterialTable:
@@ -492,72 +519,78 @@ def bsdf_f(mp: MaterialTable, wo: Array, wi: Array, kd_override=None,
     refl = same_hemisphere(wo, wi)
     kd = mp.kd if kd_override is None else kd_override
     zero = jnp.zeros(wo.shape[:-1] + (C,))
-
-    # matte: lambertian or oren-nayar (materials/matte.cpp:55-66)
-    lamb = kd * INV_PI
-    on = _oren_nayar_f(kd, mp.sigma, wo, wi)
-    matte_f = jnp.where((mp.sigma > 0.0)[..., None], on, lamb)
-    matte_f = jnp.where(refl[..., None], matte_f, zero)
-
+    out = zero
     alpha = _mat_alpha(mp)
-
-    # plastic: lambert + TR microfacet with dielectric fresnel
     fres_d = lambda c: fr_dielectric(c, jnp.ones_like(mp.eta),
                                      mp.eta)[..., None] * jnp.ones((1, C))
-    plastic_f = matte_f + jnp.where(
-        refl[..., None],
-        _microfacet_reflection_f(mp.ks, alpha, fres_d, wo, wi), zero)
 
-    # metal: TR microfacet with conductor fresnel (materials/metal.cpp)
-    fres_c = lambda c: fr_conductor(c, mp.metal_eta, mp.metal_k)
-    metal_f = jnp.where(refl[..., None],
-                        _microfacet_reflection_f(
-                            jnp.ones_like(mp.ks), alpha, fres_c, wo, wi),
-                        zero)
+    if _present(mp, MATTE, PLASTIC, UBER):
+        # matte: lambertian or oren-nayar (materials/matte.cpp:55-66)
+        lamb = kd * INV_PI
+        on = _oren_nayar_f(kd, mp.sigma, wo, wi)
+        matte_f = jnp.where((mp.sigma > 0.0)[..., None], on, lamb)
+        matte_f = jnp.where(refl[..., None], matte_f, zero)
+        if _present(mp, MATTE):
+            out = jnp.where((t == MATTE)[..., None], matte_f, out)
 
-    # uber: kd lambert + ks microfacet (materials/uber.cpp, simplified to
-    # its non-specular lobes)
-    uber_f = plastic_f
+    if _present(mp, PLASTIC, UBER):
+        # plastic: lambert + TR microfacet with dielectric fresnel; uber's
+        # non-specular lobes coincide (materials/{plastic,uber}.cpp)
+        plastic_f = matte_f + jnp.where(
+            refl[..., None],
+            _microfacet_reflection_f(mp.ks, alpha, fres_d, wo, wi), zero)
+        out = jnp.where(((t == PLASTIC) | (t == UBER))[..., None],
+                        plastic_f, out)
 
-    # substrate: FresnelBlend (reflection.cpp:327+)
-    pow5 = lambda x: x * x * x * x * x
-    rd, rs = kd, mp.ks
-    diffuse = ((28.0 / (23.0 * jnp.pi)) * rd * (1.0 - rs)
-               * (1.0 - pow5(1.0 - 0.5 * abs_cos_theta(wi)))[..., None]
-               * (1.0 - pow5(1.0 - 0.5 * abs_cos_theta(wo)))[..., None])
-    wh = wo + wi
-    wh_ok = vecmath.length_squared(wh) > 1e-12
-    whn = vecmath.normalize(wh)
-    schlick = rs + pow5(
-        1.0 - jnp.abs(vecmath.dot(wi, whn)))[..., None] * (1.0 - rs)
-    spec = (tr_d(whn, alpha)
-            / jnp.maximum(4.0 * jnp.abs(vecmath.dot(wi, whn))
-                          * jnp.maximum(abs_cos_theta(wi),
-                                        abs_cos_theta(wo)), 1e-6)
-            )[..., None] * schlick
-    substrate_f = jnp.where((refl & wh_ok)[..., None], diffuse + spec, zero)
+    if _present(mp, METAL):
+        # metal: TR microfacet with conductor fresnel (materials/metal.cpp)
+        fres_c = lambda c: fr_conductor(c, mp.metal_eta, mp.metal_k)
+        metal_f = jnp.where(refl[..., None],
+                            _microfacet_reflection_f(
+                                jnp.ones_like(mp.ks), alpha, fres_c, wo, wi),
+                            zero)
+        out = jnp.where((t == METAL)[..., None], metal_f, out)
 
-    # translucent: lambertian reflection + lambertian transmission
-    trans_f = jnp.where(refl[..., None], kd * (0.5 * INV_PI),
-                        mp.kt * (0.5 * INV_PI))
+    if _present(mp, SUBSTRATE):
+        # substrate: FresnelBlend (reflection.cpp:327+)
+        pow5 = lambda x: x * x * x * x * x
+        rd, rs = kd, mp.ks
+        diffuse = ((28.0 / (23.0 * jnp.pi)) * rd * (1.0 - rs)
+                   * (1.0 - pow5(1.0 - 0.5 * abs_cos_theta(wi)))[..., None]
+                   * (1.0 - pow5(1.0 - 0.5 * abs_cos_theta(wo)))[..., None])
+        wh = wo + wi
+        wh_ok = vecmath.length_squared(wh) > 1e-12
+        whn = vecmath.normalize(wh)
+        schlick = rs + pow5(
+            1.0 - jnp.abs(vecmath.dot(wi, whn)))[..., None] * (1.0 - rs)
+        spec = (tr_d(whn, alpha)
+                / jnp.maximum(4.0 * jnp.abs(vecmath.dot(wi, whn))
+                              * jnp.maximum(abs_cos_theta(wi),
+                                            abs_cos_theta(wo)), 1e-6)
+                )[..., None] * schlick
+        substrate_f = jnp.where((refl & wh_ok)[..., None], diffuse + spec,
+                                zero)
+        out = jnp.where((t == SUBSTRATE)[..., None], substrate_f, out)
 
-    # rough glass (GLASS with roughness>0): microfacet reflection +
-    # microfacet transmission (materials/glass.cpp:58-76)
-    rough_glass_f = jnp.where(
-        refl[..., None],
-        _microfacet_reflection_f(mp.kr, alpha, fres_d, wo, wi),
-        _microfacet_transmission_f(mp.kt, alpha, mp.eta, wo, wi))
-    glass_rough = (t == GLASS) & (mp.roughness > 1e-3)
+    if _present(mp, TRANSLUCENT):
+        # translucent: lambertian reflection + lambertian transmission
+        trans_f = jnp.where(refl[..., None], kd * (0.5 * INV_PI),
+                            mp.kt * (0.5 * INV_PI))
+        out = jnp.where((t == TRANSLUCENT)[..., None], trans_f, out)
 
-    out = jnp.where((t == MATTE)[..., None], matte_f, zero)
-    out = jnp.where((t == PLASTIC)[..., None], plastic_f, out)
-    out = jnp.where((t == METAL)[..., None], metal_f, out)
-    out = jnp.where((t == UBER)[..., None], uber_f, out)
-    out = jnp.where((t == SUBSTRATE)[..., None], substrate_f, out)
-    out = jnp.where((t == TRANSLUCENT)[..., None], trans_f, out)
-    out = jnp.where(glass_rough[..., None], rough_glass_f, out)
-    out = jnp.where((t == DISNEY)[..., None], _disney_f(mp, kd, wo, wi),
-                    out)
+    if _present(mp, GLASS):
+        # rough glass (GLASS with roughness>0): microfacet reflection +
+        # microfacet transmission (materials/glass.cpp:58-76)
+        rough_glass_f = jnp.where(
+            refl[..., None],
+            _microfacet_reflection_f(mp.kr, alpha, fres_d, wo, wi),
+            _microfacet_transmission_f(mp.kt, alpha, mp.eta, wo, wi))
+        glass_rough = (t == GLASS) & (mp.roughness > 1e-3)
+        out = jnp.where(glass_rough[..., None], rough_glass_f, out)
+
+    if _present(mp, DISNEY):
+        out = jnp.where((t == DISNEY)[..., None], _disney_f(mp, kd, wo, wi),
+                        out)
     if mp.has_hair:
         from pbrt_tpu.scene import hair as hair_mod
         hh = jnp.zeros(wo.shape[:-1]) if h is None else h
@@ -579,23 +612,30 @@ def bsdf_pdf(mp: MaterialTable, wo: Array, wi: Array, h=None,
     refl = same_hemisphere(wo, wi)
     cos_pdf = jnp.where(refl, abs_cos_theta(wi) * INV_PI, 0.0)
     alpha = _mat_alpha(mp)
-    mf_pdf = _microfacet_reflection_pdf(alpha, wo, wi)
+    out = jnp.zeros(wo.shape[:-1])
+    if _present(mp, PLASTIC, UBER, SUBSTRATE, METAL, GLASS, DISNEY):
+        mf_pdf = _microfacet_reflection_pdf(alpha, wo, wi)
 
-    plastic_pdf = 0.5 * (cos_pdf + mf_pdf)
-    trans_pdf = 0.5 * abs_cos_theta(wi) * INV_PI
-    glass_rough = (t == GLASS) & (mp.roughness > 1e-3)
-    # two matching lobes → BSDF::Pdf averages them (reflection.cpp:643+);
-    # each lobe is zero on the other's hemisphere
-    rough_glass_pdf = 0.5 * (
-        mf_pdf + _microfacet_transmission_pdf(alpha, mp.eta, wo, wi))
-
-    out = jnp.where(t == MATTE, cos_pdf, 0.0)
-    out = jnp.where((t == PLASTIC) | (t == UBER) | (t == SUBSTRATE),
-                    plastic_pdf, out)
-    out = jnp.where(t == METAL, mf_pdf, out)
-    out = jnp.where(t == TRANSLUCENT, trans_pdf, out)
-    out = jnp.where(glass_rough, rough_glass_pdf, out)
-    out = jnp.where(t == DISNEY, _disney_pdf(mp, wo, wi), out)
+    if _present(mp, MATTE):
+        out = jnp.where(t == MATTE, cos_pdf, out)
+    if _present(mp, PLASTIC, UBER, SUBSTRATE):
+        plastic_pdf = 0.5 * (cos_pdf + mf_pdf)
+        out = jnp.where((t == PLASTIC) | (t == UBER) | (t == SUBSTRATE),
+                        plastic_pdf, out)
+    if _present(mp, METAL):
+        out = jnp.where(t == METAL, mf_pdf, out)
+    if _present(mp, TRANSLUCENT):
+        trans_pdf = 0.5 * abs_cos_theta(wi) * INV_PI
+        out = jnp.where(t == TRANSLUCENT, trans_pdf, out)
+    if _present(mp, GLASS):
+        glass_rough = (t == GLASS) & (mp.roughness > 1e-3)
+        # two matching lobes → BSDF::Pdf averages them (reflection.cpp:643+);
+        # each lobe is zero on the other's hemisphere
+        rough_glass_pdf = 0.5 * (
+            mf_pdf + _microfacet_transmission_pdf(alpha, mp.eta, wo, wi))
+        out = jnp.where(glass_rough, rough_glass_pdf, out)
+    if _present(mp, DISNEY):
+        out = jnp.where(t == DISNEY, _disney_pdf(mp, wo, wi), out)
     if mp.has_hair:
         from pbrt_tpu.scene import hair as hair_mod
         hh = jnp.zeros(wo.shape[:-1]) if h is None else h
@@ -626,108 +666,123 @@ def bsdf_sample(mp: MaterialTable, wo: Array, u_lobe: Array, u: Array,
     eta_mat = mp.eta if eta_override is None else eta_override
     kd = mp.kd if kd_override is None else kd_override
     alpha = _mat_alpha(mp)
+    need_mf = _present(mp, PLASTIC, UBER, SUBSTRATE, METAL, DISNEY, GLASS)
+    need_glass = _present(mp, GLASS, DISPERSIVE_GLASS)
 
     # --- cosine lobe (matte & the diffuse half of plastic/uber/substrate)
     wi_cos = cosine_sample_hemisphere(u)
     wi_cos = wi_cos * jnp.sign(wo[..., 2:3] + 1e-20)  # same hemisphere as wo
 
     # --- microfacet reflection lobe
-    wh = tr_sample_wh(wo, u, alpha)
-    wi_mf = vecmath.reflect(wo, wh)
+    if need_mf:
+        wh = tr_sample_wh(wo, u, alpha)
+        wi_mf = vecmath.reflect(wo, wh)
 
     # --- perfect mirror
     wi_mirror = jnp.stack([-wo[..., 0], -wo[..., 1], wo[..., 2]], axis=-1)
 
     # --- smooth dielectric (glass): choose reflect/refract by fresnel
-    F = fr_dielectric(cos_theta(wo), jnp.ones_like(eta_mat), eta_mat)
-    entering = cos_theta(wo) > 0.0
-    eta_ratio = jnp.where(entering, 1.0 / eta_mat, eta_mat)
-    n_loc = jnp.where(entering[..., None],
-                      jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0]), wo.shape),
-                      jnp.broadcast_to(jnp.array([0.0, 0.0, -1.0]), wo.shape))
-    wi_refr, refr_ok = vecmath.refract(wo, n_loc, eta_ratio)
-    choose_refl = (u_lobe < F) | ~refr_ok
-    wi_glass = jnp.where(choose_refl[..., None], wi_mirror, wi_refr)
+    if need_glass:
+        F = fr_dielectric(cos_theta(wo), jnp.ones_like(eta_mat), eta_mat)
+        entering = cos_theta(wo) > 0.0
+        eta_ratio = jnp.where(entering, 1.0 / eta_mat, eta_mat)
+        n_loc = jnp.where(
+            entering[..., None],
+            jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0]), wo.shape),
+            jnp.broadcast_to(jnp.array([0.0, 0.0, -1.0]), wo.shape))
+        wi_refr, refr_ok = vecmath.refract(wo, n_loc, eta_ratio)
+        choose_refl = (u_lobe < F) | ~refr_ok
+        wi_glass = jnp.where(choose_refl[..., None], wi_mirror, wi_refr)
 
     # ---------------- per-type combination
     # MATTE
-    f_matte = bsdf_f(mp, wo, wi_cos, kd_override=kd)
     pdf_matte = abs_cos_theta(wi_cos) * INV_PI
+    if _present(mp, MATTE):
+        f_matte = bsdf_f(mp, wo, wi_cos, kd_override=kd)
 
     # PLASTIC/UBER/SUBSTRATE: pick lobe by u_lobe
-    pick_mf = u_lobe >= 0.5
-    wi_pl = jnp.where(pick_mf[..., None], wi_mf, wi_cos)
-    # reject microfacet samples below horizon
-    pl_ok = same_hemisphere(wo, wi_pl)
-    f_pl = bsdf_f(mp, wo, wi_pl, kd_override=kd)
-    pdf_pl = 0.5 * (abs_cos_theta(wi_pl) * INV_PI
-                    + _microfacet_reflection_pdf(alpha, wo, wi_pl))
-    f_pl = jnp.where(pl_ok[..., None], f_pl, 0.0)
-    pdf_pl = jnp.where(pl_ok, pdf_pl, 0.0)
+    if _present(mp, PLASTIC, UBER, SUBSTRATE):
+        pick_mf = u_lobe >= 0.5
+        wi_pl = jnp.where(pick_mf[..., None], wi_mf, wi_cos)
+        # reject microfacet samples below horizon
+        pl_ok = same_hemisphere(wo, wi_pl)
+        f_pl = bsdf_f(mp, wo, wi_pl, kd_override=kd)
+        pdf_pl = 0.5 * (abs_cos_theta(wi_pl) * INV_PI
+                        + _microfacet_reflection_pdf(alpha, wo, wi_pl))
+        f_pl = jnp.where(pl_ok[..., None], f_pl, 0.0)
+        pdf_pl = jnp.where(pl_ok, pdf_pl, 0.0)
 
     # METAL
-    metal_ok = same_hemisphere(wo, wi_mf)
-    f_metal = bsdf_f(mp, wo, wi_mf, kd_override=kd)
-    pdf_metal = _microfacet_reflection_pdf(alpha, wo, wi_mf)
-    f_metal = jnp.where(metal_ok[..., None], f_metal, 0.0)
-    pdf_metal = jnp.where(metal_ok, pdf_metal, 0.0)
+    if _present(mp, METAL):
+        metal_ok = same_hemisphere(wo, wi_mf)
+        f_metal = bsdf_f(mp, wo, wi_mf, kd_override=kd)
+        pdf_metal = _microfacet_reflection_pdf(alpha, wo, wi_mf)
+        f_metal = jnp.where(metal_ok[..., None], f_metal, 0.0)
+        pdf_metal = jnp.where(metal_ok, pdf_metal, 0.0)
 
     # MIRROR: delta; f = kr * F / |cos| with fresnel noop (mirror.cpp uses
     # FresnelNoOp → F = 1)
-    f_mirror = mp.kr / jnp.maximum(abs_cos_theta(wi_mirror), 1e-6)[..., None]
+    if _present(mp, MIRROR):
+        f_mirror = mp.kr / jnp.maximum(abs_cos_theta(wi_mirror),
+                                       1e-6)[..., None]
 
     # GLASS smooth: delta; FresnelSpecular (reflection.cpp:118+)
     # reflect: kr * F / cos ; refract: kt * (1-F) / cos * etaRatio^2
     # (radiance transport scaling)
-    f_g_refl = mp.kr * (F / jnp.maximum(abs_cos_theta(wi_mirror),
-                                        1e-6))[..., None]
-    f_g_refr = mp.kt * (((1.0 - F) * eta_ratio * eta_ratio)
-                        / jnp.maximum(abs_cos_theta(wi_refr), 1e-6))[..., None]
-    f_glass = jnp.where(choose_refl[..., None], f_g_refl, f_g_refr)
-    pdf_glass = jnp.where(choose_refl, F, 1.0 - F)
-    # normalize the delta estimator: f/pdf handled by caller; here keep
-    # pdf as the discrete lobe probability.
+    if need_glass:
+        f_g_refl = mp.kr * (F / jnp.maximum(abs_cos_theta(wi_mirror),
+                                            1e-6))[..., None]
+        f_g_refr = mp.kt * (((1.0 - F) * eta_ratio * eta_ratio)
+                            / jnp.maximum(abs_cos_theta(wi_refr),
+                                          1e-6))[..., None]
+        f_glass = jnp.where(choose_refl[..., None], f_g_refl, f_g_refr)
+        pdf_glass = jnp.where(choose_refl, F, 1.0 - F)
+        # normalize the delta estimator: f/pdf handled by caller; here keep
+        # pdf as the discrete lobe probability.
 
     # TRANSLUCENT: reflect or transmit cosine lobe
-    wi_tr = jnp.where((u_lobe < 0.5)[..., None], wi_cos,
-                      -wi_cos)
-    f_tr = bsdf_f(mp, wo, wi_tr, kd_override=kd)
-    pdf_tr = 0.5 * abs_cos_theta(wi_tr) * INV_PI
+    if _present(mp, TRANSLUCENT):
+        wi_tr = jnp.where((u_lobe < 0.5)[..., None], wi_cos,
+                          -wi_cos)
+        f_tr = bsdf_f(mp, wo, wi_tr, kd_override=kd)
+        pdf_tr = 0.5 * abs_cos_theta(wi_tr) * INV_PI
 
     # DISNEY: lobe choice metallic-weighted (diffuse vs GGX specular)
-    p_diff_dis = 0.5 * (1.0 - mp.metallic)
-    pick_spec_dis = u_lobe >= p_diff_dis
-    wi_dis = jnp.where(pick_spec_dis[..., None], wi_mf, wi_cos)
-    dis_ok = same_hemisphere(wo, wi_dis)
-    f_dis = _disney_f(mp, kd, wo, wi_dis)
-    pdf_dis = _disney_pdf(mp, wo, wi_dis)
-    f_dis = jnp.where(dis_ok[..., None], f_dis, 0.0)
-    pdf_dis = jnp.where(dis_ok, pdf_dis, 0.0)
+    if _present(mp, DISNEY):
+        p_diff_dis = 0.5 * (1.0 - mp.metallic)
+        pick_spec_dis = u_lobe >= p_diff_dis
+        wi_dis = jnp.where(pick_spec_dis[..., None], wi_mf, wi_cos)
+        dis_ok = same_hemisphere(wo, wi_dis)
+        f_dis = _disney_f(mp, kd, wo, wi_dis)
+        pdf_dis = _disney_pdf(mp, wo, wi_dis)
+        f_dis = jnp.where(dis_ok[..., None], f_dis, 0.0)
+        pdf_dis = jnp.where(dis_ok, pdf_dis, 0.0)
 
     # rough glass: pick microfacet reflection or transmission lobe with
     # probability 1/2 each (BSDF::Sample_f uniform lobe choice); refract
     # about the sampled visible normal wh
     glass_rough = (t == GLASS) & (mp.roughness > 1e-3)
-    wh_o = wh * jnp.sign(vecmath.dot(wh, wo))[..., None]
-    wi_rgt, rgt_ok = vecmath.refract(wo, wh_o, eta_ratio)
-    pick_rg_trans = u_lobe >= 0.5
-    wi_rg = jnp.where(pick_rg_trans[..., None], wi_rgt, wi_mf)
-    rg_ok = jnp.where(pick_rg_trans,
-                      rgt_ok & ~same_hemisphere(wo, wi_rg),
-                      same_hemisphere(wo, wi_rg))
-    f_rg = jnp.where(
-        same_hemisphere(wo, wi_rg)[..., None],
-        _microfacet_reflection_f(
-            mp.kr, alpha,
-            lambda c: fr_dielectric(c, jnp.ones_like(eta_mat),
-                                    eta_mat)[..., None]
-            * jnp.ones((1, C)), wo, wi_rg),
-        _microfacet_transmission_f(mp.kt, alpha, eta_mat, wo, wi_rg))
-    pdf_rg = 0.5 * (_microfacet_reflection_pdf(alpha, wo, wi_rg)
-                    + _microfacet_transmission_pdf(alpha, eta_mat, wo,
-                                                   wi_rg))
-    f_rg = jnp.where(rg_ok[..., None], f_rg, 0.0)
-    pdf_rg = jnp.where(rg_ok, pdf_rg, 0.0)
+    if _present(mp, GLASS):
+        wh_o = wh * jnp.sign(vecmath.dot(wh, wo))[..., None]
+        wi_rgt, rgt_ok = vecmath.refract(wo, wh_o, eta_ratio)
+        pick_rg_trans = u_lobe >= 0.5
+        wi_rg = jnp.where(pick_rg_trans[..., None], wi_rgt, wi_mf)
+        rg_ok = jnp.where(pick_rg_trans,
+                          rgt_ok & ~same_hemisphere(wo, wi_rg),
+                          same_hemisphere(wo, wi_rg))
+        f_rg = jnp.where(
+            same_hemisphere(wo, wi_rg)[..., None],
+            _microfacet_reflection_f(
+                mp.kr, alpha,
+                lambda c: fr_dielectric(c, jnp.ones_like(eta_mat),
+                                        eta_mat)[..., None]
+                * jnp.ones((1, C)), wo, wi_rg),
+            _microfacet_transmission_f(mp.kt, alpha, eta_mat, wo, wi_rg))
+        pdf_rg = 0.5 * (_microfacet_reflection_pdf(alpha, wo, wi_rg)
+                        + _microfacet_transmission_pdf(alpha, eta_mat, wo,
+                                                       wi_rg))
+        f_rg = jnp.where(rg_ok[..., None], f_rg, 0.0)
+        pdf_rg = jnp.where(rg_ok, pdf_rg, 0.0)
 
     # NONE (null material = pure medium interface): the ray passes straight
     # through; f/|cos| folded so beta *= f·|cos|/pdf is exactly 1
@@ -768,55 +823,58 @@ def bsdf_sample(mp: MaterialTable, wo: Array, u_lobe: Array, u: Array,
         return out
 
     zeroC = jnp.zeros(R + (C,))
-    wi_rows = [((t == MATTE), wi_cos),
-               ((t == PLASTIC) | (t == UBER) | (t == SUBSTRATE), wi_pl),
-               ((t == METAL), wi_mf),
-               (glass_rough, wi_rg),
-               ((t == MIRROR), wi_mirror),
-               (((t == GLASS) & ~glass_rough) | (t == DISPERSIVE_GLASS),
-                wi_glass),
-               ((t == TRANSLUCENT), wi_tr),
-               ((t == DISNEY), wi_dis)]
-    f_rows = [((t == MATTE), f_matte),
-              ((t == PLASTIC) | (t == UBER) | (t == SUBSTRATE), f_pl),
-              ((t == METAL), f_metal),
-              (glass_rough, f_rg),
-              ((t == MIRROR), f_mirror),
-              (((t == GLASS) & ~glass_rough) | (t == DISPERSIVE_GLASS),
-               f_glass),
-              ((t == TRANSLUCENT), f_tr),
-              ((t == DISNEY), f_dis)]
-    pdf_rows = [((t == MATTE), pdf_matte[..., None]),
-                ((t == PLASTIC) | (t == UBER) | (t == SUBSTRATE),
-                 pdf_pl[..., None]),
-                ((t == METAL), pdf_metal[..., None]),
-                (glass_rough, pdf_rg[..., None]),
-                ((t == MIRROR), jnp.ones(R + (1,))),
-                (((t == GLASS) & ~glass_rough) | (t == DISPERSIVE_GLASS),
-                 pdf_glass[..., None]),
-                ((t == TRANSLUCENT), pdf_tr[..., None]),
-                ((t == DISNEY), pdf_dis[..., None])]
+    false_r = jnp.zeros(R, bool)
+    wi_rows, f_rows, pdf_rows = [], [], []
+
+    def add(cond, wi_v, f_v, pdf_v):
+        wi_rows.append((cond, wi_v))
+        f_rows.append((cond, f_v))
+        pdf_rows.append((cond, pdf_v))
+
+    if _present(mp, MATTE):
+        add((t == MATTE), wi_cos, f_matte, pdf_matte[..., None])
+    if _present(mp, PLASTIC, UBER, SUBSTRATE):
+        add((t == PLASTIC) | (t == UBER) | (t == SUBSTRATE), wi_pl, f_pl,
+            pdf_pl[..., None])
+    if _present(mp, METAL):
+        add((t == METAL), wi_mf, f_metal, pdf_metal[..., None])
+    if _present(mp, GLASS):
+        add(glass_rough, wi_rg, f_rg, pdf_rg[..., None])
+    if _present(mp, MIRROR):
+        add((t == MIRROR), wi_mirror, f_mirror, jnp.ones(R + (1,)))
+    if need_glass:
+        add(((t == GLASS) & ~glass_rough) | (t == DISPERSIVE_GLASS),
+            wi_glass, f_glass, pdf_glass[..., None])
+    if _present(mp, TRANSLUCENT):
+        add((t == TRANSLUCENT), wi_tr, f_tr, pdf_tr[..., None])
+    if _present(mp, DISNEY):
+        add((t == DISNEY), wi_dis, f_dis, pdf_dis[..., None])
     if mp.has_hair:
-        wi_rows.append(((t == HAIR), wi_hair))
-        f_rows.append(((t == HAIR), f_hair))
-        pdf_rows.append(((t == HAIR), pdf_hair[..., None]))
+        add((t == HAIR), wi_hair, f_hair, pdf_hair[..., None])
     if mp.has_fourier:
-        wi_rows.append(((t == FOURIER), wi_four))
-        f_rows.append(((t == FOURIER), f_four))
-        pdf_rows.append(((t == FOURIER), pdf_four[..., None]))
-    wi_rows.append(((t == NONE), wi_none))
-    f_rows.append(((t == NONE), f_none))
-    pdf_rows.append(((t == NONE), jnp.ones(R + (1,))))
+        add((t == FOURIER), wi_four, f_four, pdf_four[..., None])
+    if _present(mp, NONE):
+        add((t == NONE), wi_none, f_none, jnp.ones(R + (1,)))
     wi = sel(wi_rows, wi_cos)
     f = sel(f_rows, zeroC)
     pdf = sel(pdf_rows, pdf_matte[..., None])[..., 0]
 
-    is_specular = ((t == MIRROR) | ((t == GLASS) & ~glass_rough)
-                   | (t == DISPERSIVE_GLASS) | (t == NONE))
-    is_transmission = ((((t == GLASS) & ~glass_rough)
-                        | (t == DISPERSIVE_GLASS)) & ~choose_refl) \
-        | ((t == TRANSLUCENT) & (u_lobe >= 0.5)) \
-        | (glass_rough & pick_rg_trans) | (t == NONE)
+    is_specular = (t == NONE) if _present(mp, NONE) else false_r
+    if _present(mp, MIRROR):
+        is_specular = is_specular | (t == MIRROR)
+    if need_glass:
+        is_specular = is_specular | ((t == GLASS) & ~glass_rough) \
+            | (t == DISPERSIVE_GLASS)
+    is_transmission = (t == NONE) if _present(mp, NONE) else false_r
+    if need_glass:
+        is_transmission = is_transmission | (
+            (((t == GLASS) & ~glass_rough)
+             | (t == DISPERSIVE_GLASS)) & ~choose_refl)
+    if _present(mp, TRANSLUCENT):
+        is_transmission = is_transmission | (
+            (t == TRANSLUCENT) & (u_lobe >= 0.5))
+    if _present(mp, GLASS):
+        is_transmission = is_transmission | (glass_rough & pick_rg_trans)
     if mp.has_hair:
         is_transmission = is_transmission | \
             ((t == HAIR) & ~same_hemisphere(wo, wi))
