@@ -37,8 +37,16 @@ def main():
     SPP = 64
     CHUNK = 8
     MAX_DEPTH = 4          # bounces = max_depth + 1 loop iterations
-    scene = ge._portal_scene()
-    cam = ge._camera((W, H))
+    # build the scene on the host CPU backend: construction is many tiny
+    # eager ops, and on the remote-TPU (axon) backend each one is a
+    # round-trip remote compile (~80 s total); on CPU it is ~2 s
+    cpu = jax.local_devices(backend="cpu")[0]
+    with jax.default_device(cpu):
+        scene = ge._portal_scene()
+        cam = ge._camera((W, H))
+    dev = jax.devices()[0]
+    scene = jax.device_put(scene, dev)
+    cam = jax.device_put(cam, dev)
     filt = film_mod.make_filter("box")
     cfg = RenderConfig(integrator="path", max_depth=MAX_DEPTH)
 
