@@ -597,6 +597,11 @@ class PbrtParser:
                 img = imageio.read_image(
                     os.path.join(self.base_dir, p.one("filename")))
                 kw["img"] = self.builder.add_image(img)
+                # pbrt's imagemap defaults to EWA ("bool trilinear" false,
+                # textures/imagemap.cpp); the builder API defaults to
+                # trilinear for TPU throughput, so the parser opts in here
+                if not p.one("trilinear"):
+                    self.builder.tex_filtering = "ewa"
             except Exception:
                 kw["type"] = 0
                 kw["v1"] = (0.5, 0.5, 0.5)

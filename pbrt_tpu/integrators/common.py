@@ -144,7 +144,7 @@ def estimate_direct(scene, hit, mp, wo_world: Array,
     wo = to_local(t1, t2, hit.ns, wo_world)
 
     from pbrt_tpu.scene import textures as tex_mod
-    kd_eff = tex_mod.resolve_kd(scene, mp, hit)
+    kd_eff = tex_mod.resolve_kd(scene, mp, hit, wo=wo_world)
     h_hair = hair_offset(mp, hit)
 
     # ---- light-strategy sample (Sample_Li)

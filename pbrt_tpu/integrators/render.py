@@ -199,7 +199,7 @@ def _li_loop(scene, o, d, pid, sidx, sfn, cfg: RenderConfig, power_distr,
         u_cl = sfn(pid, sidx, dims["cont_lobe"], cfg.seed)
         u_cu = _sample2(sfn, pid, sidx, dims["cont_u"], cfg.seed)
         from pbrt_tpu.scene import textures as tex_mod
-        kd_eff = tex_mod.resolve_kd(scene, mp, hit)
+        kd_eff = tex_mod.resolve_kd(scene, mp, hit, wo=-d_cur)
         wi_loc, f, pdf, flags = mat_mod.bsdf_sample(
             mp, wo, u_cl, u_cu, kd_override=kd_eff,
             h=common.hair_offset(mp, hit), fourier=scene.fourier)

@@ -206,10 +206,14 @@ def finalize_hit(scene, o, d, t, prim_id, results=None, time=None) -> Hit:
         inv = jnp.where(jnp.abs(det) > 1e-12, 1.0 / jnp.where(
             jnp.abs(det) > 1e-12, det, 1.0), 0.0)
         dpdu_t = (duv2[..., 1:2] * e1 - duv1[..., 1:2] * e2) * inv[..., None]
+        dpdv_t = (-duv2[..., 0:1] * e1 + duv1[..., 0:1] * e2) * inv[..., None]
         # degenerate uvs → arbitrary in-plane tangent
-        t1_fb, _ = vecmath.coordinate_system(ngt)
-        dpdu_t = jnp.where((jnp.abs(det) > 1e-12)[..., None], dpdu_t, t1_fb)
+        t1_fb, t2_fb = vecmath.coordinate_system(ngt)
+        ok_uv = (jnp.abs(det) > 1e-12)[..., None]
+        dpdu_t = jnp.where(ok_uv, dpdu_t, t1_fb)
+        dpdv_t = jnp.where(ok_uv, dpdv_t, t2_fb)
         dpdu = jnp.where(is_tri[..., None], dpdu_t, dpdu)
+        dpdv_tri = dpdv_t
     if nsp:
         si = jnp.clip(prim_id - nt, 0, nsp - 1)
         is_sph = valid & (prim_id >= nt) & (prim_id < nt + nsp)
@@ -243,8 +247,15 @@ def finalize_hit(scene, o, d, t, prim_id, results=None, time=None) -> Hit:
     # orient geometric normal to the shading normal's hemisphere is NOT done
     # (pbrt keeps ng independent); shading normal faceforwarded to ng
     ns = vecmath.face_forward(ns, ng)
+    # ∂p/∂v: exact uv-gradient for triangles (triangle.cpp:157-168); the
+    # frame-completing cross product (|dpdv|≈|dpdu|, in-plane, ⊥ dpdu) for
+    # analytic shapes — aspect-preserving default for the EWA footprint
+    dpdv = vecmath.cross(ng, dpdu)
+    if nt:
+        is_tri = valid & (prim_id < nt)
+        dpdv = jnp.where(is_tri[..., None], dpdv_tri, dpdv)
     return Hit(valid=valid, t=t, p=p, ng=ng, ns=ns, uv=uv,
-               prim_id=jnp.where(valid, prim_id, -1), dpdu=dpdu)
+               prim_id=jnp.where(valid, prim_id, -1), dpdu=dpdu, dpdv=dpdv)
 
 
 def _intersect_p_brute(scene, o: Array, d: Array, tmax: Array,

@@ -46,6 +46,10 @@ class Hit:
     # ∂p/∂u (unnormalized): the u-parametric tangent. Triangle uv gradient
     # solve (triangle.cpp:157-168); drives hair fiber frames + anisotropy.
     dpdu: Array = None  # (R,3) or None when the intersector skips it
+    # ∂p/∂v: completes the parametric frame; exact for triangles, the
+    # frame-completing cross product elsewhere. Feeds EWA anisotropic
+    # texture filtering (core/mipmap.h:103).
+    dpdv: Array = None  # (R,3) or None
 
 
 # ---------------------------------------------------------------------------

@@ -59,6 +59,12 @@ class TextureTable:
     mip_wh: Array    # (N, L, 2) per-level (w, h)
     n_levels: Array  # (N,)
     spread: Array    # () camera pixel spread (radians/px); 0 → level 0
+    # static: EWA elliptically-weighted-average filtering for imagemaps
+    # (MIPMap doTrilinear=false default, core/mipmap.h:63,103). False =
+    # isotropic trilinear (cheaper; no anisotropy at grazing angles).
+    ewa: bool = dataclasses.field(metadata=dict(static=True), default=False)
+    max_aniso: float = dataclasses.field(metadata=dict(static=True),
+                                         default=8.0)
 
 
 def _downsample2(im: np.ndarray) -> np.ndarray:
@@ -92,11 +98,13 @@ def _mip_pyramid(im: np.ndarray):
 
 
 def make_texture_table(rows, images, n_channels,
-                       spread: float = 0.0) -> TextureTable:
+                       spread: float = 0.0,
+                       filtering: str = "trilinear") -> TextureTable:
     """rows: dicts(type, v1, v2, uscale, vscale, udelta, vdelta, img,
     octaves, omega, scale3d); images: list of (H,W,C) arrays. ``spread`` =
     camera pixel spread angle (rad/px) driving the trilinear mip LOD;
-    0 disables mip selection (level-0 bilinear)."""
+    0 disables mip selection (level-0 bilinear). ``filtering`` = "trilinear"
+    or "ewa" (anisotropic, MIPMap doTrilinear=false, core/mipmap.h:63)."""
     t = max(1, len(rows))
     f = lambda k, d: np.asarray([r.get(k, d) for r in rows] or [d],
                                 np.float32)
@@ -150,7 +158,8 @@ def make_texture_table(rows, images, n_channels,
         images=jnp.asarray(stack), img_wh=jnp.asarray(wh),
         mip_off=jnp.asarray(mip_off), mip_wh=jnp.asarray(mip_wh),
         n_levels=jnp.asarray(n_levels),
-        spread=jnp.asarray(spread, jnp.float32))
+        spread=jnp.asarray(spread, jnp.float32),
+        ewa=(filtering == "ewa"))
 
 
 # ---------------------------------------------------------------------------
@@ -260,13 +269,97 @@ def _trilinear_image(tt: TextureTable, img_id, uv, width_uv):
     return a * (1.0 - fl) + b * fl
 
 
+_EWA_HALF = 8  # static tap window half-extent (maxAniso=8 → major semi-axis
+               # ≤ ~8 texels at the chosen level, mipmap.h:188-199)
+
+
+def _ewa_one_level(tt: TextureTable, img_id, uv, duv0, duv1, level):
+    """MIPMap::EWA at one mip level (core/mipmap.h:137-181 role): Gaussian-
+    weighted average over the texel ellipse mapped by (duv0, duv1). The
+    reference scans the data-dependent ellipse bbox; here a static
+    (2·_EWA_HALF+1)² window with the in-ellipse test makes it one fixed
+    gather pattern (taps outside the ellipse weigh 0)."""
+    off = tt.mip_off[img_id, level]
+    whl = tt.mip_wh[img_id, level]
+    whf = whl.astype(jnp.float32)
+    # texel coordinates at this level (continuous), v flipped as in bilinear
+    sx = uv[..., 0] * whf[..., 0] - 0.5
+    sy = (1.0 - uv[..., 1]) * whf[..., 1] - 0.5
+    d0x = duv0[..., 0] * whf[..., 0]
+    d0y = -duv0[..., 1] * whf[..., 1]
+    d1x = duv1[..., 0] * whf[..., 0]
+    d1y = -duv1[..., 1] * whf[..., 1]
+    # ellipse e(u,v) = A u² + B u v + C v² < 1 (mipmap.h:141-152)
+    A = d0y * d0y + d1y * d1y + 1.0
+    B = -2.0 * (d0x * d0y + d1x * d1y)
+    C = d0x * d0x + d1x * d1x + 1.0
+    inv_f = 1.0 / jnp.maximum(A * C - B * B * 0.25, 1e-12)
+    A = A * inv_f
+    B = B * inv_f
+    C = C * inv_f
+
+    cx = jnp.round(sx).astype(jnp.int32)
+    cy = jnp.round(sy).astype(jnp.int32)
+    wmax = tt.images.shape[2] - 1
+    hmax = tt.images.shape[1] - 1
+    wlim = whl[..., 0] - 1
+    hlim = whl[..., 1] - 1
+    acc = jnp.zeros(uv.shape[:-1] + (tt.images.shape[-1],))
+    wsum = jnp.zeros(uv.shape[:-1])
+    exp_neg2 = float(np.exp(-2.0))
+    for oy in range(-_EWA_HALF, _EWA_HALF + 1):
+        for ox in range(-_EWA_HALF, _EWA_HALF + 1):
+            uu = (cx + ox).astype(jnp.float32) - sx
+            vv = (cy + oy).astype(jnp.float32) - sy
+            e = A * uu * uu + B * uu * vv + C * vv * vv
+            w = jnp.where(e < 1.0, jnp.exp(-2.0 * e) - exp_neg2, 0.0)
+            xi = jnp.clip(jnp.clip(cx + ox, 0, wlim) + off[..., 0], 0, wmax)
+            yi = jnp.clip(jnp.clip(cy + oy, 0, hlim) + off[..., 1], 0, hmax)
+            acc = acc + tt.images[img_id, yi, xi] * w[..., None]
+            wsum = wsum + w
+    return acc / jnp.maximum(wsum, 1e-9)[..., None]
+
+
+def _ewa_image(tt: TextureTable, img_id, uv, duv0, duv1):
+    """MIPMap::Lookup anisotropic path (core/mipmap.h:103-135): pick the
+    level from the minor-axis length, clamp eccentricity to max_aniso by
+    lengthening the minor axis, lerp EWA between the two bracketing
+    levels."""
+    len0 = jnp.sqrt(jnp.sum(duv0 * duv0, -1))
+    len1 = jnp.sqrt(jnp.sum(duv1 * duv1, -1))
+    swap = len1 > len0
+    major = jnp.where(swap[..., None], duv1, duv0)
+    minor = jnp.where(swap[..., None], duv0, duv1)
+    maj_l = jnp.maximum(len0, len1)
+    min_l = jnp.minimum(len0, len1)
+    # clamp anisotropy (mipmap.h:121-128)
+    scale = jnp.where(min_l * tt.max_aniso < maj_l,
+                      maj_l / jnp.maximum(min_l * tt.max_aniso, 1e-12), 1.0)
+    minor = minor * scale[..., None]
+    min_l = min_l * scale
+    # level from minor length (texels at level 0), as _trilinear_image
+    whf = tt.img_wh[img_id].astype(jnp.float32)
+    texels = min_l * jnp.maximum(whf[..., 0], whf[..., 1])
+    lod = jnp.log2(jnp.maximum(texels, 1.0))
+    lmax = (tt.n_levels[img_id] - 1).astype(jnp.float32)
+    lod = jnp.clip(lod, 0.0, lmax)
+    l0 = jnp.floor(lod).astype(jnp.int32)
+    l1 = jnp.minimum(l0 + 1, tt.n_levels[img_id] - 1)
+    fl = (lod - l0.astype(jnp.float32))[..., None]
+    a = _ewa_one_level(tt, img_id, uv, major, minor, l0)
+    b = _ewa_one_level(tt, img_id, uv, major, minor, l1)
+    return a * (1.0 - fl) + b * fl
+
+
 def eval_texture(tt: TextureTable, tex_id: Array, uv: Array, p: Array,
-                 width_uv: Array = None) -> Array:
+                 width_uv: Array = None, duv0: Array = None,
+                 duv1: Array = None) -> Array:
     """Evaluate texture rows tex_id (R,) at uv (R,2) / world p (R,3) →
     (R,C). ``width_uv`` (R,) = isotropic uv-space filter footprint for
-    mip selection (None → level-0 bilinear). Nested texture references
-    resolve one level (scale/mix take constant operands, as the shipped
-    scenes use)."""
+    mip selection (None → level-0 bilinear); ``duv0``/``duv1`` (R,2) =
+    anisotropic uv-space footprint axes (used by imagemaps when tt.ewa).
+    Nested texture references resolve one level (scale/mix take constant
+    operands, as the shipped scenes use)."""
     tid = jnp.clip(tex_id, 0, tt.ttype.shape[0] - 1)
     t = tt.ttype[tid]
     v1 = tt.v1[tid]
@@ -307,8 +400,12 @@ def eval_texture(tt: TextureTable, tex_id: Array, uv: Array, p: Array,
         + (u_ * (1 - v_) + (1 - u_) * v_) * 0.5 * (v1 + v2)
     out = jnp.where((t == BILERP)[..., None], bl, out)
 
-    # image map (trilinear mip chain when a footprint is supplied)
-    if width_uv is None:
+    # image map (trilinear mip chain when a footprint is supplied; EWA
+    # when the table requests it and anisotropic axes are available)
+    if tt.ewa and duv0 is not None and duv1 is not None:
+        img = _ewa_image(tt, tt.img_id[tid], st - jnp.floor(st),
+                         duv0 * tt.uv_scale[tid], duv1 * tt.uv_scale[tid])
+    elif width_uv is None:
         img = _bilinear_image(tt, tt.img_id[tid], st - jnp.floor(st))
     else:
         w_st = width_uv * jnp.max(tt.uv_scale[tid], axis=-1)
@@ -342,23 +439,54 @@ def eval_texture(tt: TextureTable, tex_id: Array, uv: Array, p: Array,
     return out
 
 
-def resolve_kd(scene, mp, hit) -> Array:
+def resolve_kd(scene, mp, hit, wo=None) -> Array:
     """kd with texture override: materials.kd_tex ≥ 0 → texture lookup.
 
     Mip footprint: the camera pixel spread (tt.spread, rad/px) grows
     linearly with hit distance; dividing by |∂p/∂u| converts the world
     width into uv space (the reference's ray-differential footprint,
     core/interaction.cpp ComputeDifferentials, collapsed to its isotropic
-    width). spread == 0 (default) → level-0 bilinear."""
+    width). spread == 0 (default) → level-0 bilinear.
+
+    With ``wo`` (= −ray direction) and an EWA texture table, the screen
+    footprint disk is projected onto the tangent plane and solved against
+    (dpdu, dpdv) for the anisotropic uv axes — the batched equivalent of
+    SurfaceInteraction::ComputeDifferentials (core/interaction.cpp:165+)."""
     tt = getattr(scene, "textures", None)
     if tt is None:
         return mp.kd
     has_tex = mp.kd_tex >= 0
     width_uv = None
+    duv0 = duv1 = None
     if getattr(tt, "spread", None) is not None and hit.dpdu is not None:
         from pbrt_tpu.core import vecmath
         world_w = hit.t * tt.spread
         width_uv = world_w / jnp.maximum(vecmath.length(hit.dpdu), 1e-8)
+        if tt.ewa and wo is not None and hit.dpdv is not None:
+            d = -wo
+            e1, e2 = vecmath.coordinate_system(d)
+            den = vecmath.dot(d, hit.ng)
+            den = jnp.where(jnp.abs(den) > 1e-4, den,
+                            jnp.where(den >= 0, 1e-4, -1e-4))
+            # footprint axes on the tangent plane (grazing → stretched)
+            dpdx = world_w[..., None] * (
+                e1 - d * (vecmath.dot(e1, hit.ng) / den)[..., None])
+            dpdy = world_w[..., None] * (
+                e2 - d * (vecmath.dot(e2, hit.ng) / den)[..., None])
+            # Gram solve [du, dv] for each footprint axis
+            g11 = vecmath.dot(hit.dpdu, hit.dpdu)
+            g12 = vecmath.dot(hit.dpdu, hit.dpdv)
+            g22 = vecmath.dot(hit.dpdv, hit.dpdv)
+            det = jnp.maximum(g11 * g22 - g12 * g12, 1e-12)
+
+            def solve(dp):
+                b1 = vecmath.dot(dp, hit.dpdu)
+                b2 = vecmath.dot(dp, hit.dpdv)
+                return jnp.stack([(g22 * b1 - g12 * b2) / det,
+                                  (g11 * b2 - g12 * b1) / det], axis=-1)
+
+            duv0 = solve(dpdx)
+            duv1 = solve(dpdy)
     tex_val = eval_texture(tt, jnp.maximum(mp.kd_tex, 0), hit.uv, hit.p,
-                           width_uv=width_uv)
+                           width_uv=width_uv, duv0=duv0, duv1=duv1)
     return jnp.where(has_tex[..., None], tex_val, mp.kd)

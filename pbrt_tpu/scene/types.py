@@ -129,6 +129,7 @@ class SceneBuilder:
         self.light_rows = []  # parameter dicts (scene/lights.py)
         self.texture_rows = []  # parameter dicts (scene/textures.py)
         self.images = []      # (H,W,C) numpy arrays for imagemap textures
+        self.tex_filtering = "trilinear"  # or "ewa" (textures.py)
         self.fourier_tables = []  # scene/fourier.py FourierTables
         self.media = []       # scene/media.py Medium rows
         self.camera_med = -1  # camera-side medium id (−1 vacuum)
@@ -409,7 +410,7 @@ class SceneBuilder:
             scene = dataclasses.replace(
                 scene, textures=tex_mod.make_texture_table(
                     self.texture_rows, self.images, self.cfg.n_channels,
-                    spread=tex_spread))
+                    spread=tex_spread, filtering=self.tex_filtering))
         if use_bvh == "always" or (use_bvh == "auto" and nt > 256):
             from pbrt_tpu.scene import bvh as bvh_mod
             scene = dataclasses.replace(scene,
