@@ -668,6 +668,13 @@ class PbrtParser:
             kw["roughness"] = 0.01   # metal.cpp default
         elif name in ("plastic", "substrate", "uber", "disney"):
             kw["roughness"] = 0.1
+        # NDF selection (core/microfacet.h:48-105); pbrt's stock materials
+        # hard-code TR, so "string distribution" is an extension exposing
+        # the Beckmann core component to the scene language
+        if str(p.one("distribution") or p.one("microfacetdistribution")
+               or "").lower() == "beckmann":
+            from pbrt_tpu.scene.materials import NDF_BECKMANN
+            kw["ndf"] = NDF_BECKMANN
         if p.one("index") is not None:
             kw["eta"] = p.one("index")
         if p.one("eta") is not None and name == "glass":

@@ -66,7 +66,9 @@ class MaterialTable:
     eta: Array         # (M,) dielectric IOR (scalar)
     metal_eta: Array   # (M,C) conductor eta
     metal_k: Array     # (M,C) conductor absorption
-    roughness: Array   # (M,) TR alpha (already remapped)
+    roughness: Array   # (M,) microfacet alpha (already remapped)
+    ndf: Array         # (M,) int32 NDF tag: 0 TR (GGX), 1 Beckmann
+                       # (core/microfacet.h:48-105)
     sigma: Array       # (M,) Oren–Nayar sigma (degrees)
     cauchy_b: Array    # (M,) dispersive glass: eta(λ)=B + C/λ², λ in µm
     cauchy_c: Array    # (M,)
@@ -98,6 +100,9 @@ class MaterialTable:
                                        default=False)
     has_fourier: bool = dataclasses.field(metadata=dict(static=True),
                                           default=False)
+    # static: any Beckmann-NDF row? (guards tracing the Beckmann math)
+    has_beckmann: bool = dataclasses.field(metadata=dict(static=True),
+                                           default=False)
     # sorted tuple of material types present in the table. pbrt's virtual
     # dispatch only executes the BxDF subclasses a scene instantiates; the
     # branchless equivalent is to only *trace* the present families —
@@ -129,6 +134,7 @@ def make_material_table(rows: list[dict], n_channels: int) -> MaterialTable:
         # default 0 = smooth (glass.cpp's default); metal/plastic set their
         # own nonzero defaults at creation (parser/_make_material)
         roughness=jnp.asarray(f("roughness", 0.0)),
+        ndf=jnp.asarray(i32("ndf", NDF_TR)),
         sigma=jnp.asarray(f("sigma", 0.0)),
         cauchy_b=jnp.asarray(f("cauchy_b", 1.5)),
         cauchy_c=jnp.asarray(f("cauchy_c", 0.0)),
@@ -148,6 +154,7 @@ def make_material_table(rows: list[dict], n_channels: int) -> MaterialTable:
         sigma_tex=jnp.asarray(i32("sigma_tex", -1)),
         bump_tex=jnp.asarray(i32("bump_tex", -1)),
         has_hair=any(r.get("type") == HAIR for r in rows),
+        has_beckmann=any(r.get("ndf") == NDF_BECKMANN for r in rows),
         has_fourier=any(r.get("type") == FOURIER for r in rows),
         present=_close_present({int(r.get("type", MATTE)) for r in rows}
                                or {MATTE}),
@@ -311,6 +318,87 @@ def tr_pdf_wh(wo: Array, wh: Array, alpha: Array) -> Array:
 
 
 # ---------------------------------------------------------------------------
+# Beckmann–Spizzichino distribution (core/microfacet.h:48-105)
+# ---------------------------------------------------------------------------
+
+NDF_TR = 0
+NDF_BECKMANN = 1
+
+
+def beck_d(wh: Array, alpha: Array) -> Array:
+    """Isotropic Beckmann NDF (microfacet.cpp BeckmannDistribution::D)."""
+    c2 = wh[..., 2] ** 2
+    s2 = jnp.maximum(0.0, 1.0 - c2)
+    tan2 = s2 / jnp.maximum(c2, 1e-12)
+    a2 = jnp.maximum(alpha * alpha, 1e-12)
+    d = jnp.exp(-tan2 / a2) / (jnp.pi * a2 * jnp.maximum(c2 * c2, 1e-12))
+    return jnp.where(wh[..., 2] > 0, d, 0.0)
+
+
+def beck_lambda(w: Array, alpha: Array) -> Array:
+    """Beckmann Λ, rational approximation (microfacet.cpp:89-97)."""
+    c = jnp.clip(jnp.abs(w[..., 2]), 1e-6, 1.0)
+    abs_tan = jnp.sqrt(jnp.maximum(0.0, 1.0 - c * c)) / c
+    a = 1.0 / jnp.maximum(alpha * abs_tan, 1e-9)
+    lam = ((1.0 - 1.259 * a + 0.396 * a * a)
+           / jnp.maximum(3.535 * a + 2.181 * a * a, 1e-9))
+    return jnp.where(a >= 1.6, 0.0, lam)
+
+
+def beck_g(wo: Array, wi: Array, alpha: Array) -> Array:
+    return 1.0 / (1.0 + beck_lambda(wo, alpha) + beck_lambda(wi, alpha))
+
+
+def beck_sample_wh(wo: Array, u: Array, alpha: Array) -> Array:
+    """Full-distribution Beckmann wh sampling (microfacet.cpp Sample_wh,
+    !sampleVisibleArea branch: tan²θ = −α² ln(1−u₁)); flipped to wo's
+    hemisphere. Design delta vs pbrt's default visible-normal sampling —
+    the matching pdf (beck_pdf_wh = D·|cosθ|) keeps the estimator exact."""
+    u1 = jnp.minimum(u[..., 0], 0.99999)
+    tan2t = -alpha * alpha * jnp.log1p(-u1)
+    phi = 2.0 * jnp.pi * u[..., 1]
+    cost = 1.0 / jnp.sqrt(1.0 + tan2t)
+    sint = jnp.sqrt(jnp.maximum(0.0, 1.0 - cost * cost))
+    wh = jnp.stack([sint * jnp.cos(phi), sint * jnp.sin(phi), cost], axis=-1)
+    return wh * jnp.sign(wo[..., 2:3] + 1e-20)
+
+
+def beck_pdf_wh(wo: Array, wh: Array, alpha: Array) -> Array:
+    """Full-distribution pdf D(wh)·|cosθh| (microfacet.cpp Pdf)."""
+    return beck_d(wh, alpha) * abs_cos_theta(wh)
+
+
+# --- NDF dispatch: helpers take an optional per-row ndf tag; None → TR
+# (static specialization like MaterialTable.present — Beckmann math only
+# enters the program when a material row requests it)
+
+def mf_d(wh, alpha, ndf=None):
+    d = tr_d(wh, alpha)
+    return d if ndf is None else jnp.where(ndf == NDF_BECKMANN,
+                                           beck_d(wh, alpha), d)
+
+
+def mf_g(wo, wi, alpha, ndf=None):
+    g = tr_g(wo, wi, alpha)
+    return g if ndf is None else jnp.where(ndf == NDF_BECKMANN,
+                                           beck_g(wo, wi, alpha), g)
+
+
+def mf_sample_wh(wo, u, alpha, ndf=None):
+    wh = tr_sample_wh(wo, u, alpha)
+    if ndf is None:
+        return wh
+    return jnp.where((ndf == NDF_BECKMANN)[..., None],
+                     beck_sample_wh(wo, u, alpha), wh)
+
+
+def mf_pdf_wh(wo, wh, alpha, ndf=None):
+    p = tr_pdf_wh(wo, wh, alpha)
+    return p if ndf is None else jnp.where(ndf == NDF_BECKMANN,
+                                           beck_pdf_wh(wo, wh, alpha), p)
+
+
+# ---------------------------------------------------------------------------
 # Lobe evaluation (non-specular lobes contribute to f/pdf)
 # ---------------------------------------------------------------------------
 
@@ -339,7 +427,7 @@ def _oren_nayar_f(kd, sigma_deg, wo, wi):
                  * (A + B * max_cos * sin_alpha * tan_beta))[..., None]
 
 
-def _microfacet_reflection_f(Rs, alpha, fresnel, wo, wi):
+def _microfacet_reflection_f(Rs, alpha, fresnel, wo, wi, ndf=None):
     """MicrofacetReflection::f (reflection.cpp:303+). ``fresnel`` maps
     cos(wh·wi) → (...,C)."""
     co = abs_cos_theta(wo)
@@ -349,19 +437,19 @@ def _microfacet_reflection_f(Rs, alpha, fresnel, wo, wi):
         | (co < 1e-6)
     wh = vecmath.normalize(wh)
     F = fresnel(vecmath.dot(wi, wh))
-    f = (Rs * (tr_d(wh, alpha) * tr_g(wo, wi, alpha))[..., None] * F
+    f = (Rs * (mf_d(wh, alpha, ndf) * mf_g(wo, wi, alpha, ndf))[..., None] * F
          / jnp.maximum(4.0 * ci * co, 1e-6)[..., None])
     return jnp.where(degenerate[..., None], 0.0, f)
 
 
-def _microfacet_reflection_pdf(alpha, wo, wi):
+def _microfacet_reflection_pdf(alpha, wo, wi, ndf=None):
     wh = vecmath.normalize(wo + wi)
-    pdf = tr_pdf_wh(wo, wh, alpha) / jnp.maximum(
+    pdf = mf_pdf_wh(wo, wh, alpha, ndf) / jnp.maximum(
         4.0 * jnp.abs(vecmath.dot(wo, wh)), 1e-6)
     return jnp.where(same_hemisphere(wo, wi), pdf, 0.0)
 
 
-def _microfacet_transmission_f(Kt, alpha, eta, wo, wi):
+def _microfacet_transmission_f(Kt, alpha, eta, wo, wi, ndf=None):
     """MicrofacetTransmission::f (reflection.cpp:338+), radiance mode.
 
     eta: (R,) dielectric IOR (etaB with etaA=1); valid only for wo/wi in
@@ -388,14 +476,14 @@ def _microfacet_transmission_f(Kt, alpha, eta, wo, wi):
     sqrt_denom = dot_o + eta_p * dot_i
     factor = 1.0 / eta_p  # radiance-transport scaling (reflection.cpp:352)
     val = ((1.0 - F) * jnp.abs(
-        tr_d(wh, alpha) * tr_g(wo, wi, alpha) * eta_p * eta_p
+        mf_d(wh, alpha, ndf) * mf_g(wo, wi, alpha, ndf) * eta_p * eta_p
         * jnp.abs(dot_i) * jnp.abs(dot_o) * factor * factor
         / jnp.maximum(jnp.abs(cos_i * cos_o * sqrt_denom * sqrt_denom),
                       1e-10)))
     return jnp.where(valid[..., None], Kt * val[..., None], 0.0)
 
 
-def _microfacet_transmission_pdf(alpha, eta, wo, wi):
+def _microfacet_transmission_pdf(alpha, eta, wo, wi, ndf=None):
     """MicrofacetTransmission::Pdf: VNDF pdf(wh) · |dwh/dwi|."""
     cos_o = cos_theta(wo)
     eta_p = jnp.where(cos_o > 0.0, eta, 1.0 / eta)
@@ -412,7 +500,7 @@ def _microfacet_transmission_pdf(alpha, eta, wo, wi):
     sqrt_denom = dot_o + eta_p * dot_i
     dwh_dwi = jnp.abs((eta_p * eta_p * dot_i)
                       / jnp.maximum(sqrt_denom * sqrt_denom, 1e-10))
-    return jnp.where(valid, tr_pdf_wh(wo, whu, alpha) * dwh_dwi, 0.0)
+    return jnp.where(valid, mf_pdf_wh(wo, whu, alpha, ndf) * dwh_dwi, 0.0)
 
 
 def _pow5(x):
@@ -521,6 +609,7 @@ def bsdf_f(mp: MaterialTable, wo: Array, wi: Array, kd_override=None,
     zero = jnp.zeros(wo.shape[:-1] + (C,))
     out = zero
     alpha = _mat_alpha(mp)
+    ndf = mp.ndf if mp.has_beckmann else None
     fres_d = lambda c: fr_dielectric(c, jnp.ones_like(mp.eta),
                                      mp.eta)[..., None] * jnp.ones((1, C))
 
@@ -538,7 +627,8 @@ def bsdf_f(mp: MaterialTable, wo: Array, wi: Array, kd_override=None,
         # non-specular lobes coincide (materials/{plastic,uber}.cpp)
         plastic_f = matte_f + jnp.where(
             refl[..., None],
-            _microfacet_reflection_f(mp.ks, alpha, fres_d, wo, wi), zero)
+            _microfacet_reflection_f(mp.ks, alpha, fres_d, wo, wi,
+                                     ndf=ndf), zero)
         out = jnp.where(((t == PLASTIC) | (t == UBER))[..., None],
                         plastic_f, out)
 
@@ -547,7 +637,8 @@ def bsdf_f(mp: MaterialTable, wo: Array, wi: Array, kd_override=None,
         fres_c = lambda c: fr_conductor(c, mp.metal_eta, mp.metal_k)
         metal_f = jnp.where(refl[..., None],
                             _microfacet_reflection_f(
-                                jnp.ones_like(mp.ks), alpha, fres_c, wo, wi),
+                                jnp.ones_like(mp.ks), alpha, fres_c, wo,
+                                wi, ndf=ndf),
                             zero)
         out = jnp.where((t == METAL)[..., None], metal_f, out)
 
@@ -563,7 +654,7 @@ def bsdf_f(mp: MaterialTable, wo: Array, wi: Array, kd_override=None,
         whn = vecmath.normalize(wh)
         schlick = rs + pow5(
             1.0 - jnp.abs(vecmath.dot(wi, whn)))[..., None] * (1.0 - rs)
-        spec = (tr_d(whn, alpha)
+        spec = (mf_d(whn, alpha, ndf)
                 / jnp.maximum(4.0 * jnp.abs(vecmath.dot(wi, whn))
                               * jnp.maximum(abs_cos_theta(wi),
                                             abs_cos_theta(wo)), 1e-6)
@@ -583,8 +674,10 @@ def bsdf_f(mp: MaterialTable, wo: Array, wi: Array, kd_override=None,
         # microfacet transmission (materials/glass.cpp:58-76)
         rough_glass_f = jnp.where(
             refl[..., None],
-            _microfacet_reflection_f(mp.kr, alpha, fres_d, wo, wi),
-            _microfacet_transmission_f(mp.kt, alpha, mp.eta, wo, wi))
+            _microfacet_reflection_f(mp.kr, alpha, fres_d, wo, wi,
+                                     ndf=ndf),
+            _microfacet_transmission_f(mp.kt, alpha, mp.eta, wo, wi,
+                                       ndf=ndf))
         glass_rough = (t == GLASS) & (mp.roughness > 1e-3)
         out = jnp.where(glass_rough[..., None], rough_glass_f, out)
 
@@ -612,9 +705,10 @@ def bsdf_pdf(mp: MaterialTable, wo: Array, wi: Array, h=None,
     refl = same_hemisphere(wo, wi)
     cos_pdf = jnp.where(refl, abs_cos_theta(wi) * INV_PI, 0.0)
     alpha = _mat_alpha(mp)
+    ndf = mp.ndf if mp.has_beckmann else None
     out = jnp.zeros(wo.shape[:-1])
     if _present(mp, PLASTIC, UBER, SUBSTRATE, METAL, GLASS, DISNEY):
-        mf_pdf = _microfacet_reflection_pdf(alpha, wo, wi)
+        mf_pdf = _microfacet_reflection_pdf(alpha, wo, wi, ndf=ndf)
 
     if _present(mp, MATTE):
         out = jnp.where(t == MATTE, cos_pdf, out)
@@ -632,7 +726,8 @@ def bsdf_pdf(mp: MaterialTable, wo: Array, wi: Array, h=None,
         # two matching lobes → BSDF::Pdf averages them (reflection.cpp:643+);
         # each lobe is zero on the other's hemisphere
         rough_glass_pdf = 0.5 * (
-            mf_pdf + _microfacet_transmission_pdf(alpha, mp.eta, wo, wi))
+            mf_pdf + _microfacet_transmission_pdf(alpha, mp.eta, wo, wi,
+                                                  ndf=ndf))
         out = jnp.where(glass_rough, rough_glass_pdf, out)
     if _present(mp, DISNEY):
         out = jnp.where(t == DISNEY, _disney_pdf(mp, wo, wi), out)
@@ -666,6 +761,7 @@ def bsdf_sample(mp: MaterialTable, wo: Array, u_lobe: Array, u: Array,
     eta_mat = mp.eta if eta_override is None else eta_override
     kd = mp.kd if kd_override is None else kd_override
     alpha = _mat_alpha(mp)
+    ndf = mp.ndf if mp.has_beckmann else None
     need_mf = _present(mp, PLASTIC, UBER, SUBSTRATE, METAL, DISNEY, GLASS)
     need_glass = _present(mp, GLASS, DISPERSIVE_GLASS)
 
@@ -675,7 +771,7 @@ def bsdf_sample(mp: MaterialTable, wo: Array, u_lobe: Array, u: Array,
 
     # --- microfacet reflection lobe
     if need_mf:
-        wh = tr_sample_wh(wo, u, alpha)
+        wh = mf_sample_wh(wo, u, alpha, ndf)
         wi_mf = vecmath.reflect(wo, wh)
 
     # --- perfect mirror
@@ -708,7 +804,8 @@ def bsdf_sample(mp: MaterialTable, wo: Array, u_lobe: Array, u: Array,
         pl_ok = same_hemisphere(wo, wi_pl)
         f_pl = bsdf_f(mp, wo, wi_pl, kd_override=kd)
         pdf_pl = 0.5 * (abs_cos_theta(wi_pl) * INV_PI
-                        + _microfacet_reflection_pdf(alpha, wo, wi_pl))
+                        + _microfacet_reflection_pdf(alpha, wo, wi_pl,
+                                                     ndf=ndf))
         f_pl = jnp.where(pl_ok[..., None], f_pl, 0.0)
         pdf_pl = jnp.where(pl_ok, pdf_pl, 0.0)
 
@@ -716,7 +813,7 @@ def bsdf_sample(mp: MaterialTable, wo: Array, u_lobe: Array, u: Array,
     if _present(mp, METAL):
         metal_ok = same_hemisphere(wo, wi_mf)
         f_metal = bsdf_f(mp, wo, wi_mf, kd_override=kd)
-        pdf_metal = _microfacet_reflection_pdf(alpha, wo, wi_mf)
+        pdf_metal = _microfacet_reflection_pdf(alpha, wo, wi_mf, ndf=ndf)
         f_metal = jnp.where(metal_ok[..., None], f_metal, 0.0)
         pdf_metal = jnp.where(metal_ok, pdf_metal, 0.0)
 
@@ -776,11 +873,13 @@ def bsdf_sample(mp: MaterialTable, wo: Array, u_lobe: Array, u: Array,
                 mp.kr, alpha,
                 lambda c: fr_dielectric(c, jnp.ones_like(eta_mat),
                                         eta_mat)[..., None]
-                * jnp.ones((1, C)), wo, wi_rg),
-            _microfacet_transmission_f(mp.kt, alpha, eta_mat, wo, wi_rg))
-        pdf_rg = 0.5 * (_microfacet_reflection_pdf(alpha, wo, wi_rg)
+                * jnp.ones((1, C)), wo, wi_rg, ndf=ndf),
+            _microfacet_transmission_f(mp.kt, alpha, eta_mat, wo, wi_rg,
+                                       ndf=ndf))
+        pdf_rg = 0.5 * (_microfacet_reflection_pdf(alpha, wo, wi_rg,
+                                                   ndf=ndf)
                         + _microfacet_transmission_pdf(alpha, eta_mat, wo,
-                                                       wi_rg))
+                                                       wi_rg, ndf=ndf))
         f_rg = jnp.where(rg_ok[..., None], f_rg, 0.0)
         pdf_rg = jnp.where(rg_ok, pdf_rg, 0.0)
 
