@@ -30,6 +30,7 @@ from pbrt_tpu.scene import intersect as isect_mod
 from pbrt_tpu.scene import lights as lights_mod
 from pbrt_tpu.scene import materials as mat_mod
 from pbrt_tpu.scene import shapes
+from pbrt_tpu.utils import stats as stats_mod
 
 Array = Any
 
@@ -205,6 +206,7 @@ def _photon_pass(scene, vps, radius, n_photons, it, seed, max_depth,
 
     phi = jnp.zeros((R, C))
     m_cnt = jnp.zeros(R)
+    overflow = jnp.zeros((), jnp.float32)  # VP entries beyond MAX_PER_CELL
 
     for b in range(max_depth):
         hit = isect_mod.intersect(scene, o_cur, d_cur,
@@ -214,6 +216,14 @@ def _photon_pass(scene, vps, radius, n_photons, it, seed, max_depth,
         if b > 0:
             pc = cell_id(hit.p)
             start = jnp.searchsorted(entry_cell_s, pc, side="left")
+            # overflow accounting (SURVEY "no silent caps"): entries this
+            # photon's cell holds beyond the bounded scan get skipped —
+            # count them so render_sppm can surface the bias
+            end = jnp.searchsorted(entry_cell_s, pc, side="right")
+            overflow = overflow + jnp.sum(
+                jnp.where(active,
+                          jnp.maximum(end - start - MAX_PER_CELL, 0), 0)
+                .astype(jnp.float32))
 
             def dep_body(k, carry):
                 phi, m_cnt = carry
@@ -264,7 +274,7 @@ def _photon_pass(scene, vps, radius, n_photons, it, seed, max_depth,
             & (jnp.max(beta, -1) > 0)
         o_cur = vecmath.offset_ray_origin(hit.p, hit.ng, wi)
         d_cur = wi
-    return phi, m_cnt
+    return phi, m_cnt, overflow
 
 
 def render_sppm(scene, cam, n_iterations=8, photons_per_iter=4096,
@@ -287,8 +297,8 @@ def render_sppm(scene, cam, n_iterations=8, photons_per_iter=4096,
     @jax.jit
     def one_iter(it, radius, N, tau):
         vps = _camera_pass(scene, cam, width, height, it, seed, max_depth)
-        phi, M = _photon_pass(scene, vps, radius, photons_per_iter, it,
-                              seed, max_depth, grid_lo, grid_hi)
+        phi, M, ovf = _photon_pass(scene, vps, radius, photons_per_iter, it,
+                                   seed, max_depth, grid_lo, grid_hi)
         phi = phi * vps["beta"]
         has = M > 0
         N_new = N + SPPM_ALPHA * M
@@ -298,11 +308,23 @@ def render_sppm(scene, cam, n_iterations=8, photons_per_iter=4096,
         radius = jnp.where(has, r_new, radius)
         N = jnp.where(has, N_new, N)
         tau = jnp.where(has[..., None], tau_new, tau)
-        return radius, N, tau, vps["L_direct"]
+        return radius, N, tau, vps["L_direct"], ovf
 
+    ovf_total = 0.0
     for it in range(n_iterations):
-        radius, N, tau, L_dir = one_iter(it, radius, N, tau)
+        radius, N, tau, L_dir, ovf = one_iter(it, radius, N, tau)
         L_direct_sum = L_direct_sum + L_dir
+        ovf_total += float(ovf)
+
+    # no silent caps: skipped VP entries bias dense cells dark — surface it
+    stats_mod.counter_add("SPPM/photon cell-scan overflow entries",
+                          ovf_total)
+    if ovf_total > 0:
+        import sys
+        print(f"pbrt_tpu sppm: {ovf_total:.0f} visible-point entries "
+              f"exceeded MAX_PER_CELL={MAX_PER_CELL} and were skipped "
+              f"(dense cells; raise MAX_PER_CELL or photon count)",
+              file=sys.stderr)
 
     n_total = n_iterations * photons_per_iter
     L_indirect = tau / jnp.maximum(

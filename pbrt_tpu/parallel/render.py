@@ -109,22 +109,26 @@ def render_sharded(scene, cam, mesh: Mesh, spp: int = 16,
     width, height = int(res[0]), int(res[1])
     dp_size = mesh.shape["dp"]
     sp_size = mesh.shape.get("sp", 1)
-    assert height % sp_size == 0, "height must divide sp axis"
-    assert spp % dp_size == 0, "spp must divide dp axis"
-    chunk = spp // dp_size
+    # graceful shapes for arbitrary meshes: round spp up to a dp multiple
+    # (a few extra samples, still unbiased) and pad the row axis to an sp
+    # multiple (padded rows render off-film and are cropped away) — no
+    # hard divisibility requirements on user inputs
+    chunk = -(-spp // dp_size)
+    spp_eff = chunk * dp_size
+    h_eff = height + (-height) % sp_size
     filt = film_mod.make_filter(filter_name)
     cfg = _RenderConfig(
         integrator=integrator, sampler=sampler, max_depth=max_depth,
         seed=seed, light_strategy=light_strategy)
 
     fn = jax.shard_map(
-        functools.partial(_pass_shard, cfg=cfg, width=width, height=height,
+        functools.partial(_pass_shard, cfg=cfg, width=width, height=h_eff,
                           chunk=chunk, dp_size=dp_size, sp_size=sp_size),
         mesh=mesh,
         in_specs=(P(), P(), P(), P()),
         out_specs=P("sp", None, None))
     img = jax.jit(fn)(scene, cam, filt, jnp.asarray(0, jnp.uint32))
-    return img / spp
+    return img[:height] / spp_eff
 
 
 # ---------------------------------------------------------------------------
