@@ -199,6 +199,7 @@ class PbrtParser:
         }
         self.object_defs = {}      # name → recorded shape list
         self.recording = None
+        self._instance_obj_ids = {}  # name → builder instanced-object id
         self.named_media = {}      # MakeNamedMedium name → medium id
         # default material (api.cpp: matte)
         self.builder.add_material(type=mat_mod.MATTE, kd=0.5)
@@ -416,11 +417,47 @@ class PbrtParser:
 
     def _d_ObjectInstance(self, tokens, peeked, nxt):
         name = nxt().strip('"')
-        for entry in self.object_defs.get(name, []):
+        entries = self.object_defs.get(name, [])
+        # true instancing (TransformedPrimitive, core/primitive.h:92) for
+        # pure triangle-mesh objects without area lights/media: geometry
+        # goes into the shared pool ONCE; each instance adds only its CTM.
+        # Anything else (analytic shapes, emissive, media) falls back to
+        # flattened copies.
+        if self._instanceable(name, entries):
+            if name not in self._instance_obj_ids:
+                oid = self.builder.add_instanced_object()
+                for entry in entries:
+                    p = entry["params"]
+                    idx = np.asarray(p["indices"][1], np.int32).reshape(-1,
+                                                                        3)
+                    pts = np.asarray(p["P"][1], np.float64).reshape(-1, 3)
+                    m = entry["ctm"]
+                    pts_o = (pts @ m[:3, :3].T + m[:3, 3]).astype(
+                        np.float32)
+                    uvs = None
+                    for uk in ("st", "uv"):
+                        if uk in p:
+                            uvs = np.asarray(p[uk][1],
+                                             np.float64).reshape(-1, 2)
+                    self.builder.add_object_mesh(
+                        oid, pts_o, idx, mat=entry["gs"].material_id,
+                        uvs=uvs)
+                self._instance_obj_ids[name] = oid
+            self.builder.add_instance(self._instance_obj_ids[name],
+                                      self.ctm)
+            return
+        for entry in entries:
             saved = self.ctm
             self.ctm = self.ctm @ entry["ctm"]
             self._emit_shape(entry["name"], entry["params"], entry["gs"])
             self.ctm = saved
+
+    @staticmethod
+    def _instanceable(name, entries) -> bool:
+        return bool(entries) and all(
+            e["name"] == "trianglemesh" and e["gs"].area_light is None
+            and e["gs"].medium_in == -1 and e["gs"].medium_out == -1
+            for e in entries)
 
     def _d_ReverseOrientation(self, tokens, peeked, nxt):
         self.gs.reverse_orientation = not self.gs.reverse_orientation

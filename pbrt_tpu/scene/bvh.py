@@ -533,6 +533,10 @@ def intersect_bvh(scene, o, d, tmax, time=None):
         prim_id = jnp.where(
             upd, scene.n_tri + scene.n_sph + scene.n_pln + idx, prim_id)
 
+    if scene.inst is not None:
+        from pbrt_tpu.scene import instances as inst_mod
+        best_t, prim_id = inst_mod.update_closest(scene, o, d, best_t,
+                                                  prim_id)
     return isect_mod.finalize_hit(scene, o, d, best_t, prim_id, time=time)
 
 
@@ -552,4 +556,7 @@ def intersect_p_bvh(scene, o, d, tmax, time=None):
                                       g.dsk_normal, g.dsk_radius,
                                       g.dsk_inner)
         occ |= h.any(-1)
+    if scene.inst is not None:
+        from pbrt_tpu.scene import instances as inst_mod
+        occ = occ | inst_mod.any_hit(scene, o, d, tmax)
     return occ

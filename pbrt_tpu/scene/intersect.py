@@ -70,6 +70,9 @@ def intersect(scene, o: Array, d: Array, tmax: Array, time=None) -> Hit:
         t, prim = ip.intersect_brute_pallas(
             tri, sph, pln, o, d, tmax, scene.n_tri, scene.n_sph,
             scene.n_pln)
+        if scene.inst is not None:
+            from pbrt_tpu.scene import instances as inst_mod
+            t, prim = inst_mod.update_closest(scene, o, d, t, prim)
         return finalize_hit(scene, o, d, t, prim)
     return _intersect_brute(scene, o, d, tmax, time=time)
 
@@ -88,7 +91,11 @@ def intersect_p(scene, o: Array, d: Array, tmax: Array, time=None) -> Array:
         _, prim = ip.intersect_brute_pallas(
             tri, sph, pln, o, d, tmax, scene.n_tri, scene.n_sph,
             scene.n_pln)
-        return prim >= 0
+        occ = prim >= 0
+        if scene.inst is not None:
+            from pbrt_tpu.scene import instances as inst_mod
+            occ = occ | inst_mod.any_hit(scene, o, d, tmax)
+        return occ
     return _intersect_p_brute(scene, o, d, tmax, time=time)
 
 
@@ -148,6 +155,10 @@ def _intersect_brute(scene, o: Array, d: Array, tmax: Array,
                             scene.n_tri + scene.n_sph + scene.n_pln + idx,
                             prim_id)
 
+    if scene.inst is not None:
+        from pbrt_tpu.scene import instances as inst_mod
+        best_t, prim_id = inst_mod.update_closest(scene, o, d, best_t,
+                                                  prim_id)
     return finalize_hit(scene, o, d, best_t, prim_id, results, time=time)
 
 
@@ -239,7 +250,8 @@ def finalize_hit(scene, o, d, t, prim_id, results=None, time=None) -> Hit:
         ns = jnp.where(is_pln[..., None], npln, ns)
     if scene.n_dsk:
         di = jnp.clip(prim_id - nt - nsp - npl, 0, scene.n_dsk - 1)
-        is_dsk = valid & (prim_id >= nt + nsp + npl)
+        is_dsk = valid & (prim_id >= nt + nsp + npl) \
+            & (prim_id < scene.n_base_prims)
         nd = g.dsk_normal[di]
         ng = jnp.where(is_dsk[..., None], nd, ng)
         ns = jnp.where(is_dsk[..., None], nd, ns)
@@ -250,6 +262,11 @@ def finalize_hit(scene, o, d, t, prim_id, results=None, time=None) -> Hit:
     # ∂p/∂v: exact uv-gradient for triangles (triangle.cpp:157-168); the
     # frame-completing cross product (|dpdv|≈|dpdu|, in-plane, ⊥ dpdu) for
     # analytic shapes — aspect-preserving default for the EWA footprint
+    if scene.inst is not None and scene.n_vprims:
+        from pbrt_tpu.scene import instances as inst_mod
+        ng, ns, uv, dpdu = inst_mod.finalize_instance_hits(
+            scene, o, d, t, prim_id, p, ng, ns, uv, dpdu)
+        ns = vecmath.face_forward(ns, ng)
     dpdv = vecmath.cross(ng, dpdu)
     if nt:
         is_tri = valid & (prim_id < nt)
@@ -279,6 +296,9 @@ def _intersect_p_brute(scene, o: Array, d: Array, tmax: Array,
                                       g.dsk_normal, g.dsk_radius,
                                       g.dsk_inner)
         occluded |= h.any(-1)
+    if scene.inst is not None:
+        from pbrt_tpu.scene import instances as inst_mod
+        occluded = occluded | inst_mod.any_hit(scene, o, d, tmax)
     return occluded
 
 

@@ -102,10 +102,20 @@ class Scene:
     prim_med_out: Optional[Array] = None
     camera_med: int = dataclasses.field(metadata=dict(static=True),
                                         default=-1)
+    # instancing (TransformedPrimitive role, core/primitive.h:92): shared
+    # object-space pool + per-instance transforms; virtual prim ids occupy
+    # [n_base_prims, n_base_prims + n_vprims) and prim_mat/prim_light are
+    # extended accordingly (scene/instances.py)
+    inst: Optional[Any] = None
+    n_vprims: int = dataclasses.field(metadata=dict(static=True), default=0)
+
+    @property
+    def n_base_prims(self) -> int:
+        return self.n_tri + self.n_sph + self.n_pln + self.n_dsk
 
     @property
     def n_prims(self) -> int:
-        return self.n_tri + self.n_sph + self.n_pln + self.n_dsk
+        return self.n_base_prims + self.n_vprims
 
     def world_radius(self) -> Array:
         return 0.5 * jnp.linalg.norm(self.world_hi - self.world_lo) + 1e-3
@@ -133,6 +143,29 @@ class SceneBuilder:
         self.fourier_tables = []  # scene/fourier.py FourierTables
         self.media = []       # scene/media.py Medium rows
         self.camera_med = -1  # camera-side medium id (−1 vacuum)
+        # instancing (scene/instances.py): shared-object pool + transforms
+        self.instance_objects = []  # dicts {"tris": [(v0,v1,v2,uvs,mat)]}
+        self.instance_rows = []     # (obj_id, o2w 4x4)
+
+    def add_instanced_object(self) -> int:
+        """pbrtObjectBegin's role: open a shared object; fill it with
+        add_object_mesh, then stamp copies with add_instance."""
+        self.instance_objects.append({"tris": []})
+        return len(self.instance_objects) - 1
+
+    def add_object_mesh(self, obj_id: int, vertices, faces, mat=0,
+                        uvs=None):
+        verts = np.asarray(vertices, np.float32)
+        for f in faces:
+            tri_uvs = (tuple(tuple(np.asarray(uvs[i], np.float32))
+                             for i in f) if uvs is not None else None)
+            self.instance_objects[obj_id]["tris"].append(
+                (verts[f[0]], verts[f[1]], verts[f[2]], tri_uvs, mat))
+
+    def add_instance(self, obj_id: int, o2w):
+        """pbrtObjectInstance's role: one 4x4, no geometry duplication."""
+        self.instance_rows.append(
+            (obj_id, np.asarray(o2w, np.float32).reshape(4, 4)))
 
     def add_medium(self, medium) -> int:
         """Register a participating medium (MakeNamedMedium's role);
@@ -350,6 +383,38 @@ class SceneBuilder:
                                   ids(self.spheres, "med_out", -1),
                                   ids(self.planes, "med_out", -1),
                                   ids(self.disks, "med_out", -1)])
+
+        # instancing: extend the prim index space with one int entry per
+        # (instance, pool triangle) — geometry itself is never duplicated
+        inst_table = None
+        n_vprims = 0
+        inst_pts = []
+        if self.instance_rows:
+            from pbrt_tpu.scene import instances as inst_mod
+            inst_table, vprim_mat = inst_mod.build_instance_table(
+                self.instance_objects, self.instance_rows)
+            n_vprims = int(inst_table.n_vprims)
+            prim_mat = np.concatenate([prim_mat, vprim_mat])
+            prim_light = np.concatenate(
+                [prim_light, -np.ones(n_vprims, np.int32)])
+            med_in = np.concatenate([med_in, -np.ones(n_vprims, np.int32)])
+            med_out = np.concatenate([med_out,
+                                      -np.ones(n_vprims, np.int32)])
+            # world bounds: transformed object bbox corners per instance
+            lo_np = np.asarray(inst_table.obj_lo)
+            hi_np = np.asarray(inst_table.obj_hi)
+            for (obj_id, m) in self.instance_rows:
+                lo, hi = lo_np[obj_id], hi_np[obj_id]
+                corners = np.array([[lo[0], lo[1], lo[2]],
+                                    [hi[0], lo[1], lo[2]],
+                                    [lo[0], hi[1], lo[2]],
+                                    [hi[0], hi[1], lo[2]],
+                                    [lo[0], lo[1], hi[2]],
+                                    [hi[0], lo[1], hi[2]],
+                                    [lo[0], hi[1], hi[2]],
+                                    [hi[0], hi[1], hi[2]]], np.float32)
+                inst_pts.append(corners @ m[:3, :3].T + m[:3, 3])
+
         if prim_mat.size == 0:
             prim_mat = np.zeros(1, np.int32)
             prim_light = -np.ones(1, np.int32)
@@ -376,6 +441,7 @@ class SceneBuilder:
             r = np.asarray([s["radius"] for s in self.disks],
                            np.float32)[:, None]
             pts += [c - r, c + r]
+        pts += inst_pts
         allp = np.concatenate([p for p in pts if p.size]) \
             if any(p.size for p in pts) else np.zeros((1, 3), np.float32)
         world_lo = allp.min(0) - 1e-3
@@ -402,7 +468,8 @@ class SceneBuilder:
             media=tuple(self.media),
             prim_med_in=jnp.asarray(med_in),
             prim_med_out=jnp.asarray(med_out),
-            camera_med=self.camera_med)
+            camera_med=self.camera_med,
+            inst=inst_table, n_vprims=n_vprims)
         lights = lights_mod.build_light_table(self, scene)
         scene = dataclasses.replace(scene, lights=lights)
         if self.texture_rows:

@@ -1,0 +1,143 @@
+"""True object instancing (TransformedPrimitive, core/primitive.h:92).
+
+Checks: instanced scenes render identically to their flattened
+equivalents (closest-hit, shading, shadows), geometry memory does not
+grow with instance count, and the parser's ObjectBegin/ObjectInstance
+path produces an instance table instead of copies."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from pbrt_tpu.core import transform
+from pbrt_tpu.core.spectrum import RGB
+from pbrt_tpu.scene import camera as cam_mod
+from pbrt_tpu.scene.types import SceneBuilder
+from pbrt_tpu.integrators.render import render
+
+
+_QUAD_V = [(-0.4, -0.4, 0.0), (0.4, -0.4, 0.0), (0.4, 0.4, 0.0),
+           (-0.4, 0.4, 0.0)]
+_QUAD_F = [(0, 1, 2), (0, 2, 3)]
+
+
+def _translate4(x, y, z):
+    m = np.eye(4, dtype=np.float32)
+    m[:3, 3] = (x, y, z)
+    return m
+
+
+def _base_scene(instanced: bool, n_copies: int = 4):
+    b = SceneBuilder(RGB)
+    white = b.add_material(type=0, kd=(0.7, 0.7, 0.7))
+    red = b.add_material(type=0, kd=(0.8, 0.2, 0.2))
+    # floor (base geometry, not instanced)
+    b.add_mesh([(-5, -1, -5), (5, -1, -5), (5, -1, 5), (-5, -1, 5)],
+               [(0, 1, 2), (0, 2, 3)], mat=white)
+    offs = [(-1.2, 0.0, 2.0), (1.2, 0.0, 2.0), (0.0, 1.2, 2.5),
+            (0.0, -0.5, 1.5)][:n_copies]
+    if instanced:
+        oid = b.add_instanced_object()
+        b.add_object_mesh(oid, _QUAD_V, _QUAD_F, mat=red)
+        for (x, y, z) in offs:
+            b.add_instance(oid, _translate4(x, y, z))
+    else:
+        v = np.asarray(_QUAD_V, np.float32)
+        for (x, y, z) in offs:
+            b.add_mesh(v + np.asarray([x, y, z], np.float32), _QUAD_F,
+                       mat=red)
+    b.add_light(type="point", I=(20.0, 20.0, 20.0), pos=(0.0, 3.0, -1.0))
+    return b.build()
+
+
+def _cam():
+    return cam_mod.make_perspective(
+        transform.look_at((0.0, 0.5, -3.0), (0.0, 0.0, 2.0), (0, 1, 0)),
+        55.0, (32, 32))
+
+
+def test_instanced_matches_flattened():
+    s_inst = _base_scene(True)
+    s_flat = _base_scene(False)
+    assert s_inst.inst is not None and s_inst.n_vprims == 4 * 2
+    cam = _cam()
+    img_i = np.asarray(render(s_inst, cam, spp=4, integrator="path",
+                              max_depth=2, seed=3))
+    img_f = np.asarray(render(s_flat, cam, spp=4, integrator="path",
+                              max_depth=2, seed=3))
+    assert np.isfinite(img_i).all()
+    # identical sampler streams + identical geometry → identical images up
+    # to hit-attribute float ordering
+    np.testing.assert_allclose(img_i, img_f, atol=2e-2)
+
+
+def test_instance_memory_is_shared():
+    """Scene geometry must NOT grow with the instance count."""
+    s4 = _base_scene(True, n_copies=2)
+    s_many = _base_scene(True, n_copies=4)
+    assert s4.geom.tri_v0.shape == s_many.geom.tri_v0.shape  # floor only
+    assert s_many.inst.pool_v0.shape[0] == 2  # one shared quad (2 tris)
+    assert s_many.inst.o2w.shape[0] == 4
+    assert s_many.n_vprims == 8
+
+
+def test_instance_shadows():
+    """An instanced occluder must block shadow rays (any_hit path):
+    rendering with vs without the blocker instance darkens the wall
+    region inside the blocker's shadow but outside its silhouette."""
+    def build(with_blocker):
+        b = SceneBuilder(RGB)
+        white = b.add_material(type=0, kd=(0.7, 0.7, 0.7))
+        b.add_mesh([(-2, 0, 4), (2, 0, 4), (2, 2, 4), (-2, 2, 4)],
+                   [(0, 1, 2), (0, 2, 3)], mat=white)  # wall
+        if with_blocker:
+            oid = b.add_instanced_object()
+            b.add_object_mesh(oid, _QUAD_V, _QUAD_F, mat=white)
+            b.add_instance(oid, _translate4(0.0, 1.0, 1.0))
+        b.add_light(type="point", I=(30.0, 30.0, 30.0),
+                    pos=(0.0, 1.0, 0.0))
+        return b.build()
+
+    cam = cam_mod.make_perspective(
+        transform.look_at((0.0, 1.0, -2.0), (0.0, 1.0, 4.0), (0, 1, 0)),
+        50.0, (24, 24))
+    img_b = np.asarray(render(build(True), cam, spp=4, integrator="direct",
+                              max_depth=1, seed=1))
+    img_n = np.asarray(render(build(False), cam, spp=4,
+                              integrator="direct", max_depth=1, seed=1))
+    # wall x≈1.1 (pixel offset ~+5): inside the projected shadow
+    # (halfwidth 1.6) but outside the blocker's silhouette (0.8)
+    h, w = img_b.shape[:2]
+    px = w // 2 + 5
+    assert img_b[h // 2, px].mean() < 0.2 * img_n[h // 2, px].mean(), (
+        img_b[h // 2, px].mean(), img_n[h // 2, px].mean())
+
+
+def test_parser_object_instance_table():
+    from pbrt_tpu.frontend.parser import parse_pbrt_string
+    txt = """
+LookAt 0 0 -4  0 0 0  0 1 0
+Camera "perspective" "float fov" [45]
+Film "image" "integer xresolution" [16] "integer yresolution" [16]
+Integrator "path"
+WorldBegin
+LightSource "point" "rgb I" [10 10 10] "point from" [0 2 -2]
+ObjectBegin "leaf"
+  Shape "trianglemesh" "integer indices" [0 1 2]
+    "point P" [-0.5 -0.5 2  0.5 -0.5 2  0 0.5 2]
+ObjectEnd
+ObjectInstance "leaf"
+Translate 1.5 0 0
+ObjectInstance "leaf"
+Translate -3 0 0
+ObjectInstance "leaf"
+WorldEnd
+"""
+    scene, cam, _ = parse_pbrt_string(txt)
+    assert scene.inst is not None
+    assert scene.inst.o2w.shape[0] == 3
+    assert scene.inst.pool_v0.shape[0] == 1
+    assert scene.n_vprims == 3
+    img = np.asarray(render(scene, cam, spp=2, integrator="direct",
+                            max_depth=1))
+    assert np.isfinite(img).all()
+    assert img.mean() > 0
