@@ -898,6 +898,18 @@ class PbrtParser:
                 cp = np.asarray(p["P"][1], np.float64).reshape(-1, 3)
                 w0 = p.one("width0", p.one("width", 1.0))
                 w1 = p.one("width1", p.one("width", 1.0))
+                ctype = str(p.one("type") or "flat").strip('"')
+                if ctype in ("flat", "cylinder"):
+                    # analytic Bézier intersection (curve.cpp) — control
+                    # points to world space; width scaled by the CTM's
+                    # mean linear scale
+                    cp_w = np.stack([self._xf_point(q) for q in cp[:4]])
+                    sc = float(np.mean([np.linalg.norm(self.ctm[:3, k])
+                                        for k in range(3)]))
+                    b.add_curve(cp_w, w0 * sc, w1 * sc, mat=mat)
+                    return
+                # ribbon: oriented flat geometry → tessellated (needs the
+                # normal interpolation the SoA curve family doesn't carry)
                 v, fidx, curve_uv = tess.tessellate_curve(cp[:4], w0, w1)
                 pts_w = np.stack([self._xf_point(q) for q in v])
                 # ribbon uvs carry the hair parameterization (u along the

@@ -532,6 +532,15 @@ def intersect_bvh(scene, o, d, tmax, time=None):
         best_t = jnp.where(upd, tb, best_t)
         prim_id = jnp.where(
             upd, scene.n_tri + scene.n_sph + scene.n_pln + idx, prim_id)
+    if scene.n_crv:
+        tc, uc, vc, hc = shapes.intersect_curves(o, d, best_t, g.crv_cp,
+                                                 g.crv_w)
+        tb, idx, anyh = isect_mod._family_best(tc, hc)
+        upd = anyh & (tb < best_t)
+        best_t = jnp.where(upd, tb, best_t)
+        prim_id = jnp.where(
+            upd, scene.n_tri + scene.n_sph + scene.n_pln + scene.n_dsk
+            + idx, prim_id)
 
     if scene.inst is not None:
         from pbrt_tpu.scene import instances as inst_mod
@@ -555,6 +564,9 @@ def intersect_p_bvh(scene, o, d, tmax, time=None):
         _, h = shapes.intersect_disks(o, d, tmax, g.dsk_center,
                                       g.dsk_normal, g.dsk_radius,
                                       g.dsk_inner)
+        occ |= h.any(-1)
+    if scene.n_crv:
+        _, _, _, h = shapes.intersect_curves(o, d, tmax, g.crv_cp, g.crv_w)
         occ |= h.any(-1)
     if scene.inst is not None:
         from pbrt_tpu.scene import instances as inst_mod

@@ -39,6 +39,7 @@ def _use_pallas(scene) -> bool:
         return False
     return (jax.default_backend() not in ("cpu",)
             and scene.bvh is None and scene.n_dsk == 0
+            and scene.n_crv == 0
             and not scene.has_motion
             and scene.n_prims <= 4096)
 
@@ -154,6 +155,18 @@ def _intersect_brute(scene, o: Array, d: Array, tmax: Array,
         prim_id = jnp.where(upd,
                             scene.n_tri + scene.n_sph + scene.n_pln + idx,
                             prim_id)
+    if scene.n_crv:
+        t, u, v, h = shapes.intersect_curves(o, d, best_t, scene.geom.crv_cp,
+                                             scene.geom.crv_w)
+        tb, idx, any_h = _family_best(t, h)
+        ub = jnp.take_along_axis(u, idx[:, None], axis=-1)[:, 0]
+        vb = jnp.take_along_axis(v, idx[:, None], axis=-1)[:, 0]
+        results["crv"] = (tb, idx, any_h, ub, vb)
+        upd = any_h & (tb < best_t)
+        best_t = jnp.where(upd, tb, best_t)
+        prim_id = jnp.where(
+            upd, scene.n_tri + scene.n_sph + scene.n_pln + scene.n_dsk
+            + idx, prim_id)
 
     if scene.inst is not None:
         from pbrt_tpu.scene import instances as inst_mod
@@ -251,7 +264,7 @@ def finalize_hit(scene, o, d, t, prim_id, results=None, time=None) -> Hit:
     if scene.n_dsk:
         di = jnp.clip(prim_id - nt - nsp - npl, 0, scene.n_dsk - 1)
         is_dsk = valid & (prim_id >= nt + nsp + npl) \
-            & (prim_id < scene.n_base_prims)
+            & (prim_id < nt + nsp + npl + scene.n_dsk)
         nd = g.dsk_normal[di]
         ng = jnp.where(is_dsk[..., None], nd, ng)
         ns = jnp.where(is_dsk[..., None], nd, ns)
@@ -262,6 +275,28 @@ def finalize_hit(scene, o, d, t, prim_id, results=None, time=None) -> Hit:
     # ∂p/∂v: exact uv-gradient for triangles (triangle.cpp:157-168); the
     # frame-completing cross product (|dpdv|≈|dpdu|, in-plane, ⊥ dpdu) for
     # analytic shapes — aspect-preserving default for the EWA footprint
+    if scene.n_crv:
+        # curves: u/v from the brute-path cache when present, else a
+        # rescan of the hit curve (single curve per ray)
+        crv_base = nt + nsp + npl + scene.n_dsk
+        is_crv = valid & (prim_id >= crv_base) \
+            & (prim_id < scene.n_base_prims)
+        ci = jnp.clip(prim_id - crv_base, 0, scene.n_crv - 1)
+        cp_r = g.crv_cp[ci]
+        w_r = g.crv_w[ci]
+        if results is not None and "crv" in results:
+            _, _, _, u_c, v_c = results["crv"]
+        else:
+            tt, uu, vv, hh = shapes.intersect_curves(
+                o, d, t + 1e-3, g.crv_cp, g.crv_w)
+            u_c = jnp.take_along_axis(uu, ci[:, None], axis=-1)[:, 0]
+            v_c = jnp.take_along_axis(vv, ci[:, None], axis=-1)[:, 0]
+        tang, n_c = shapes.curve_hit_frame(o, d, cp_r, w_r, u_c, v_c, p)
+        ng = jnp.where(is_crv[..., None], n_c, ng)
+        ns = jnp.where(is_crv[..., None], n_c, ns)
+        uv = jnp.where(is_crv[..., None],
+                       jnp.stack([u_c, v_c], -1), uv)
+        dpdu = jnp.where(is_crv[..., None], tang, dpdu)
     if scene.inst is not None and scene.n_vprims:
         from pbrt_tpu.scene import instances as inst_mod
         ng, ns, uv, dpdu = inst_mod.finalize_instance_hits(
@@ -295,6 +330,9 @@ def _intersect_p_brute(scene, o: Array, d: Array, tmax: Array,
         _, h = shapes.intersect_disks(o, d, tmax, g.dsk_center,
                                       g.dsk_normal, g.dsk_radius,
                                       g.dsk_inner)
+        occluded |= h.any(-1)
+    if scene.n_crv:
+        _, _, _, h = shapes.intersect_curves(o, d, tmax, g.crv_cp, g.crv_w)
         occluded |= h.any(-1)
     if scene.inst is not None:
         from pbrt_tpu.scene import instances as inst_mod

@@ -382,3 +382,115 @@ def intersect_disks(o: Array, d: Array, tmax: Array,
            & (r2 <= (radius * radius)[None])
            & (r2 >= (inner_radius * inner_radius)[None]))
     return t, hit
+
+
+# ---------------------------------------------------------------------------
+# Cubic Bézier curves (shapes/curve.cpp) — analytic intersection
+# ---------------------------------------------------------------------------
+
+CURVE_SEGMENTS = 32  # static refinement: pbrt recurses to maxDepth≈5 and
+                     # runs the same linear-segment leaf test on each of
+                     # 2^depth spans (curve.cpp:147-163 leaf math); a fixed
+                     # fori over 32 spans is the compiler-friendly
+                     # equivalent (no divergent recursion on the VPU)
+
+
+def bezier_point(cp: Array, u: Array) -> Array:
+    """Cubic Bézier evaluation; cp (...,4,3), u (...)."""
+    u = u[..., None]
+    u1 = 1.0 - u
+    return (u1 ** 3 * cp[..., 0, :] + 3 * u1 ** 2 * u * cp[..., 1, :]
+            + 3 * u1 * u ** 2 * cp[..., 2, :] + u ** 3 * cp[..., 3, :])
+
+
+def bezier_tangent(cp: Array, u: Array) -> Array:
+    u = u[..., None]
+    u1 = 1.0 - u
+    return 3.0 * (u1 ** 2 * (cp[..., 1, :] - cp[..., 0, :])
+                  + 2 * u1 * u * (cp[..., 2, :] - cp[..., 1, :])
+                  + u ** 2 * (cp[..., 3, :] - cp[..., 2, :]))
+
+
+def _ray_frame(d: Array):
+    """Orthonormal ray-space frame: z along the (normalized) direction
+    (the LookAt objectToRay of curve.cpp:93-104)."""
+    from pbrt_tpu.core import vecmath
+    dn = normalize(d)
+    e1, e2 = vecmath.coordinate_system(dn)
+    return dn, e1, e2
+
+
+def intersect_curves(o: Array, d: Array, tmax: Array, cp: Array, w: Array):
+    """All-pairs ray×curve (curve.cpp Curve::intersect).
+
+    o,d: (R,3); cp: (N,4,3) world-space control points; w: (N,2) widths at
+    u=0/1. Returns (t, u, v, hit): each (R,N); v ∈ [0,1] is the offset
+    across the width (hair h = 2v−1), t in units of |d|=1 rays.
+
+    Per span [u_i, u_{i+1}]: project onto the ray frame, closest approach
+    of the 2D chord to the ray axis, width test at the interpolated u —
+    exactly the reference's recursion-leaf segment test, scanned over
+    CURVE_SEGMENTS static spans.
+    """
+    R = o.shape[0]
+    N = cp.shape[0]
+    dn, e1, e2 = _ray_frame(d)
+    inv_len_d = 1.0  # callers pass unit-ish d; t reported along dn
+
+    def ray_space(p_world):
+        q = p_world - o[:, None, :]
+        return jnp.stack([jnp.sum(q * e1[:, None, :], -1),
+                          jnp.sum(q * e2[:, None, :], -1),
+                          jnp.sum(q * dn[:, None, :], -1)], axis=-1)
+
+    us = jnp.linspace(0.0, 1.0, CURVE_SEGMENTS + 1)
+    w0 = w[None, :, 0]
+    w1 = w[None, :, 1]
+
+    best = (jnp.full((R, N), BIG), jnp.zeros((R, N)), jnp.zeros((R, N)),
+            jnp.zeros((R, N), bool), ray_space(bezier_point(cp[None], us[0]
+                                                            * jnp.ones((1, N)))))
+
+    def body(i, carry):
+        bt, bu, bv, bh, a = carry
+        ui = us[i]
+        uj = us[i + 1]
+        b = ray_space(bezier_point(cp[None], uj * jnp.ones((1, N))))
+        abx = b[..., 0] - a[..., 0]
+        aby = b[..., 1] - a[..., 1]
+        denom = jnp.maximum(abx * abx + aby * aby, 1e-12)
+        s = jnp.clip(-(a[..., 0] * abx + a[..., 1] * aby) / denom, 0.0, 1.0)
+        pc = a + s[..., None] * (b - a)
+        u_hit = ui + s * (uj - ui)
+        hw = 0.5 * (w0 * (1.0 - u_hit) + w1 * u_hit)
+        dist2 = pc[..., 0] ** 2 + pc[..., 1] ** 2
+        t = pc[..., 2]
+        hit = (dist2 <= hw * hw) & (t > 1e-4) & (t < tmax[:, None]) \
+            & (t < bt)
+        # side of the chord → v sign (curve.cpp:173-180 hitWidth offset)
+        side = pc[..., 0] * (-aby) + pc[..., 1] * abx
+        dist = jnp.sqrt(jnp.maximum(dist2, 0.0))
+        v = 0.5 + jnp.sign(side) * dist / jnp.maximum(2.0 * hw, 1e-9)
+        bt = jnp.where(hit, t, bt)
+        bu = jnp.where(hit, u_hit, bu)
+        bv = jnp.where(hit, jnp.clip(v, 0.0, 1.0), bv)
+        bh = bh | hit
+        return bt, bu, bv, bh, b
+
+    bt, bu, bv, bh, _ = jax.lax.fori_loop(0, CURVE_SEGMENTS, body, best)
+    return bt, bu, bv, bh
+
+
+def curve_hit_frame(o: Array, d: Array, cp: Array, w: Array, u: Array,
+                    v: Array, p: Array):
+    """Shading attributes at a curve hit: dpdu = fiber tangent (drives the
+    hair BSDF frame); normal = view-perpendicularized −d (flat/cylinder
+    shading normal role, curve.cpp:213-230). cp: (R,4,3) gathered rows."""
+    tang = bezier_tangent(cp, u)
+    tang = normalize(tang)
+    dn = normalize(d)
+    n = -dn + tang * jnp.sum(dn * tang, -1, keepdims=True)
+    n = normalize(jnp.where(jnp.sum(n * n, -1, keepdims=True) > 1e-12, n,
+                            jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]),
+                                             n.shape)))
+    return tang, n

@@ -66,6 +66,9 @@ class Geometry:
     tri_dv0: Optional[Array] = None   # (T,3)
     tri_dv1: Optional[Array] = None
     tri_dv2: Optional[Array] = None
+    # cubic Bézier curves (shapes/curve.cpp), analytic intersection
+    crv_cp: Optional[Array] = None    # (Ncrv,4,3) world-space control pts
+    crv_w: Optional[Array] = None     # (Ncrv,2) widths at u=0/1
 
 
 @jax.tree_util.register_dataclass
@@ -86,6 +89,7 @@ class Scene:
     n_pln: int = dataclasses.field(metadata=dict(static=True))
     n_dsk: int = dataclasses.field(metadata=dict(static=True))
     n_channels: int = dataclasses.field(metadata=dict(static=True))
+    n_crv: int = dataclasses.field(metadata=dict(static=True), default=0)
     has_sss: bool = dataclasses.field(metadata=dict(static=True),
                                       default=False)
     # two-keyframe triangle motion present (animated shape transforms)
@@ -111,7 +115,8 @@ class Scene:
 
     @property
     def n_base_prims(self) -> int:
-        return self.n_tri + self.n_sph + self.n_pln + self.n_dsk
+        return self.n_tri + self.n_sph + self.n_pln + self.n_dsk \
+            + self.n_crv
 
     @property
     def n_prims(self) -> int:
@@ -135,6 +140,7 @@ class SceneBuilder:
         self.spheres = []     # center radius mat light
         self.planes = []      # lo hi ax facing mat light
         self.disks = []       # center normal radius inner mat light
+        self.curves = []      # cp (4,3), w0, w1, mat
         self.materials = []   # parameter dicts (scene/materials.py)
         self.light_rows = []  # parameter dicts (scene/lights.py)
         self.texture_rows = []  # parameter dicts (scene/textures.py)
@@ -279,6 +285,14 @@ class SceneBuilder:
                                med_in=med_in, med_out=med_out))
         return len(self.disks) - 1
 
+    def add_curve(self, cp, width0, width1, mat=0, med_in=-1, med_out=-1):
+        """Cubic Bézier hair/fur segment (shapes/curve.cpp), analytic
+        intersection; cp: (4,3) world-space control points."""
+        self.curves.append(dict(cp=np.asarray(cp, np.float32).reshape(4, 3),
+                                w0=float(width0), w1=float(width1), mat=mat,
+                                med_in=med_in, med_out=med_out))
+        return len(self.curves) - 1
+
     # -- finalize ----------------------------------------------------------
     def prim_index(self, family: str, local_idx: int) -> int:
         """Global primitive index for (family, local index)."""
@@ -291,6 +305,7 @@ class SceneBuilder:
               tex_spread: float = 0.0) -> Scene:
         from pbrt_tpu.scene import lights as lights_mod
 
+        ncv = len(self.curves)
         nt, ns, npl, nd = (len(self.tris), len(self.spheres),
                            len(self.planes), len(self.disks))
         f32 = lambda rows, k, shape: (
@@ -361,6 +376,11 @@ class SceneBuilder:
             dsk_inner=jnp.asarray(
                 np.asarray([r["inner"] for r in self.disks] or [0.0],
                            np.float32)),
+            crv_cp=(jnp.asarray(np.stack([r["cp"] for r in self.curves]))
+                    if ncv else None),
+            crv_w=(jnp.asarray(np.asarray(
+                [[r["w0"], r["w1"]] for r in self.curves], np.float32))
+                if ncv else None),
         )
 
         def ids(rows, k, default=0):
@@ -370,19 +390,23 @@ class SceneBuilder:
         prim_mat = np.concatenate([ids(self.tris, "mat"),
                                    ids(self.spheres, "mat"),
                                    ids(self.planes, "mat"),
-                                   ids(self.disks, "mat")])
+                                   ids(self.disks, "mat"),
+                                   ids(self.curves, "mat")])
         prim_light = np.concatenate([ids(self.tris, "light"),
                                      ids(self.spheres, "light"),
                                      ids(self.planes, "light"),
-                                     ids(self.disks, "light")])
+                                     ids(self.disks, "light"),
+                                     -np.ones(ncv, np.int32)])
         med_in = np.concatenate([ids(self.tris, "med_in", -1),
                                  ids(self.spheres, "med_in", -1),
                                  ids(self.planes, "med_in", -1),
-                                 ids(self.disks, "med_in", -1)])
+                                 ids(self.disks, "med_in", -1),
+                                 ids(self.curves, "med_in", -1)])
         med_out = np.concatenate([ids(self.tris, "med_out", -1),
                                   ids(self.spheres, "med_out", -1),
                                   ids(self.planes, "med_out", -1),
-                                  ids(self.disks, "med_out", -1)])
+                                  ids(self.disks, "med_out", -1),
+                                  ids(self.curves, "med_out", -1)])
 
         # instancing: extend the prim index space with one int entry per
         # (instance, pool triangle) — geometry itself is never duplicated
@@ -441,6 +465,10 @@ class SceneBuilder:
             r = np.asarray([s["radius"] for s in self.disks],
                            np.float32)[:, None]
             pts += [c - r, c + r]
+        if ncv:
+            cps = np.stack([r["cp"] for r in self.curves]).reshape(-1, 3)
+            wmax = max(max(r["w0"], r["w1"]) for r in self.curves)
+            pts += [cps - wmax, cps + wmax]
         pts += inst_pts
         allp = np.concatenate([p for p in pts if p.size]) \
             if any(p.size for p in pts) else np.zeros((1, 3), np.float32)
@@ -461,7 +489,7 @@ class SceneBuilder:
             world_lo=jnp.asarray(world_lo), world_hi=jnp.asarray(world_hi),
             bvh=None, camera_medium=None,
             textures=None,
-            n_tri=nt, n_sph=ns, n_pln=npl, n_dsk=nd,
+            n_tri=nt, n_sph=ns, n_pln=npl, n_dsk=nd, n_crv=ncv,
             n_channels=self.cfg.n_channels, has_sss=has_sss,
             has_motion=has_motion,
             fourier=tuple(self.fourier_tables),

@@ -50,13 +50,24 @@ img_tpu = np.asarray(jax.jit(
 img_cpu = ref["img"]
 rel = float(abs(img_tpu.mean() - img_cpu.mean()) / max(img_cpu.mean(), 1e-9))
 mad = float(np.abs(img_tpu - img_cpu).mean() / max(img_cpu.mean(), 1e-9))
+# identical sample streams still diverge chaotically at geometric edge
+# cases (a single float-ordering difference flips a bounce and the whole
+# path), so the honest yardstick is the MC-noise floor: the difference
+# between two *CPU* renders with disjoint sample blocks
+noise = float(np.abs(ref["img"] - ref["img_b"]).mean()
+              / max(img_cpu.mean(), 1e-9))
+rel_noise = float(abs(ref["img"].mean() - ref["img_b"].mean())
+                  / max(img_cpu.mean(), 1e-9))
 out["checks"].append({"name": "render_pass_tpu_vs_cpu_same_samples",
                       "tpu_mean": float(img_tpu.mean()),
                       "cpu_mean": float(img_cpu.mean()),
                       "rel_mean_err": rel, "mean_abs_dev_rel": mad,
-                      "pass": bool(rel < 1e-2)})
+                      "cpu_noise_floor_mad": noise,
+                      "cpu_noise_floor_rel": rel_noise,
+                      "pass": bool(rel < max(3.0 * rel_noise, 1e-2)
+                                   and mad < 2.0 * noise)})
 log(f"render tpu={img_tpu.mean():.5f} cpu={img_cpu.mean():.5f} "
-    f"rel={rel:.2e} mad={mad:.2e}")
+    f"rel={rel:.2e} mad={mad:.2e} noise=({rel_noise:.2e},{noise:.2e})")
 out["all_pass"] = all(c["pass"] for c in out["checks"])
 with open("/root/repo/TPU_VALIDATION_r02.json", "w") as f:
     json.dump(out, f, indent=1)

@@ -23,7 +23,11 @@ hit = isect_mod._intersect_brute(scene, jnp.asarray(o_np),
 filt = film_mod.make_filter("box")
 cfg = RenderConfig(integrator="path", max_depth=3)
 img = render_pass(scene, cam, filt, cfg, 64, 64, 4, jnp.asarray(0, jnp.uint32))
+# second, disjoint sample block: calibrates the MC-noise floor the
+# TPU-vs-CPU comparison is judged against
+img_b = render_pass(scene, cam, filt, cfg, 64, 64, 4,
+                    jnp.asarray(64, jnp.uint32))
 np.savez("/tmp/valid_ref.npz", t=np.asarray(hit.t),
          pid=np.asarray(hit.prim_id), img=np.asarray(img),
-         o=o_np, d=d_np)
+         img_b=np.asarray(img_b), o=o_np, d=d_np)
 print("cpu ref written", flush=True)
