@@ -376,8 +376,12 @@ class PbrtParser:
 
     def _d_Accelerator(self, tokens, peeked, nxt):
         name = nxt().strip('"')
-        parse_params(tokens, peeked)
+        p = parse_params(tokens, peeked)
         self.options["accelerator"] = name  # "bvh" (default) | "kdtree"
+        sm = p.one("splitmethod")
+        if sm:
+            # BVHAccel "string splitmethod" sah|middle|equal|hlbvh
+            self.builder.bvh_split = str(sm).strip('"')
 
     def _d_WorldBegin(self, tokens, peeked, nxt):
         self.world = True

@@ -68,11 +68,17 @@ class FlatBVH:
     pk_tri: Array = None      # (ceil(P/14), 128) float32
 
 
-def build_bvh(builder, scene) -> FlatBVH:
-    """Binned-SAH build (BVHAccel::recursiveBuild with SAH splitMethod,
-    bvh.cpp:203+), iterative with an explicit stack; flattened directly.
-    Uses the native C++ builder (pbrt_tpu/native/bvh_builder.cpp) when
-    available, else the numpy fallback below."""
+def build_bvh(builder, scene, split_method: str = "sah") -> FlatBVH:
+    """BVH build (BVHAccel::recursiveBuild, bvh.cpp:203+), iterative with
+    an explicit stack; flattened directly.
+
+    ``split_method`` mirrors bvh.h:58 SplitMethod: "sah" (binned, the
+    default — native C++ builder pbrt_tpu/native/bvh_builder.cpp when
+    available), "middle" (centroid-midpoint partition), "equal"
+    (EqualCounts median split), "hlbvh" (30-bit Morton-ordered build —
+    splits follow Morton bit prefixes like HLBVH's LBVH treelets;
+    the upper-level SAH pass is folded into the same prefix splits,
+    documented delta)."""
     v0 = np.asarray(scene.geom.tri_v0)[:scene.n_tri]
     v1 = np.asarray(scene.geom.tri_v1)[:scene.n_tri]
     v2 = np.asarray(scene.geom.tri_v2)[:scene.n_tri]
@@ -91,13 +97,33 @@ def build_bvh(builder, scene) -> FlatBVH:
         hi_p = np.maximum(hi_p, np.maximum(np.maximum(e0, e1), e2))
     cent = 0.5 * (lo_p + hi_p)
 
-    native = _build_native(lo_p, hi_p)
+    native = _build_native(lo_p, hi_p) if split_method == "sah" else None
     if native is not None:
         lo_a, hi_a, right_a, count_a, axis_a, order = native
         return _finish_flat(lo_a, hi_a, right_a, count_a, axis_a, order,
                             v0, v1, v2, dv)
 
     order = np.arange(n)
+    morton = None
+    if split_method == "hlbvh":
+        # 30-bit Morton codes over the centroid bounds (bvh.cpp:203-204)
+        clo_all = cent.min(0)
+        cext = np.maximum(cent.max(0) - clo_all, 1e-12)
+        q = np.minimum(((cent - clo_all) / cext) * 1024.0,
+                       1023.0).astype(np.uint32)
+
+        def _spread(x):
+            x = (x | (x << 16)) & 0x030000FF
+            x = (x | (x << 8)) & 0x0300F00F
+            x = (x | (x << 4)) & 0x030C30C3
+            x = (x | (x << 2)) & 0x09249249
+            return x
+
+        morton = (_spread(q[:, 0]) << 2) | (_spread(q[:, 1]) << 1) \
+            | _spread(q[:, 2])
+        perm = np.argsort(morton, kind="stable")
+        order = order[perm]
+        morton = morton[perm]
     nodes = []  # dicts: lo, hi, right, count, axis, offset
 
     def make_leaf(lo, hi, start, count):
@@ -124,34 +150,58 @@ def build_bvh(builder, scene) -> FlatBVH:
         if chi[dim] - clo[dim] < 1e-12:
             make_leaf(lo, hi, start, count)
             continue
-        # binned SAH
-        b = np.minimum(((c[:, dim] - clo[dim]) / (chi[dim] - clo[dim])
-                        * N_BUCKETS).astype(np.int32), N_BUCKETS - 1)
-        costs = np.full(N_BUCKETS - 1, np.inf)
-        for split in range(N_BUCKETS - 1):
-            left = b <= split
-            nl = left.sum()
-            nr = count - nl
-            if nl == 0 or nr == 0:
-                continue
-            llo = lo_p[idxs[left]].min(0)
-            lhi = hi_p[idxs[left]].max(0)
-            rlo = lo_p[idxs[~left]].min(0)
-            rhi = hi_p[idxs[~left]].max(0)
-            sa = lambda a, bb: max(1e-12, 2.0 * (
-                (bb[0] - a[0]) * (bb[1] - a[1]) + (bb[1] - a[1])
-                * (bb[2] - a[2]) + (bb[2] - a[2]) * (bb[0] - a[0])))
-            costs[split] = nl * sa(llo, lhi) + nr * sa(rlo, rhi)
-        split = int(np.argmin(costs))
-        if not np.isfinite(costs[split]):
-            mid = start + count // 2
+        if split_method == "middle":
+            # SplitMethod::Middle (bvh.cpp): centroid-midpoint partition
+            pmid = 0.5 * (clo[dim] + chi[dim])
+            left_mask = c[:, dim] < pmid
+            if left_mask.sum() in (0, count):
+                left_mask = np.zeros(count, bool)
+                left_mask[np.argsort(c[:, dim],
+                                     kind="stable")[:count // 2]] = True
+            mid = _partition(order, idxs, left_mask, start, end)
+        elif split_method == "equal":
+            # SplitMethod::EqualCounts: median split along dim
+            left_mask = np.zeros(count, bool)
+            left_mask[np.argsort(c[:, dim],
+                                 kind="stable")[:count // 2]] = True
+            mid = _partition(order, idxs, left_mask, start, end)
+        elif split_method == "hlbvh":
+            # order is Morton-sorted: split where the highest differing
+            # bit of the range's codes flips (LBVH treelet emission)
+            m0, m1 = morton[start], morton[end - 1]
+            if m0 == m1:
+                mid = start + count // 2
+            else:
+                bit = int(m0 ^ m1).bit_length() - 1
+                thresh = (int(m1) >> bit) << bit
+                mid = start + int(np.searchsorted(morton[start:end],
+                                                  thresh, side="left"))
+                if mid in (start, end):
+                    mid = start + count // 2
         else:
-            left_mask = b <= split
-            left_ids = idxs[left_mask]
-            right_ids = idxs[~left_mask]
-            order[start:start + len(left_ids)] = left_ids
-            order[start + len(left_ids):end] = right_ids
-            mid = start + len(left_ids)
+            # binned SAH
+            b = np.minimum(((c[:, dim] - clo[dim]) / (chi[dim] - clo[dim])
+                            * N_BUCKETS).astype(np.int32), N_BUCKETS - 1)
+            costs = np.full(N_BUCKETS - 1, np.inf)
+            for split in range(N_BUCKETS - 1):
+                left = b <= split
+                nl = left.sum()
+                nr = count - nl
+                if nl == 0 or nr == 0:
+                    continue
+                llo = lo_p[idxs[left]].min(0)
+                lhi = hi_p[idxs[left]].max(0)
+                rlo = lo_p[idxs[~left]].min(0)
+                rhi = hi_p[idxs[~left]].max(0)
+                sa = lambda a, bb: max(1e-12, 2.0 * (
+                    (bb[0] - a[0]) * (bb[1] - a[1]) + (bb[1] - a[1])
+                    * (bb[2] - a[2]) + (bb[2] - a[2]) * (bb[0] - a[0])))
+                costs[split] = nl * sa(llo, lhi) + nr * sa(rlo, rhi)
+            split = int(np.argmin(costs))
+            if not np.isfinite(costs[split]):
+                mid = start + count // 2
+            else:
+                mid = _partition(order, idxs, b <= split, start, end)
         nodes.append(dict(lo=lo, hi=hi, right=-1, count=0, axis=dim))
         # push right first so left is processed next (depth-first: left
         # child = my_idx + 1)
@@ -166,6 +216,14 @@ def build_bvh(builder, scene) -> FlatBVH:
     axis_a = np.asarray([nd["axis"] for nd in nodes], np.int32)
     return _finish_flat(lo_a, hi_a, right_a, count_a, axis_a, order,
                         v0, v1, v2, dv)
+
+
+def _partition(order, idxs, left_mask, start, end):
+    left_ids = idxs[left_mask]
+    right_ids = idxs[~left_mask]
+    order[start:start + len(left_ids)] = left_ids
+    order[start + len(left_ids):end] = right_ids
+    return start + len(left_ids)
 
 
 def _finish_flat(lo_a, hi_a, right_a, count_a, axis_a, order, v0, v1, v2,

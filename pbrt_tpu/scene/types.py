@@ -149,6 +149,7 @@ class SceneBuilder:
         self.fourier_tables = []  # scene/fourier.py FourierTables
         self.media = []       # scene/media.py Medium rows
         self.camera_med = -1  # camera-side medium id (−1 vacuum)
+        self.bvh_split = "sah"  # BVH SplitMethod (bvh.h:58)
         # instancing (scene/instances.py): shared-object pool + transforms
         self.instance_objects = []  # dicts {"tris": [(v0,v1,v2,uvs,mat)]}
         self.instance_rows = []     # (obj_id, o2w 4x4)
@@ -508,6 +509,7 @@ class SceneBuilder:
                     spread=tex_spread, filtering=self.tex_filtering))
         if use_bvh == "always" or (use_bvh == "auto" and nt > 256):
             from pbrt_tpu.scene import bvh as bvh_mod
-            scene = dataclasses.replace(scene,
-                                        bvh=bvh_mod.build_bvh(self, scene))
+            scene = dataclasses.replace(
+                scene, bvh=bvh_mod.build_bvh(self, scene,
+                                             split_method=self.bvh_split))
         return scene

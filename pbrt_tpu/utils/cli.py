@@ -44,10 +44,16 @@ def main(argv=None):
     from pbrt_tpu.integrators import render
     from pbrt_tpu.utils import imageio
 
+    from pbrt_tpu.utils import stats as stats_mod
+
     cfg = spec_mod.SAMPLED if args.spectral else spec_mod.RGB
     if not args.quiet:
         print(f"pbrt_tpu: parsing {args.scene}", file=sys.stderr)
-    scene, cam, opts = load_pbrt(args.scene, spectrum_cfg=cfg)
+    # phase attribution (ProfilePhase / hierarchical report,
+    # core/stats.h:142-195 + PrintStats): host-level phases here; on-chip
+    # op attribution via stats_mod.jax_trace when profiling
+    with stats_mod.profile_phase("Scene parsing and creation"):
+        scene, cam, opts = load_pbrt(args.scene, spectrum_cfg=cfg)
 
     integrator = args.integrator or opts["integrator"]
     if integrator in ("hero_path", "hero_path_mis") and cfg.mode != \
@@ -66,19 +72,24 @@ def main(argv=None):
     t0 = time.time()
     filt_name, filt_kwargs = opts.get("filter", ("box", {}))
     crop = args.cropwindow or opts["film"].get("crop")
-    img = render(scene, cam, spp=spp, integrator=integrator,
-                 sampler=opts["sampler"], max_depth=opts["max_depth"],
-                 filter_name=filt_name, filter_kwargs=filt_kwargs,
-                 crop_window=crop)
-    img = np.asarray(img)
+    with stats_mod.profile_phase("Integrator rendering"):
+        img = render(scene, cam, spp=spp, integrator=integrator,
+                     sampler=opts["sampler"], max_depth=opts["max_depth"],
+                     filter_name=filt_name, filter_kwargs=filt_kwargs,
+                     crop_window=crop)
+        img = np.asarray(img)
     if img.shape[-1] != 3:
         img = np.asarray(spec_mod.spectrum_to_rgb(img))
     if not args.quiet:
         print(f"pbrt_tpu: rendered in {time.time() - t0:.1f}s "
               f"(mean {img.mean():.4f})", file=sys.stderr)
-    imageio.write_image(fname, img)
+    with stats_mod.profile_phase("Film write"):
+        imageio.write_image(fname, img)
     if not args.quiet:
         print(f"pbrt_tpu: wrote {fname}", file=sys.stderr)
+        stats_mod.counter_add("Camera rays traced",
+                              int(np.prod(np.asarray(img.shape[:2]))) * spp)
+        stats_mod.print_stats()
 
 
 if __name__ == "__main__":

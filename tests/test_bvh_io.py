@@ -99,3 +99,47 @@ class TestImageIO:
             for ext in (".exr", ".pfm", ".png", ".tga"):
                 imageio.write_image(os.path.join(td, "x" + ext), img)
                 assert os.path.getsize(os.path.join(td, "x" + ext)) > 100
+
+
+def test_split_methods_agree_with_brute():
+    """All four BVHAccel SplitMethods (bvh.h:58) give identical hits to the
+    brute-force reference on a random triangle soup."""
+    import dataclasses as dc
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from pbrt_tpu.core.spectrum import RGB
+    from pbrt_tpu.scene import bvh as bvh_mod
+    from pbrt_tpu.scene import intersect as isect_mod
+    from pbrt_tpu.scene.types import SceneBuilder
+
+    rng = np.random.RandomState(0)
+    b = SceneBuilder(RGB)
+    m = b.add_material(type=0)
+    for _ in range(120):
+        c = rng.rand(3) * 4 - 2
+        v = c + rng.rand(3, 3) * 0.4
+        b.add_mesh(v, [(0, 1, 2)], mat=m)
+    b.add_light(type="point", I=(1.0, 1.0, 1.0), pos=(0.0, 3.0, 0.0))
+    scene = b.build()
+    R = 256
+    o = jnp.asarray(rng.rand(R, 3) * 6 - 3, jnp.float32)
+    d = jnp.asarray(rng.randn(R, 3), jnp.float32)
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    tmax = jnp.full(R, 100.0)
+    ref = isect_mod._intersect_brute(scene, o, d, tmax)
+    for sm in ("sah", "middle", "equal", "hlbvh"):
+        sc2 = dc.replace(scene,
+                         bvh=bvh_mod.build_bvh(b, scene, split_method=sm))
+        hit = isect_mod.intersect(sc2, o, d, tmax)
+        assert (np.asarray(hit.prim_id) == np.asarray(ref.prim_id)).all(), sm
+
+
+def test_parser_splitmethod_param():
+    from pbrt_tpu.frontend.parser import PbrtParser
+
+    ps = PbrtParser()
+    ps.parse('Accelerator "bvh" "string splitmethod" ["middle"]\n'
+             'WorldBegin\nWorldEnd\n')
+    assert ps.builder.bvh_split == "middle"
