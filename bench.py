@@ -18,10 +18,49 @@ program. Prints ONE JSON line.
 """
 
 import json
+import os
+import subprocess
+import sys
 import time
 
 
 def main():
+    """Orchestrator: run the measurement in child processes with deadlines.
+
+    The remote-TPU (axon) compile tunnel intermittently stalls on
+    Mosaic/Pallas kernel compiles (the same program compiles in ~2 min or
+    hangs >9 min across attempts; plain XLA is unaffected). A single shot
+    would make the round's benchmark a coin flip, so: attempt the full
+    Pallas path under a deadline, then retry, then fall back to the
+    XLA-only intersect path (slower, but its compile avoids Mosaic). The
+    persistent compile cache is shared, so any work a killed attempt
+    finished is reused by the next one.
+    """
+    # budget ~580 s total (driver timeout): one full-speed attempt, then
+    # the Mosaic-free fallback (measured cold: ~155 s, 5.4 Mrays/s vs
+    # 12.0 for the Pallas path — same image mean, cross-validating both)
+    attempts = [({}, 320), ({"PBRT_TPU_NO_PALLAS": "1"}, 225)]
+    for env_extra, tmo in attempts:
+        env = {**os.environ, **env_extra}
+        try:
+            p = subprocess.run([sys.executable, os.path.abspath(__file__),
+                                "--worker"], timeout=tmo,
+                               capture_output=True, text=True, env=env)
+        except subprocess.TimeoutExpired:
+            continue
+        for line in reversed((p.stdout or "").splitlines()):
+            if line.startswith("{"):
+                print(line)
+                return
+    print(json.dumps({"metric": "Mrays/s/chip fwd+bwd (cornell portal "
+                                "scene, 64spp)",
+                      "value": None, "unit": "Mrays/s",
+                      "vs_baseline": None,
+                      "extra": {"error": "all attempts timed out "
+                                         "(axon compile tunnel stall)"}}))
+
+
+def worker():
     import jax
 
     # persistent compile cache: warm re-runs skip the remote TPU compile
@@ -95,4 +134,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if "--worker" in sys.argv:
+        worker()
+    else:
+        main()
