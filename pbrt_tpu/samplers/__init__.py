@@ -18,9 +18,11 @@ unscrambled, per the reference.  Without a resolution the older
 distribution-level stand-ins remain (Cranley–Patterson-rotated Halton,
 per-pixel Owen-scrambled (0,2)).  ``zerotwosequence`` stays the per-pixel
 Owen-scrambled (0,2) pair — that is the reference's PixelSampler class.
-``maxmindist`` is aliased onto it (pbrt's CMaxMinDist generator matrices are
-third-party search results with no construction to re-derive; same
-(0,2)-stratification class, documented delta).
+``maxmindist`` uses the reference's CMaxMinDist generator matrices
+(constant published search tables, see samplers/maxmindist.py) for the
+first sample pair — x_i = i/spp, y_i = C·i over GF(2), order-shuffled per
+pixel (samplers/maxmin.cpp StartPixel) — and the scrambled (0,2) pair for
+all later dimensions, exactly the reference's dimension split.
 """
 
 from __future__ import annotations
@@ -32,6 +34,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from pbrt_tpu.core import rng as rng_mod
+from pbrt_tpu.samplers.maxmindist import CMAXMIN
 from pbrt_tpu.samplers.sobolmatrices import N_SOBOL_DIMS, SOBOL_MATRICES
 
 Array = Any
@@ -466,20 +469,64 @@ def make_sampler(name: str, spp: int = 16, resolution=None) -> Callable:
             return jnp.mod(ri + rot, 1.0)
         return sample
 
-    if name in ("sobol", "zerotwosequence", "lowdiscrepancy", "02sequence",
-                "maxmindist"):
-        # Owen-scrambled Sobol' pair for even/odd dims; per-(pixel, dim-pair)
-        # scramble seed (samplers/{sobol,zerotwosequence,maxmin}.cpp)
+    if name == "maxmindist":
+        # MaxMinDistSampler (samplers/maxmin.{h,cpp}): the first 2D pair is
+        # the max-min-distance construction x_i = i/spp,
+        # y_i = CMaxMinDist[log2 spp]·i over GF(2) (same point set at every
+        # pixel, per the reference), order-shuffled per pixel (the Shuffle
+        # in StartPixel → a stateless invertible bit-mix keyed by pixel);
+        # all later dims fall back to the scrambled (0,2) pair, matching
+        # the reference's VanDerCorput/Sobol2D split.
+        k = max(0, min(16, (max(int(spp), 1) - 1).bit_length()))
+        n = 1 << k
+        cpix = CMAXMIN[k]
+        zt = make_sampler("zerotwosequence", spp=spp)
+
+        def _pixel_shuffle(idx, pixel_id, seed):
+            """Invertible mix on the low k index bits, keyed per pixel
+            (each step — masked odd multiply, xor-const, xor-shift — is a
+            bijection on [0, 2^k))."""
+            if k == 0:
+                return jnp.zeros_like(idx)
+            mask = jnp.uint32(n - 1)
+            key = rng_mod.hash_u32(jnp.asarray(pixel_id, jnp.uint32),
+                                   jnp.asarray(seed, jnp.uint32),
+                                   jnp.uint32(0x6d2d), 11)
+            i = idx & mask
+            i = (i ^ key) & mask
+            i = (i * jnp.uint32(0x9E3779B9 | 1)) & mask
+            i = i ^ (i >> max(1, k // 2))
+            i = (i ^ (key >> 16)) & mask
+            i = (i * jnp.uint32(0x85EBCA6B | 1)) & mask
+            return i & mask
+
+        def sample(pixel_id, sample_idx, dim, seed=0):
+            st = _static_dim(dim, seed)
+            if st is None or st[0] >= 2:
+                return zt(pixel_id, sample_idx, dim, seed)
+            dim, seed = st
+            a = jnp.broadcast_to(jnp.asarray(sample_idx, jnp.uint32),
+                                 jnp.shape(pixel_id))
+            i = _pixel_shuffle(a, pixel_id, seed)
+            if dim == 0:
+                return jnp.minimum(i.astype(jnp.float32) / n,
+                                   rng_mod.ONE_MINUS_EPS)
+            bits = _sobol_bits_static(i, cpix)
+            return rng_mod.u32_to_uniform(bits)
+
+        return sample
+
+    if name in ("sobol", "zerotwosequence", "lowdiscrepancy", "02sequence"):
+        # Owen-scrambled Sobol' pair for even/odd dims; dim-pairs are
+        # decorrelated by the per-(pixel, dim-pair) Owen scramble seed
+        # below (the padding role of pbrt's per-pair Shuffle,
+        # samplers/zerotwosequence.cpp)
         def sample(pixel_id, sample_idx, dim, seed=0):
             a = jnp.broadcast_to(jnp.asarray(sample_idx, jnp.uint32),
                                  jnp.shape(pixel_id))
             dimv = jnp.broadcast_to(jnp.asarray(dim, jnp.uint32),
                                     jnp.shape(pixel_id))
             pair = dimv >> 1
-            # decorrelate index across dim-pairs via hashed index shuffle
-            a = a ^ rng_mod.hash_u32(jnp.asarray(pixel_id) * 0 + pair,
-                                     jnp.asarray(seed, jnp.uint32), 0x51ab,
-                                     3) % jnp.uint32(1 << 16) * jnp.uint32(0)
             use_m1 = (dimv & 1).astype(bool)
             bits0 = _sobol_bits(a, _SM0)
             bits1 = _sobol_bits(a, _SM1)

@@ -184,3 +184,43 @@ def test_make_sampler_dispch():
     u = np.asarray(s3(jnp.arange(8, dtype=jnp.uint32),
                       jnp.zeros(8, jnp.uint32), 3))
     assert (u >= 0).all() and (u < 1).all()
+
+
+def test_maxmindist_net_properties():
+    """MaxMinDistSampler first pair (samplers/maxmin.h:74-80 +
+    CMaxMinDist, core/lowdiscrepancy.cpp:249): x_i = i/spp stratified,
+    y = C·i stratified, one point per 4×4 elementary interval, and the
+    toroidal min distance of the 16-point set equals the published
+    √13/16 of the max-min-distance construction."""
+    spp = 16
+    s = make_sampler("maxmindist", spp=spp)
+    pid = jnp.zeros(spp, jnp.uint32) + 7
+    idx = jnp.arange(spp, dtype=jnp.uint32)
+    x = np.asarray(s(pid, idx, 0, 0))
+    y = np.asarray(s(pid, idx, 1, 0))
+    assert (np.bincount((x * spp).astype(int), minlength=spp) == 1).all()
+    assert (np.bincount((y * spp).astype(int), minlength=spp) == 1).all()
+    cells = (x * 4).astype(int) * 4 + (y * 4).astype(int)
+    assert (np.bincount(cells, minlength=16) == 1).all()
+    pts = np.stack([x, y], 1)
+    d = np.abs(pts[:, None, :] - pts[None, :, :])
+    d = np.minimum(d, 1.0 - d)
+    dist = np.sqrt((d ** 2).sum(-1)) + np.eye(spp) * 10
+    np.testing.assert_allclose(dist.min(), np.sqrt(13.0) / 16.0, atol=1e-6)
+
+
+def test_maxmindist_pixel_shuffle_and_fallback():
+    """Per-pixel order shuffle is a permutation of the same point set
+    (maxmin.cpp StartPixel Shuffle); dims >= 2 fall back to the scrambled
+    (0,2) pair (VanDerCorput/Sobol2D split)."""
+    spp = 16
+    s = make_sampler("maxmindist", spp=spp)
+    idx = jnp.arange(spp, dtype=jnp.uint32)
+    xa = np.asarray(s(jnp.zeros(spp, jnp.uint32) + 3, idx, 0, 0))
+    xb = np.asarray(s(jnp.zeros(spp, jnp.uint32) + 9, idx, 0, 0))
+    np.testing.assert_allclose(np.sort(xa), np.sort(xb), atol=0)
+    assert not np.allclose(xa, xb)
+    zt = make_sampler("zerotwosequence", spp=spp)
+    pid = jnp.zeros(spp, jnp.uint32) + 3
+    np.testing.assert_allclose(np.asarray(s(pid, idx, 4, 1)),
+                               np.asarray(zt(pid, idx, 4, 1)), atol=0)
