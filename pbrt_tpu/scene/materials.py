@@ -349,11 +349,11 @@ def beck_g(wo: Array, wi: Array, alpha: Array) -> Array:
     return 1.0 / (1.0 + beck_lambda(wo, alpha) + beck_lambda(wi, alpha))
 
 
-def beck_sample_wh(wo: Array, u: Array, alpha: Array) -> Array:
+def beck_sample_wh_full(wo: Array, u: Array, alpha: Array) -> Array:
     """Full-distribution Beckmann wh sampling (microfacet.cpp Sample_wh,
     !sampleVisibleArea branch: tan²θ = −α² ln(1−u₁)); flipped to wo's
-    hemisphere. Design delta vs pbrt's default visible-normal sampling —
-    the matching pdf (beck_pdf_wh = D·|cosθ|) keeps the estimator exact."""
+    hemisphere. Kept for A/B variance comparison — the matching pdf
+    (beck_pdf_wh_full = D·|cosθ|) keeps the estimator exact."""
     u1 = jnp.minimum(u[..., 0], 0.99999)
     tan2t = -alpha * alpha * jnp.log1p(-u1)
     phi = 2.0 * jnp.pi * u[..., 1]
@@ -363,9 +363,96 @@ def beck_sample_wh(wo: Array, u: Array, alpha: Array) -> Array:
     return wh * jnp.sign(wo[..., 2:3] + 1e-20)
 
 
-def beck_pdf_wh(wo: Array, wh: Array, alpha: Array) -> Array:
+def beck_pdf_wh_full(wo: Array, wh: Array, alpha: Array) -> Array:
     """Full-distribution pdf D(wh)·|cosθh| (microfacet.cpp Pdf)."""
     return beck_d(wh, alpha) * abs_cos_theta(wh)
+
+
+def beck_g1(w: Array, alpha: Array) -> Array:
+    return 1.0 / (1.0 + beck_lambda(w, alpha))
+
+
+_SQRT_PI_INV = 0.5641895835477563  # 1/sqrt(pi)
+
+
+def _beck_sample11(cos_ti: Array, u1: Array, u2: Array):
+    """Slope-space sampling of the visible Beckmann P22 at normal-incidence
+    stretch (microfacet.cpp BeckmannSample11:39-118): erf-domain numerical
+    CDF inversion — 10 guarded Newton/bisection steps — vectorized and
+    branchless; the normal-incidence closed form is where-merged."""
+    from jax.scipy.special import erf, erfinv
+    sin_ti = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_ti * cos_ti))
+    cos_s = jnp.clip(cos_ti, 1e-6, 1.0)
+    tan_ti = sin_ti / cos_s
+    cot_ti = cos_s / jnp.maximum(sin_ti, 1e-12)
+    c_hi = erf(cot_ti)
+    sx = jnp.maximum(u1, 1e-6)
+    theta_i = jnp.arccos(jnp.clip(cos_ti, -1.0, 1.0))
+    fit = 1.0 + theta_i * (-0.876 + theta_i * (0.4265 - 0.0594 * theta_i))
+    norm = 1.0 / (1.0 + c_hi + _SQRT_PI_INV * tan_ti
+                  * jnp.exp(-cot_ti * cot_ti))
+
+    def body(_, st):
+        a, c, b = st
+        b = jnp.where((b >= a) & (b <= c), b, 0.5 * (a + c))
+        inv_erf = erfinv(jnp.clip(b, -0.999999, 0.999999))
+        value = (norm * (1.0 + b + _SQRT_PI_INV * tan_ti
+                         * jnp.exp(-inv_erf * inv_erf)) - sx)
+        deriv = norm * (1.0 - inv_erf * tan_ti)
+        c = jnp.where(value > 0, b, c)
+        a = jnp.where(value > 0, a, b)
+        step = value / jnp.where(jnp.abs(deriv) > 1e-12, deriv,
+                                 jnp.where(deriv >= 0, 1e-12, -1e-12))
+        b = jnp.where(jnp.abs(value) < 1e-5, b, b - step)
+        return a, c, b
+
+    a0 = jnp.full_like(c_hi, -1.0)
+    b0 = c_hi - (1.0 + c_hi) * jnp.power(jnp.maximum(1.0 - sx, 1e-12), fit)
+    _, _, b = jax.lax.fori_loop(0, 10, body, (a0, c_hi, b0))
+    slope_x = erfinv(jnp.clip(b, -0.999999, 0.999999))
+    slope_y = erfinv(jnp.clip(2.0 * jnp.maximum(u2, 1e-6) - 1.0,
+                              -0.999999, 0.999999))
+    # normal incidence (cosThetaI > .9999): exact polar closed form
+    r = jnp.sqrt(-jnp.log1p(-jnp.minimum(u1, 0.999999)))
+    phi = 2.0 * jnp.pi * u2
+    near_n = cos_ti > 0.9999
+    slope_x = jnp.where(near_n, r * jnp.cos(phi), slope_x)
+    slope_y = jnp.where(near_n, r * jnp.sin(phi), slope_y)
+    return slope_x, slope_y
+
+
+def beck_sample_wh(wo: Array, u: Array, alpha: Array) -> Array:
+    """Visible-normal Beckmann sampling — the reference's default
+    (microfacet.h:105 sampleVisibleArea=true; microfacet.cpp
+    BeckmannSample:120-140): stretch wo by α, sample the slope-space P22,
+    rotate/unstretch, flip to wo's hemisphere."""
+    flip = wo[..., 2:3] < 0
+    wi = jnp.where(flip, -wo, wo)
+    wi_s = vecmath.normalize(
+        jnp.stack([alpha * wi[..., 0], alpha * wi[..., 1], wi[..., 2]],
+                  axis=-1))
+    sin_t = jnp.sqrt(jnp.maximum(0.0, 1.0 - wi_s[..., 2] ** 2))
+    cos_phi = jnp.where(sin_t > 1e-9, wi_s[..., 0]
+                        / jnp.maximum(sin_t, 1e-12), 1.0)
+    sin_phi = jnp.where(sin_t > 1e-9, wi_s[..., 1]
+                        / jnp.maximum(sin_t, 1e-12), 0.0)
+    sx, sy = _beck_sample11(wi_s[..., 2], u[..., 0], u[..., 1])
+    tmp = cos_phi * sx - sin_phi * sy
+    sy = sin_phi * sx + cos_phi * sy
+    sx = tmp
+    sx = alpha * sx
+    sy = alpha * sy
+    wh = vecmath.normalize(
+        jnp.stack([-sx, -sy, jnp.ones_like(sx)], axis=-1))
+    return jnp.where(flip, -wh, wh)
+
+
+def beck_pdf_wh(wo: Array, wh: Array, alpha: Array) -> Array:
+    """Visible-normal pdf D(wh)·G1(wo)·|wo·wh| / |cosθo|
+    (microfacet.cpp MicrofacetDistribution::Pdf, sampleVisibleArea)."""
+    return (beck_d(wh, alpha) * beck_g1(wo, alpha)
+            * jnp.abs(vecmath.dot(wo, wh))
+            / jnp.maximum(abs_cos_theta(wo), 1e-6))
 
 
 # --- NDF dispatch: helpers take an optional per-row ndf tag; None → TR
