@@ -443,9 +443,18 @@ class PbrtParser:
                         if uk in p:
                             uvs = np.asarray(p[uk][1],
                                              np.float64).reshape(-1, 2)
+                    normals = None
+                    if "N" in p:
+                        # normals into object-pool space via the block
+                        # CTM's inverse-transpose (core/transform.h
+                        # Normal overload)
+                        ns = np.asarray(p["N"][1],
+                                        np.float64).reshape(-1, 3)
+                        mi = np.linalg.inv(m[:3, :3])
+                        normals = (ns @ mi).astype(np.float32)
                     self.builder.add_object_mesh(
                         oid, pts_o, idx, mat=entry["gs"].material_id,
-                        uvs=uvs)
+                        uvs=uvs, normals=normals)
                 self._instance_obj_ids[name] = oid
             self.builder.add_instance(self._instance_obj_ids[name],
                                       self.ctm)

@@ -49,6 +49,9 @@ class InstanceTable:
     pool_uv0: Array     # (P,2)
     pool_uv1: Array
     pool_uv2: Array
+    pool_n0: Array      # (P,3) object-space per-vertex shading normals
+    pool_n1: Array      # (face normal when the mesh has none)
+    pool_n2: Array
     vprim_inst: Array   # (V,) int32 virtual prim → instance
     vprim_tri: Array    # (V,) int32 virtual prim → pool triangle
     obj_lo: Array       # (O,3) object-space bbox
@@ -152,10 +155,15 @@ def any_hit(scene, o, d, tmax):
     return occ
 
 
-def finalize_instance_hits(scene, o, d, t, prim_id, p, ng, ns, uv, dpdu):
-    """Hit attributes for virtual (instanced) prims: object-space triangle
-    transformed by the instance's o2w; normals via inverse-transpose
-    (Transform::operator()(Normal), core/transform.h)."""
+def finalize_instance_hits(scene, o, d, t, prim_id, p, ng, ns, uv, dpdu,
+                           dpdv):
+    """Hit attributes for virtual (instanced) prims, matching
+    TransformedPrimitive::Intersect's full SurfaceInteraction transform
+    (core/primitive.cpp:90-100): world-space triangle from the instance's
+    o2w, *interpolated* shading normals via the inverse-transpose
+    (Transform::operator()(SurfaceInteraction), core/transform.cpp:358),
+    and exact dpdu/dpdv from the uv parameterization
+    (triangle.cpp:157-168)."""
     it = scene.inst
     base_n = scene.n_base_prims
     vi = jnp.clip(prim_id - base_n, 0, it.n_vprims - 1)
@@ -183,12 +191,33 @@ def finalize_instance_hits(scene, o, d, t, prim_id, p, ng, ns, uv, dpdu):
     uvv = (w[..., None] * it.pool_uv0[j] + bu[..., None] * it.pool_uv1[j]
            + bv[..., None] * it.pool_uv2[j])
     from pbrt_tpu.core import vecmath
-    t1_fb, _ = vecmath.coordinate_system(ngv)
+    # interpolated object-space shading normal → world via the instance's
+    # inverse-transpose: n_w,i = Σ_j w2o[j,i]·n_o,j
+    n_obj = (w[..., None] * it.pool_n0[j] + bu[..., None] * it.pool_n1[j]
+             + bv[..., None] * it.pool_n2[j])
+    w2o = it.w2o[i]
+    nsv = vecmath.normalize(
+        jnp.einsum("rji,rj->ri", w2o[:, :3, :3], n_obj))
+    # exact ∂p/∂u, ∂p/∂v from the uv parameterization on the world-space
+    # triangle (triangle.cpp:157-168), with the arbitrary-frame fallback
+    # for degenerate uvs
+    duv1 = it.pool_uv1[j] - it.pool_uv0[j]
+    duv2 = it.pool_uv2[j] - it.pool_uv0[j]
+    det = duv1[..., 0] * duv2[..., 1] - duv1[..., 1] * duv2[..., 0]
+    inv = jnp.where(jnp.abs(det) > 1e-12,
+                    1.0 / jnp.where(jnp.abs(det) > 1e-12, det, 1.0), 0.0)
+    dpdu_v = (duv2[..., 1:2] * e1 - duv1[..., 1:2] * e2) * inv[..., None]
+    dpdv_v = (-duv2[..., 0:1] * e1 + duv1[..., 0:1] * e2) * inv[..., None]
+    t1_fb, t2_fb = vecmath.coordinate_system(ngv)
+    ok_uv = (jnp.abs(det) > 1e-12)[..., None]
+    dpdu_v = jnp.where(ok_uv, dpdu_v, t1_fb)
+    dpdv_v = jnp.where(ok_uv, dpdv_v, t2_fb)
     ng = jnp.where(is_v[..., None], ngv, ng)
-    ns = jnp.where(is_v[..., None], ngv, ns)
+    ns = jnp.where(is_v[..., None], nsv, ns)
     uv = jnp.where(is_v[..., None], uvv, uv)
-    dpdu = jnp.where(is_v[..., None], t1_fb, dpdu)
-    return ng, ns, uv, dpdu
+    dpdu = jnp.where(is_v[..., None], dpdu_v, dpdu)
+    dpdv = jnp.where(is_v[..., None], dpdv_v, dpdv)
+    return ng, ns, uv, dpdu, dpdv
 
 
 def _xform_p_batched(m: Array, p: Array) -> Array:
@@ -200,24 +229,32 @@ def build_instance_table(objects, instances) -> tuple:
     """Host-side build.
 
     objects: list of dicts {tris: [(v0,v1,v2,(uv0,uv1,uv2) or None,
-    mat)], ...}; instances: list of (obj_id, o2w 4x4 np, ) tuples.
-    Returns (InstanceTable, vprim_mat (V,) np.int32).
+    (n0,n1,n2) or None, mat)], ...}; instances: list of (obj_id,
+    o2w 4x4 np) tuples. Returns (InstanceTable, vprim_mat (V,) np.int32).
     """
     pool_v = [[], [], []]
     pool_uv = [[], [], []]
+    pool_n = [[], [], []]
     pool_mat = []
     obj_tri_range = []
     obj_lo, obj_hi = [], []
     for ob in objects:
         s = len(pool_mat)
-        for (v0, v1, v2, uvs, mat) in ob["tris"]:
+        for (v0, v1, v2, uvs, nrm, mat) in ob["tris"]:
             pool_v[0].append(v0)
             pool_v[1].append(v1)
             pool_v[2].append(v2)
             if uvs is None:
                 uvs = ((0.0, 0.0), (1.0, 0.0), (1.0, 1.0))
+            if nrm is None:
+                fn = np.cross(np.asarray(v1, np.float64) - v0,
+                              np.asarray(v2, np.float64) - v0)
+                ln = np.linalg.norm(fn)
+                fn = (fn / ln if ln > 0 else np.array([0.0, 0.0, 1.0]))
+                nrm = (fn, fn, fn)
             for k in range(3):
                 pool_uv[k].append(uvs[k])
+                pool_n[k].append(np.asarray(nrm[k], np.float32))
             pool_mat.append(mat)
         c = len(pool_mat) - s
         obj_tri_range.append((s, c))
@@ -273,6 +310,12 @@ def build_instance_table(objects, instances) -> tuple:
                              .reshape(-1, 2)),
         pool_uv2=jnp.asarray(np.asarray(pool_uv[2], np.float32)
                              .reshape(-1, 2)),
+        pool_n0=jnp.asarray(np.asarray(pool_n[0], np.float32)
+                            .reshape(-1, 3)),
+        pool_n1=jnp.asarray(np.asarray(pool_n[1], np.float32)
+                            .reshape(-1, 3)),
+        pool_n2=jnp.asarray(np.asarray(pool_n[2], np.float32)
+                            .reshape(-1, 3)),
         vprim_inst=jnp.asarray(np.asarray(vprim_inst, np.int32)),
         vprim_tri=jnp.asarray(np.asarray(vprim_tri, np.int32)),
         obj_lo=jnp.asarray(np.stack(obj_lo)),

@@ -297,15 +297,15 @@ def finalize_hit(scene, o, d, t, prim_id, results=None, time=None) -> Hit:
         uv = jnp.where(is_crv[..., None],
                        jnp.stack([u_c, v_c], -1), uv)
         dpdu = jnp.where(is_crv[..., None], tang, dpdu)
-    if scene.inst is not None and scene.n_vprims:
-        from pbrt_tpu.scene import instances as inst_mod
-        ng, ns, uv, dpdu = inst_mod.finalize_instance_hits(
-            scene, o, d, t, prim_id, p, ng, ns, uv, dpdu)
-        ns = vecmath.face_forward(ns, ng)
     dpdv = vecmath.cross(ng, dpdu)
     if nt:
         is_tri = valid & (prim_id < nt)
         dpdv = jnp.where(is_tri[..., None], dpdv_tri, dpdv)
+    if scene.inst is not None and scene.n_vprims:
+        from pbrt_tpu.scene import instances as inst_mod
+        ng, ns, uv, dpdu, dpdv = inst_mod.finalize_instance_hits(
+            scene, o, d, t, prim_id, p, ng, ns, uv, dpdu, dpdv)
+        ns = vecmath.face_forward(ns, ng)
     return Hit(valid=valid, t=t, p=p, ng=ng, ns=ns, uv=uv,
                prim_id=jnp.where(valid, prim_id, -1), dpdu=dpdu, dpdv=dpdv)
 

@@ -161,13 +161,16 @@ class SceneBuilder:
         return len(self.instance_objects) - 1
 
     def add_object_mesh(self, obj_id: int, vertices, faces, mat=0,
-                        uvs=None):
+                        uvs=None, normals=None):
         verts = np.asarray(vertices, np.float32)
         for f in faces:
             tri_uvs = (tuple(tuple(np.asarray(uvs[i], np.float32))
                              for i in f) if uvs is not None else None)
+            tri_ns = (tuple(np.asarray(normals[i], np.float32)
+                            for i in f) if normals is not None else None)
             self.instance_objects[obj_id]["tris"].append(
-                (verts[f[0]], verts[f[1]], verts[f[2]], tri_uvs, mat))
+                (verts[f[0]], verts[f[1]], verts[f[2]], tri_uvs, tri_ns,
+                 mat))
 
     def add_instance(self, obj_id: int, o2w):
         """pbrtObjectInstance's role: one 4x4, no geometry duplication."""
