@@ -90,10 +90,14 @@ def tr_segmented(scene, media, med0, p0, p1, seed):
         done = done | ~passes
         return p, med, tr, done, blocked
 
-    tr0 = jnp.ones((R, C))
-    done0 = jnp.zeros(R, bool)
+    # derive carries from p0 so their vma type matches loop outputs under
+    # shard_map (same pattern as render._li_loop)
+    zero_r = p0[..., 0] * 0.0
+    tr0 = jnp.ones((R, C)) + zero_r[..., None]
+    done0 = zero_r != 0.0
     _, _, tr, _, blocked = jax.lax.fori_loop(
-        0, _TR_SEGMENTS, body, (p0, med0, tr0, done0, done0))
+        0, _TR_SEGMENTS, body, (p0, med0 + zero_r.astype(med0.dtype), tr0,
+                                done0, done0))
     return jnp.where(blocked[..., None], 0.0, tr), blocked
 
 
