@@ -94,11 +94,9 @@ def _random_walk(scene, sp, o, d, beta0, pdf_dir0, start_i, n_steps,
         hit = isect_mod.intersect(scene, o_cur, d_cur,
                                   jnp.full(R, vecmath.INF))
         ok = active & hit.valid
-        light_id = scene.prim_light[jnp.clip(hit.prim_id, 0,
-                                             scene.n_prims - 1)]
+        light_id = scene.light_at(hit.prim_id)
         light_id = jnp.where(ok, light_id, -1)
-        mat_id = scene.prim_mat[jnp.clip(hit.prim_id, 0,
-                                         scene.n_prims - 1)]
+        mat_id = scene.mat_at(hit.prim_id)
         pdf_area = _dir_pdf_to_area(pdf_dir, o_cur, hit.p, hit.ng)
         sp = _set_v(
             sp, i,

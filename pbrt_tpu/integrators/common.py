@@ -106,8 +106,7 @@ def trace_radiance(scene, p: Array, ns: Array, wi: Array, time=None):
     o = vecmath.offset_ray_origin(p, ns, wi)
     hit = isect_mod.intersect(scene, o, wi,
                               jnp.full(p.shape[0], vecmath.INF), time=time)
-    light_id = scene.prim_light[jnp.clip(hit.prim_id, 0,
-                                         scene.n_prims - 1)]
+    light_id = scene.light_at(hit.prim_id)
     light_id = jnp.where(hit.valid, light_id, -1)
     g = lights_mod.gather_lights(scene.lights, jnp.maximum(light_id, 0))
     le = lights_mod.area_light_L(g.emit, g.two_sided, hit.ng, -wi)
@@ -304,7 +303,8 @@ def subsurface_transport(scene, hit, mp, beta, wo_world, pid, sidx, sfn,
 
     # channel-uniform radius sampling from the two-exponential mixture
     ch = jnp.minimum((u_ch * C).astype(jnp.int32), C - 1)
-    d_c = jnp.take_along_axis(d_prof, ch[:, None], axis=1)[:, 0]
+    from pbrt_tpu.ops import fastgather
+    d_c = fastgather.select_along_last(d_prof, ch)
     pick_near = u_r < 0.25
     u_remap = jnp.where(pick_near, u_r / 0.25, (u_r - 0.25) / 0.75)
     u_remap = jnp.clip(u_remap, 1e-6, 1.0 - 1e-6)
@@ -321,8 +321,7 @@ def subsurface_transport(scene, hit, mp, beta, wo_world, pid, sidx, sfn,
     o_probe = hit.p + disk + ns_o * h_probe[:, None]
     probe = isect_mod.intersect(scene, o_probe, -ns_o,
                                 2.0 * h_probe, time=time)
-    probe_mat = scene.prim_mat[jnp.clip(probe.prim_id, 0,
-                                        scene.n_prims - 1)]
+    probe_mat = scene.mat_at(probe.prim_id)
     probe_mp = mat_mod.gather_materials(scene.materials, probe_mat)
     ok = enter & probe.valid & (probe_mp.mtype == mat_mod.SUBSURFACE)
 

@@ -134,8 +134,7 @@ def _li_hero(scene, o, d, pid, sidx, sfn, cfg, power_distr, use_nee):
         hit = isect_mod.intersect(scene, o_cur, d_cur,
                                   jnp.full(R, vecmath.INF))
 
-        light_id = scene.prim_light[jnp.clip(hit.prim_id, 0,
-                                             scene.n_prims - 1)]
+        light_id = scene.light_at(hit.prim_id)
         light_id = jnp.where(hit.valid, light_id, -1)
         gl = lights_mod.gather_lights(scene.lights,
                                       jnp.maximum(light_id, 0))
@@ -172,7 +171,7 @@ def _li_hero(scene, o, d, pid, sidx, sfn, cfg, power_distr, use_nee):
         active = active & hit.valid
         mp = mat_mod.gather_materials(
             scene.materials,
-            scene.prim_mat[jnp.clip(hit.prim_id, 0, scene.n_prims - 1)])
+            scene.mat_at(hit.prim_id))
         t1, t2 = common.make_frame(hit.ns)
         wo = common.to_local(t1, t2, hit.ns, -d_cur)
 

@@ -52,6 +52,9 @@ class RenderConfig:
     ao_radius: float = 1e6
     ao_cos_sample: bool = True
     seed: int = 0
+    # static: also return per-bounce live-lane counts from the path loop
+    # (bench dead-lane accounting; off in production renders)
+    collect_stats: bool = False
 
 
 def _bounce_dims(b):
@@ -150,15 +153,18 @@ def _li_loop(scene, o, d, pid, sidx, sfn, cfg: RenderConfig, power_distr,
 
     n_bounces = cfg.max_depth + 1 if indirect else min(cfg.max_depth + 1, 8)
 
+    live_counts = jnp.zeros(n_bounces) if cfg.collect_stats else None
+
     def body(b, state):
-        L, beta, active, specular, eta_scale, o_cur, d_cur = state
+        L, beta, active, specular, eta_scale, o_cur, d_cur, lv = state
+        if cfg.collect_stats:
+            lv = lv.at[b].set(jnp.sum(active.astype(jnp.float32)))
         dims = _bounce_dims(b)
         hit = isect_mod.intersect(scene, o_cur, d_cur,
                                   jnp.full(R, vecmath.INF), time=time)
 
         # emitted radiance at camera/specular vertices (path.cpp:291-310)
-        light_id = scene.prim_light[jnp.clip(hit.prim_id, 0,
-                                             scene.n_prims - 1)]
+        light_id = scene.light_at(hit.prim_id)
         light_id = jnp.where(hit.valid, light_id, -1)
         gl = lights_mod.gather_lights(scene.lights,
                                       jnp.maximum(light_id, 0))
@@ -171,7 +177,7 @@ def _li_loop(scene, o, d, pid, sidx, sfn, cfg: RenderConfig, power_distr,
         active = active & hit.valid
         mp = mat_mod.gather_materials(
             scene.materials,
-            scene.prim_mat[jnp.clip(hit.prim_id, 0, scene.n_prims - 1)])
+            scene.mat_at(hit.prim_id))
 
         # subsurface: relocate SUBSURFACE-material hits to their
         # profile-sampled exit points (or specular-reflect at the
@@ -243,13 +249,16 @@ def _li_loop(scene, o, d, pid, sidx, sfn, cfg: RenderConfig, power_distr,
         d_cur = jnp.where(alive[..., None], wi, d_cur)
         specular = jnp.where(alive, is_spec if nee else True, specular)
         active = alive
-        return (L, beta, active, specular, eta_scale, o_cur, d_cur)
+        return (L, beta, active, specular, eta_scale, o_cur, d_cur, lv)
 
-    state = (L, beta, active, specular, eta_scale, o_cur, d_cur)
+    state = (L, beta, active, specular, eta_scale, o_cur, d_cur,
+             live_counts)
     # fori_loop: one traced bounce body (dims are computed from the traced
     # bounce index — counter-based sampling makes this free), keeping
     # compile time flat in max_depth
     state = jax.lax.fori_loop(0, n_bounces, body, state)
+    if cfg.collect_stats:
+        return state[0], state[7]
     return state[0]
 
 
@@ -334,13 +343,20 @@ def render_pass(scene, cam, filt, cfg: RenderConfig, width: int, height: int,
     else:
         L = li_fn(scene, rays.o, rays.d, pid, sidx, sfn, cfg, power_distr)
 
+    live = None
+    if cfg.collect_stats:
+        L, live = L
+
     # clamp NaN/negative/inf to black (integrator.cpp:592-613)
     bad = (~jnp.isfinite(L)).any(-1) | (jnp.sum(L, -1) < -1e-5)
     L = jnp.where(bad[..., None], 0.0, L)
 
     contrib = L * w_filt[..., None]
     img = jnp.sum(contrib.reshape(chunk, n_pix, -1), axis=0)
-    return img.reshape(hc, wc, -1)
+    img = img.reshape(hc, wc, -1)
+    if cfg.collect_stats:
+        return img, live
+    return img
 
 
 def render(scene, cam, spp: int = 16, integrator: str = "path",

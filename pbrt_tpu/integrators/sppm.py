@@ -70,8 +70,7 @@ def _camera_pass(scene, cam, width, height, it, seed, max_depth):
     for b in range(max_depth):
         hit = isect_mod.intersect(scene, o_cur, d_cur,
                                   jnp.full(R, vecmath.INF))
-        light_id = scene.prim_light[jnp.clip(hit.prim_id, 0,
-                                             scene.n_prims - 1)]
+        light_id = scene.light_at(hit.prim_id)
         light_id = jnp.where(hit.valid, light_id, -1)
         gl = lights_mod.gather_lights(scene.lights, jnp.maximum(light_id,
                                                                 0))
@@ -85,7 +84,7 @@ def _camera_pass(scene, cam, width, height, it, seed, max_depth):
         active = active & hit.valid
         mp = mat_mod.gather_materials(
             scene.materials,
-            scene.prim_mat[jnp.clip(hit.prim_id, 0, scene.n_prims - 1)])
+            scene.mat_at(hit.prim_id))
         # NEE for direct lighting at every vertex (sppm does direct via
         # light sampling at visible points)
         u_sel = sfn(pid, sidx, 10 + 8 * b, seed)
@@ -110,8 +109,7 @@ def _camera_pass(scene, cam, width, height, it, seed, max_depth):
         vp_ns = jnp.where(newly[..., None], hit.ns, vp_ns)
         vp_wo = jnp.where(newly[..., None], -d_cur, vp_wo)
         vp_beta = jnp.where(newly[..., None], beta, vp_beta)
-        vp_mat = jnp.where(newly, scene.prim_mat[
-            jnp.clip(hit.prim_id, 0, scene.n_prims - 1)], vp_mat)
+        vp_mat = jnp.where(newly, scene.mat_at(hit.prim_id), vp_mat)
         active = active & ~newly  # stop at the visible point
 
         # specular continuation only
@@ -252,7 +250,7 @@ def _photon_pass(scene, vps, radius, n_photons, it, seed, max_depth,
         # continue photon (BSDF sampling with RR)
         mp = mat_mod.gather_materials(
             scene.materials,
-            scene.prim_mat[jnp.clip(hit.prim_id, 0, scene.n_prims - 1)])
+            scene.mat_at(hit.prim_id))
         t1p, t2p = common.make_frame(hit.ns)
         wo = common.to_local(t1p, t2p, hit.ns, -d_cur)
         u_cl = sfn(ppid, sidx, 310 + 4 * b, seed)

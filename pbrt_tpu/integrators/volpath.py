@@ -49,9 +49,9 @@ def _effective_media(scene):
 
 def _crossing_medium(scene, prim_id, entering):
     """Medium id after crossing prim_id (inside when entering)."""
-    pid = jnp.clip(prim_id, 0, scene.n_prims - 1)
-    m_in = scene.prim_med_in[pid]
-    m_out = scene.prim_med_out[pid]
+    from pbrt_tpu.ops import fastgather
+    m_in = fastgather.gather_rows(scene.prim_med_in, prim_id)
+    m_out = fastgather.gather_rows(scene.prim_med_out, prim_id)
     return jnp.where(entering, m_in, m_out)
 
 
@@ -68,7 +68,7 @@ def tr_segmented(scene, media, med0, p0, p1, seed):
         dist = vecmath.length(seg)
         dn = seg / jnp.maximum(dist, 1e-12)[..., None]
         hit = isect_mod.intersect(scene, p, dn, dist * (1.0 - 1e-3))
-        mat_t = scene.prim_mat[jnp.clip(hit.prim_id, 0, scene.n_prims - 1)]
+        mat_t = scene.mat_at(hit.prim_id)
         # NONE rows are pass-through boundaries
         g = mat_mod.gather_materials(scene.materials, mat_t)
         null_mat = g.mtype == mat_mod.NONE
@@ -178,8 +178,7 @@ def li_volpath(scene, o, d, pid, sidx, sfn, cfg, power_distr):
         p_med = o_cur + t_m[..., None] * d_cur
 
         # ---- emission on surface path (camera/specular only), attenuated
-        light_id = scene.prim_light[jnp.clip(hit.prim_id, 0,
-                                             scene.n_prims - 1)]
+        light_id = scene.light_at(hit.prim_id)
         light_id = jnp.where(hit.valid, light_id, -1)
         gl = lights_mod.gather_lights(scene.lights,
                                       jnp.maximum(light_id, 0))
@@ -192,7 +191,7 @@ def li_volpath(scene, o, d, pid, sidx, sfn, cfg, power_distr):
 
         mp = mat_mod.gather_materials(
             scene.materials,
-            scene.prim_mat[jnp.clip(hit.prim_id, 0, scene.n_prims - 1)])
+            scene.mat_at(hit.prim_id))
         is_null = mp.mtype == mat_mod.NONE
 
         # ---- NEE from the actual vertex (medium point or surface point);

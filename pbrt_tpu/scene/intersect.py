@@ -101,11 +101,19 @@ def intersect_p(scene, o: Array, d: Array, tmax: Array, time=None) -> Array:
 
 
 def _family_best(t: Array, hit: Array):
-    """Reduce an all-pairs (R,P) result to per-ray best (t, idx, any)."""
+    """Reduce an all-pairs (R,P) result to per-ray best (t, idx, any).
+    min instead of gather-at-argmin — per-ray gathers route indices
+    through SMEM on TPU (ops/fastgather.py)."""
     t_masked = jnp.where(hit, t, BIG)
     idx = jnp.argmin(t_masked, axis=-1)
-    tbest = jnp.take_along_axis(t_masked, idx[:, None], axis=-1)[:, 0]
+    tbest = jnp.min(t_masked, axis=-1)
     return tbest, idx, tbest < BIG
+
+
+def _at_argmin(v: Array, idx: Array) -> Array:
+    """v[r, idx[r]] via one-hot dot (same SMEM-gather avoidance)."""
+    from pbrt_tpu.ops import fastgather
+    return fastgather.select_along_last(v, idx)
 
 
 def _intersect_brute(scene, o: Array, d: Array, tmax: Array,
@@ -120,8 +128,8 @@ def _intersect_brute(scene, o: Array, d: Array, tmax: Array,
         tv0, tv1, tv2 = _tri_verts(scene, time)
         t, u, v, h = shapes.intersect_triangles(o, d, best_t, tv0, tv1, tv2)
         tb, idx, any_h = _family_best(t, h)
-        ub = jnp.take_along_axis(u, idx[:, None], axis=-1)[:, 0]
-        vb = jnp.take_along_axis(v, idx[:, None], axis=-1)[:, 0]
+        ub = _at_argmin(u, idx)
+        vb = _at_argmin(v, idx)
         results["tri"] = (tb, idx, any_h, ub, vb)
         upd = any_h & (tb < best_t)
         best_t = jnp.where(upd, tb, best_t)
@@ -138,8 +146,8 @@ def _intersect_brute(scene, o: Array, d: Array, tmax: Array,
         t, u, v, h = shapes.intersect_aaplanes(o, d, best_t, g.pln_lo,
                                                g.pln_hi, g.pln_ax)
         tb, idx, any_h = _family_best(t, h)
-        ub = jnp.take_along_axis(u, idx[:, None], axis=-1)[:, 0]
-        vb = jnp.take_along_axis(v, idx[:, None], axis=-1)[:, 0]
+        ub = _at_argmin(u, idx)
+        vb = _at_argmin(v, idx)
         results["pln"] = (tb, idx, any_h, ub, vb)
         upd = any_h & (tb < best_t)
         best_t = jnp.where(upd, tb, best_t)
@@ -159,8 +167,8 @@ def _intersect_brute(scene, o: Array, d: Array, tmax: Array,
         t, u, v, h = shapes.intersect_curves(o, d, best_t, scene.geom.crv_cp,
                                              scene.geom.crv_w)
         tb, idx, any_h = _family_best(t, h)
-        ub = jnp.take_along_axis(u, idx[:, None], axis=-1)[:, 0]
-        vb = jnp.take_along_axis(v, idx[:, None], axis=-1)[:, 0]
+        ub = _at_argmin(u, idx)
+        vb = _at_argmin(v, idx)
         results["crv"] = (tb, idx, any_h, ub, vb)
         upd = any_h & (tb < best_t)
         best_t = jnp.where(upd, tb, best_t)
@@ -189,15 +197,17 @@ def finalize_hit(scene, o, d, t, prim_id, results=None, time=None) -> Hit:
     dpdu = jnp.broadcast_to(jnp.array([1.0, 0.0, 0.0]), (R, 3))
 
     nt, nsp, npl = scene.n_tri, scene.n_sph, scene.n_pln
+    from pbrt_tpu.ops import fastgather
     if nt:
         ti = jnp.clip(prim_id, 0, nt - 1)
+        gt = fastgather.make_row_gather(nt, ti)  # shared one-hot gather
         is_tri = valid & (prim_id < nt)
-        hv0, hv1, hv2 = g.tri_v0[ti], g.tri_v1[ti], g.tri_v2[ti]
+        hv0, hv1, hv2 = gt(g.tri_v0), gt(g.tri_v1), gt(g.tri_v2)
         if scene.has_motion and time is not None:
             tt = time[:, None]
-            hv0 = hv0 + tt * g.tri_dv0[ti]
-            hv1 = hv1 + tt * g.tri_dv1[ti]
-            hv2 = hv2 + tt * g.tri_dv2[ti]
+            hv0 = hv0 + tt * gt(g.tri_dv0)
+            hv1 = hv1 + tt * gt(g.tri_dv1)
+            hv2 = hv2 + tt * gt(g.tri_dv2)
         ngt = shapes.triangle_normal(hv0, hv1, hv2)
         # recompute barycentrics at hit point (cheap, avoids carrying u,v
         # through BVH traversal): project onto triangle basis
@@ -215,17 +225,17 @@ def finalize_hit(scene, o, d, t, prim_id, results=None, time=None) -> Hit:
         bu = jnp.clip(bu, 0.0, 1.0)
         bv = jnp.clip(bv, 0.0, 1.0)
         w = jnp.clip(1.0 - bu - bv, 0.0, 1.0)
-        nst = normalize(w[..., None] * g.tri_n0[ti]
-                        + bu[..., None] * g.tri_n1[ti]
-                        + bv[..., None] * g.tri_n2[ti])
-        uvt = (w[..., None] * g.tri_uv0[ti] + bu[..., None] * g.tri_uv1[ti]
-               + bv[..., None] * g.tri_uv2[ti])
+        nst = normalize(w[..., None] * gt(g.tri_n0)
+                        + bu[..., None] * gt(g.tri_n1)
+                        + bv[..., None] * gt(g.tri_n2))
+        uvt = (w[..., None] * gt(g.tri_uv0) + bu[..., None] * gt(g.tri_uv1)
+               + bv[..., None] * gt(g.tri_uv2))
         ng = jnp.where(is_tri[..., None], ngt, ng)
         ns = jnp.where(is_tri[..., None], nst, ns)
         uv = jnp.where(is_tri[..., None], uvt, uv)
         # ∂p/∂u from the uv parameterization (triangle.cpp:157-168)
-        duv1 = g.tri_uv1[ti] - g.tri_uv0[ti]
-        duv2 = g.tri_uv2[ti] - g.tri_uv0[ti]
+        duv1 = gt(g.tri_uv1) - gt(g.tri_uv0)
+        duv2 = gt(g.tri_uv2) - gt(g.tri_uv0)
         det = duv1[..., 0] * duv2[..., 1] - duv1[..., 1] * duv2[..., 0]
         inv = jnp.where(jnp.abs(det) > 1e-12, 1.0 / jnp.where(
             jnp.abs(det) > 1e-12, det, 1.0), 0.0)
@@ -240,14 +250,15 @@ def finalize_hit(scene, o, d, t, prim_id, results=None, time=None) -> Hit:
         dpdv_tri = dpdv_t
     if nsp:
         si = jnp.clip(prim_id - nt, 0, nsp - 1)
+        gs = fastgather.make_row_gather(nsp, si)
         is_sph = valid & (prim_id >= nt) & (prim_id < nt + nsp)
-        nsph, uvs = shapes.sphere_normal_uv(p, g.sph_center[si],
-                                            g.sph_radius[si])
+        sph_c = gs(g.sph_center)
+        nsph, uvs = shapes.sphere_normal_uv(p, sph_c, gs(g.sph_radius))
         ng = jnp.where(is_sph[..., None], nsph, ng)
         ns = jnp.where(is_sph[..., None], nsph, ns)
         uv = jnp.where(is_sph[..., None], uvs, uv)
         # ∂p/∂u = 2π·(−y, x, 0) in sphere-local coords (sphere.cpp:145)
-        pl = p - g.sph_center[si]
+        pl = p - sph_c
         dpdu_s = 2.0 * jnp.pi * jnp.stack(
             [-pl[..., 1], pl[..., 0], jnp.zeros_like(pl[..., 0])], axis=-1)
         t1_fbs, _ = vecmath.coordinate_system(nsph)
@@ -257,15 +268,16 @@ def finalize_hit(scene, o, d, t, prim_id, results=None, time=None) -> Hit:
         dpdu = jnp.where(is_sph[..., None], dpdu_s, dpdu)
     if npl:
         pi = jnp.clip(prim_id - nt - nsp, 0, npl - 1)
+        gp = fastgather.make_row_gather(npl, pi)
         is_pln = valid & (prim_id >= nt + nsp) & (prim_id < nt + nsp + npl)
-        npln = shapes.aaplane_normal(g.pln_ax[pi], g.pln_facing[pi])
+        npln = shapes.aaplane_normal(gp(g.pln_ax), gp(g.pln_facing))
         ng = jnp.where(is_pln[..., None], npln, ng)
         ns = jnp.where(is_pln[..., None], npln, ns)
     if scene.n_dsk:
         di = jnp.clip(prim_id - nt - nsp - npl, 0, scene.n_dsk - 1)
         is_dsk = valid & (prim_id >= nt + nsp + npl) \
             & (prim_id < nt + nsp + npl + scene.n_dsk)
-        nd = g.dsk_normal[di]
+        nd = fastgather.gather_rows(g.dsk_normal, di)
         ng = jnp.where(is_dsk[..., None], nd, ng)
         ns = jnp.where(is_dsk[..., None], nd, ns)
 
@@ -282,15 +294,16 @@ def finalize_hit(scene, o, d, t, prim_id, results=None, time=None) -> Hit:
         is_crv = valid & (prim_id >= crv_base) \
             & (prim_id < scene.n_base_prims)
         ci = jnp.clip(prim_id - crv_base, 0, scene.n_crv - 1)
-        cp_r = g.crv_cp[ci]
-        w_r = g.crv_w[ci]
+        gc = fastgather.make_row_gather(scene.n_crv, ci)
+        cp_r = gc(g.crv_cp)
+        w_r = gc(g.crv_w)
         if results is not None and "crv" in results:
             _, _, _, u_c, v_c = results["crv"]
         else:
             tt, uu, vv, hh = shapes.intersect_curves(
                 o, d, t + 1e-3, g.crv_cp, g.crv_w)
-            u_c = jnp.take_along_axis(uu, ci[:, None], axis=-1)[:, 0]
-            v_c = jnp.take_along_axis(vv, ci[:, None], axis=-1)[:, 0]
+            u_c = _at_argmin(uu, ci)
+            v_c = _at_argmin(vv, ci)
         tang, n_c = shapes.curve_hit_frame(o, d, cp_r, w_r, u_c, v_c, p)
         ng = jnp.where(is_crv[..., None], n_c, ng)
         ns = jnp.where(is_crv[..., None], n_c, ns)

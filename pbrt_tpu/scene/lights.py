@@ -43,7 +43,10 @@ STRAT_LIGHT = 0
 STRAT_PORTAL = 1
 STRAT_PROJECTION = 2
 
-MAXP = 4  # max portals per light (lamp scene uses 2)
+MAXP = 4  # hard cap on portals per light (lamp scene uses 2)
+# build_light_table sizes the portal axis to the scene's actual max
+# (min 1): every ray pays O(n_slots) portal-selection work per bounce
+# (PROFILE_r03: the padded slots were ~half the bounce loop)
 
 
 @jax.tree_util.register_dataclass
@@ -122,10 +125,12 @@ def build_light_table(builder, scene) -> LightTable:
     two_sided = np.zeros(L, bool)
     strategy = np.zeros(L, np.int32)
     n_portals = np.zeros(L, np.int32)
-    p_lo = np.zeros((L, MAXP, 3), np.float32)
-    p_hi = np.zeros((L, MAXP, 3), np.float32)
-    p_ax = np.full((L, MAXP), 2, np.int32)
-    p_fw = np.zeros((L, MAXP), bool)
+    maxp = max([1] + [min(len(r.get("portals", [])), MAXP)
+                      for r in rows])
+    p_lo = np.zeros((L, maxp, 3), np.float32)
+    p_hi = np.zeros((L, maxp, 3), np.float32)
+    p_ax = np.full((L, maxp), 2, np.int32)
+    p_fw = np.zeros((L, maxp), bool)
     env_map = np.zeros((1, 1, C), np.float32)
     gonio_map = np.ones((1, 1, C), np.float32)
     proj_fov = np.full(L, 45.0, np.float32)
@@ -156,7 +161,7 @@ def build_light_table(builder, scene) -> LightTable:
         strategy[i] = smap[r.get("strategy", "light")]
         portals = r.get("portals", [])
         n_portals[i] = len(portals)
-        for j, (plo, phi, pax, pfw) in enumerate(portals[:MAXP]):
+        for j, (plo, phi, pax, pfw) in enumerate(portals[:maxp]):
             p_lo[i, j] = plo
             p_hi[i, j] = phi
             p_ax[i, j] = pax
@@ -256,8 +261,10 @@ def _prim_area_host(builder, gid: int) -> float:
 # ---------------------------------------------------------------------------
 
 def gather_lights(lt: LightTable, idx: Array) -> LightTable:
-    idx = jnp.clip(idx, 0, lt.n - 1)
-    g = lambda a: a[idx]
+    # fast row gather (ops/fastgather.py: per-ray index gathers route
+    # through SMEM on TPU; the select/one-hot forms stream on the VPU)
+    from pbrt_tpu.ops import fastgather
+    g = fastgather.make_row_gather(lt.n, idx)
     return LightTable(
         ltype=g(lt.ltype), emit=g(lt.emit), pos=g(lt.pos), dir=g(lt.dir),
         cos_total=g(lt.cos_total), cos_falloff=g(lt.cos_falloff),
@@ -296,12 +303,16 @@ def gather_area_prim(scene, prim_id: Array) -> AreaPrim:
     ti = jnp.clip(prim_id, 0, max(nt - 1, 0))
     si = jnp.clip(prim_id - nt, 0, max(ns - 1, 0))
     pi = jnp.clip(prim_id - nt - ns, 0, max(scene.n_pln - 1, 0))
+    from pbrt_tpu.ops import fastgather
+    gt = fastgather.make_row_gather(max(nt, 1), ti)
+    gs = fastgather.make_row_gather(max(ns, 1), si)
+    gp = fastgather.make_row_gather(max(scene.n_pln, 1), pi)
     return AreaPrim(
         is_tri=is_tri, is_sph=is_sph, is_pln=is_pln,
-        v0=g.tri_v0[ti], v1=g.tri_v1[ti], v2=g.tri_v2[ti],
-        center=g.sph_center[si], radius=g.sph_radius[si],
-        lo=g.pln_lo[pi], hi=g.pln_hi[pi], ax=g.pln_ax[pi],
-        facing=g.pln_facing[pi])
+        v0=gt(g.tri_v0), v1=gt(g.tri_v1), v2=gt(g.tri_v2),
+        center=gs(g.sph_center), radius=gs(g.sph_radius),
+        lo=gp(g.pln_lo), hi=gp(g.pln_hi), ax=gp(g.pln_ax),
+        facing=gp(g.pln_facing))
 
 
 def area_light_L(lt_emit: Array, two_sided: Array, n_light: Array,

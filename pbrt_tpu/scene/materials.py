@@ -179,9 +179,11 @@ def _present(mp: MaterialTable, *types: int) -> bool:
 
 
 def gather_materials(table: MaterialTable, mat_id: Array) -> MaterialTable:
-    """Gather per-ray material rows (mat_id: (R,))."""
-    mid = jnp.clip(mat_id, 0, table.mtype.shape[0] - 1)
-    return jax.tree_util.tree_map(lambda a: a[mid], table)
+    """Gather per-ray material rows (mat_id: (R,)) — one-hot matmul path
+    (ops/fastgather.py): per-ray index gathers cost ~10 ms each on TPU
+    (SMEM index copies), the one-hot form streams on the VPU."""
+    from pbrt_tpu.ops import fastgather
+    return fastgather.gather_tree(table, mat_id, table.mtype.shape[0])
 
 
 # ---------------------------------------------------------------------------

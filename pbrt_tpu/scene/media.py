@@ -174,7 +174,8 @@ def sample_distance(med: Medium, o: Array, dn: Array, t_max: Array,
     C = med.sigma_t.shape[0]
     if not med.is_grid:
         ch = jnp.minimum((u * C).astype(jnp.int32), C - 1)
-        sig_ch = med.sigma_t[ch]
+        from pbrt_tpu.ops import fastgather
+        sig_ch = fastgather.gather_rows(med.sigma_t, ch)
         u2 = jnp.mod(u * C, 1.0)
         t = -jnp.log(jnp.maximum(1.0 - u2, 1e-9)) / jnp.maximum(sig_ch,
                                                                 1e-9)

@@ -71,9 +71,13 @@ def select_visible_portal(in_front: Array, u: Array):
 
 
 def _gather_portal(g_lights, pidx: Array):
-    r = jnp.arange(pidx.shape[0])
-    return (g_lights.portal_lo[r, pidx], g_lights.portal_hi[r, pidx],
-            g_lights.portal_ax[r, pidx], g_lights.portal_facing[r, pidx])
+    # one-hot contraction over the portal slot (ops/fastgather.py — the
+    # advanced-index form routes per-ray indices through SMEM on TPU)
+    from pbrt_tpu.ops import fastgather
+    return (fastgather.select_row(g_lights.portal_lo, pidx),
+            fastgather.select_row(g_lights.portal_hi, pidx),
+            fastgather.select_row(g_lights.portal_ax, pidx),
+            fastgather.select_row(g_lights.portal_facing, pidx))
 
 
 def sample_portal(g_lights, pidx: Array, ref_p: Array, u: Array):
@@ -103,7 +107,8 @@ def pdf_portal(g_lights, pidx: Array, ref_p: Array, wi: Array) -> Array:
 
 
 def _take_axis(v: Array, i: Array) -> Array:
-    return jnp.take_along_axis(v, i[..., None], axis=-1)[..., 0]
+    from pbrt_tpu.ops import fastgather
+    return fastgather.select_component(v, i)
 
 
 def sample_projection(g_lights, pidx: Array, light_lo: Array,

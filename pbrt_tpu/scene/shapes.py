@@ -251,6 +251,13 @@ def _axis_onehot(ax: Array) -> Array:
     return jax.nn.one_hot(ax, 3, dtype=jnp.float32)
 
 
+def _select_component(v: Array, i: Array) -> Array:
+    """v[..., i] per element via one-hot dot — per-ray take_along_axis
+    compiles to an SMEM-indexed gather on TPU (see ops/fastgather.py)."""
+    from pbrt_tpu.ops import fastgather
+    return fastgather.select_component(v, i)
+
+
 def aaplane_axes(ax: Array):
     """Return (ax0, ax1) per plane.cpp's ctor:
     ax0 = {z:0, x:1, y:2}[axis], ax1 = {z:1, x:2, y:0}[axis]."""
@@ -268,7 +275,7 @@ def aaplane_normal(ax: Array, facing_fw: Array) -> Array:
 def aaplane_area(lo: Array, hi: Array, ax: Array) -> Array:
     ax0, ax1 = aaplane_axes(ax)
     d = hi - lo
-    take = lambda v, i: jnp.take_along_axis(v, i[..., None], axis=-1)[..., 0]
+    take = _select_component  # one-hot dot, not a gather (TPU SMEM hazard)
     return take(d, ax0) * take(d, ax1)
 
 
@@ -283,10 +290,11 @@ def intersect_aaplanes(o: Array, d: Array, tmax: Array,
     t = (lo_ax[None] - o_ax) / jnp.where(jnp.abs(d_ax) > 1e-12, d_ax, 1e-12)
     p = o[:, None, :] + t[..., None] * d[:, None, :]        # (R,P,3)
     ax0, ax1 = aaplane_axes(ax)
-    take_p = lambda i: jnp.take_along_axis(
-        p, jnp.broadcast_to(i[None, :, None], t.shape + (1,)), axis=-1)[..., 0]
-    take_b = lambda b, i: jnp.take_along_axis(b, i[..., None], axis=-1)[..., 0]
-    p0, p1 = take_p(ax0), take_p(ax1)
+    oh0 = jax.nn.one_hot(ax0, 3, dtype=p.dtype)     # (P,3)
+    oh1 = jax.nn.one_hot(ax1, 3, dtype=p.dtype)
+    take_b = _select_component
+    p0 = jnp.sum(p * oh0[None], axis=-1)            # (R,P)
+    p1 = jnp.sum(p * oh1[None], axis=-1)
     lo0, lo1 = take_b(lo, ax0), take_b(lo, ax1)
     hi0, hi1 = take_b(hi, ax0), take_b(hi, ax1)
     u = (p0 - lo0[None]) / jnp.maximum(hi0 - lo0, 1e-12)[None]
@@ -308,7 +316,7 @@ def intersect_aaplane_paired(o: Array, d: Array, tmax: Array,
     t = (lo_ax - o_ax) / jnp.where(jnp.abs(d_ax) > 1e-12, d_ax, 1e-12)
     p = o + t[..., None] * d
     ax0, ax1 = aaplane_axes(ax)
-    take = lambda v_, i: jnp.take_along_axis(v_, i[..., None], axis=-1)[..., 0]
+    take = _select_component
     p0, p1 = take(p, ax0), take(p, ax1)
     lo0, lo1 = take(lo, ax0), take(lo, ax1)
     hi0, hi1 = take(hi, ax0), take(hi, ax1)
@@ -323,7 +331,7 @@ def sample_aaplane(lo, hi, ax, facing_fw, u):
     """Uniform area sampling (plane.cpp:57-78 Sample).
     lo,hi: (...,3); u: (...,2). Returns (p, n, area_pdf)."""
     ax0, ax1 = aaplane_axes(ax)
-    take = lambda v, i: jnp.take_along_axis(v, i[..., None], axis=-1)[..., 0]
+    take = _select_component
     oh = _axis_onehot(ax)
     oh0 = jax.nn.one_hot(ax0, 3, dtype=jnp.float32)
     oh1 = jax.nn.one_hot(ax1, 3, dtype=jnp.float32)
@@ -340,7 +348,7 @@ def sample_aaplane(lo, hi, ax, facing_fw, u):
 def aaplane_in_front(p: Array, lo: Array, ax: Array, facing_fw: Array
                      ) -> Array:
     """plane.cpp:109-115 InFront half-space test; batched over p."""
-    take = lambda v, i: jnp.take_along_axis(v, i[..., None], axis=-1)[..., 0]
+    take = _select_component
     p_ax = jnp.sum(p * _axis_onehot(ax), axis=-1)
     lo_ax = take(lo, ax) if lo.ndim == p.ndim else jnp.sum(
         lo * _axis_onehot(ax), axis=-1)

@@ -125,6 +125,17 @@ class Scene:
     def world_radius(self) -> Array:
         return 0.5 * jnp.linalg.norm(self.world_hi - self.world_lo) + 1e-3
 
+    # per-ray primitive-table lookups through the TPU-fast gather path
+    # (ops/fastgather.py — one-hot matmul for small scenes, plain take
+    # above the threshold); use these instead of prim_mat[idx] in hot code
+    def mat_at(self, prim_id: Array) -> Array:
+        from pbrt_tpu.ops import fastgather
+        return fastgather.gather_rows(self.prim_mat, prim_id)
+
+    def light_at(self, prim_id: Array) -> Array:
+        from pbrt_tpu.ops import fastgather
+        return fastgather.gather_rows(self.prim_light, prim_id)
+
 
 class SceneBuilder:
     """Host-side scene construction (numpy lists → device arrays).
