@@ -99,9 +99,13 @@ def worker():
 
     grad_fn = jax.jit(jax.value_and_grad(loss_fn, argnums=(0, 1)))
     kd, emit = scene.materials.kd, scene.lights.emit
+    # timing forces a host device_get each pass: on the remote (axon)
+    # backend block_until_ready can return before execution completes,
+    # silently under-measuring (caught in r3 against the on-chip
+    # profiler's step timeline)
     t0 = time.perf_counter()
     v, g = grad_fn(kd, emit, jnp.asarray(0, jnp.uint32))
-    jax.block_until_ready((v, g))
+    jax.device_get((v, g))
     t_compile = time.perf_counter() - t0
 
     n_passes = SPP // CHUNK
@@ -109,8 +113,8 @@ def worker():
     mean_acc = 0.0
     for i in range(n_passes):
         v, g = grad_fn(kd, emit, jnp.asarray(i * CHUNK, jnp.uint32))
-        mean_acc = mean_acc + v
-    jax.block_until_ready((v, g, mean_acc))
+        mean_acc = mean_acc + float(jax.device_get(v))
+    jax.device_get(g)
     t_fwdbwd = time.perf_counter() - t0
 
     bounces = MAX_DEPTH + 1
@@ -151,7 +155,7 @@ def worker():
             "resolution": [W, H], "spp": SPP, "max_depth": MAX_DEPTH,
             "device": str(jax.devices()[0]),
             # loss is the mean filter-weighted radiance of a CHUNK-spp pass
-            "image_mean": float(mean_acc) / n_passes / CHUNK,
+            "image_mean": mean_acc / n_passes / CHUNK,
             # live forward path-extension rays / t_fwdbwd (no NEE ×3, no
             # backward ×2) — the pbrt-comparable figure
             "effective_mrays": round(effective_mrays, 3),

@@ -137,7 +137,11 @@ def _random_walk(scene, sp, o, d, beta0, pdf_dir0, start_i, n_steps,
         thr = f * (absdot(wi, hit.ns) / jnp.maximum(pdf, 1e-20))[..., None]
         beta = jnp.where(ok[..., None], beta * thr, beta)
         active = ok & (pdf > 0) & (jnp.max(beta, -1) > 0)
-        pdf_dir = pdf
+        # MIS bookkeeping follows bdpt.cpp: a specular bounce records
+        # pdf 0 (the next vertex's pdf_fwd and this vertex's pdf_rev are
+        # 0), and MISWeight's remap0 treats 0 as 1 so the ratio product
+        # passes through delta vertices unchanged
+        pdf_dir = jnp.where(is_spec, 0.0, pdf)
         o_cur = vecmath.offset_ray_origin(hit.p, hit.ng, wi)
         d_cur = wi
     return sp
@@ -178,9 +182,21 @@ def generate_light_subpath(scene, max_v, pid, sidx, sfn, seed):
                                                   u_pos)
     p_pln, n_pln, ip_pln = shapes.sample_aaplane(ap.lo, ap.hi, ap.ax,
                                                  ap.facing, u_pos)
-    p_l = jnp.where(ap.is_pln[..., None], p_pln, p_tri)
-    n_l = jnp.where(ap.is_pln[..., None], n_pln, n_tri)
-    pdf_pos = jnp.where(ap.is_pln, ip_pln, ip_tri)
+    # sphere area lights (killeroo/caustic scenes): uniform area point
+    # (sphere.cpp Sample; the r3 caustic oracle exposed this family as
+    # unsampled — every s>=1 connection strategy silently returned 0)
+    from pbrt_tpu.core.sampling import uniform_sample_sphere
+    d_sph = uniform_sample_sphere(u_pos)
+    p_sph = ap.center + ap.radius[..., None] * d_sph
+    n_sph = d_sph
+    ip_sph = 1.0 / jnp.maximum(
+        4.0 * jnp.pi * ap.radius * ap.radius, 1e-20)
+    p_l = jnp.where(ap.is_sph[..., None], p_sph,
+                    jnp.where(ap.is_pln[..., None], p_pln, p_tri))
+    n_l = jnp.where(ap.is_sph[..., None], n_sph,
+                    jnp.where(ap.is_pln[..., None], n_pln, n_tri))
+    pdf_pos = jnp.where(ap.is_sph, ip_sph,
+                        jnp.where(ap.is_pln, ip_pln, ip_tri))
     is_area = g.ltype == lights_mod.AREA
 
     # cosine-weighted emission direction (diffuse.cpp Sample_Le)
@@ -276,7 +292,9 @@ def _light_origin_pdfs(scene, light_id, ng, w_out):
     ap = lights_mod.gather_area_prim(scene, g.prim_id)
     area_tri = shapes.triangle_area(ap.v0, ap.v1, ap.v2)
     area_pln = shapes.aaplane_area(ap.lo, ap.hi, ap.ax)
-    area = jnp.where(ap.is_pln, area_pln, area_tri)
+    area_sph = 4.0 * jnp.pi * ap.radius * ap.radius
+    area = jnp.where(ap.is_sph, area_sph,
+                     jnp.where(ap.is_pln, area_pln, area_tri))
     pdf_pos = 1.0 / jnp.maximum(area, 1e-20) / scene.lights.n
     from pbrt_tpu.core.sampling import INV_PI
     pdf_dir = jnp.maximum(absdot(ng, w_out), 1e-6) * INV_PI
@@ -355,8 +373,10 @@ def mis_weight(scene, cam_sp: Subpath, light_sp: Subpath, s: int, t: int,
         rev_lvm1 = None
 
     def remap(x):
-        return jnp.maximum(x, 1e-18)  # remap0 in bdpt.cpp treats 0 as 1;
-        # clamping avoids inf while keeping ratios meaningful
+        # remap0 (bdpt.cpp:295): pdf 0 marks a delta interaction whose
+        # ratio must pass through as 1 (the r3 caustic oracle exposed the
+        # old epsilon-clamp collapsing every specular-chain strategy)
+        return jnp.where(x != 0.0, x, 1.0)
 
     weight_sum = jnp.ones(R)
     # camera-side hypothetical strategies (bdpt.cpp:365-380). The term
@@ -468,7 +488,7 @@ def _mis_weight_t1(scene, cam, light_sp: Subpath, s: int, p_cam):
         rev_lvm1 = None
 
     def remap(x):
-        return jnp.maximum(x, 1e-18)
+        return jnp.where(x != 0.0, x, 1.0)   # remap0 (see mis_weight)
 
     weight_sum = jnp.ones(R)
     ri = jnp.ones(R)

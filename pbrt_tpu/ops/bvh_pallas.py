@@ -51,10 +51,17 @@ TRI_F = 9                 # v0 e1 e2
 STACK = 96
 BIG = 1e30
 
-# meta packing: right<<5 | axis<<3 | count  (count <= LEAF_MAX=4 fits 3b)
-META_CNT_MASK = 0x7
-META_AXIS_SHIFT = 3
-META_RIGHT_SHIFT = 5
+# meta packing: right<<7 | axis<<5 | count  (count <= PACKET_LEAF_MAX=16)
+META_CNT_MASK = 0x1F
+META_AXIS_SHIFT = 5
+META_RIGHT_SHIFT = 7
+# packet-tree leaves hold up to this many triangles: pack_bvh collapses
+# subtrees of ≤16 prims into one leaf. The while-loop step (scalar
+# control + SMEM meta + node fetch) dominates traversal cost, so a 5×
+# smaller tree beats the extra masked triangle tests (which are cheap
+# vector work). The XLA traversal path keeps the builder's LEAF_MAX=4
+# tree — only the packet layout is coarsened.
+PACKET_LEAF_MAX = 16
 
 
 def _bcast(vec_1x, col, shape):
@@ -70,14 +77,17 @@ def _bcast(vec_1x, col, shape):
 
 def _extract_fields(row_1x128, lane_off, nfields):
     """Pull ``nfields`` consecutive floats starting at scalar ``lane_off``
-    out of a (1,128) row without dynamic lane indexing: one-hot mask
-    matmul. Returns (1, nfields)."""
-    lanes = jax.lax.broadcasted_iota(jnp.int32, (LANES, nfields), 0)
-    fields = jax.lax.broadcasted_iota(jnp.int32, (LANES, nfields), 1)
-    mask = (lanes == (lane_off + fields)).astype(jnp.float32)
-    return jax.lax.dot_general(
-        row_1x128, mask, dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
+    out of a (1,128) row without dynamic lane indexing: a dynamic lane
+    ROTATE (pltpu.roll — a native TPU vector op) followed by a static
+    slice. Returns (1, nfields).
+
+    History: this was a one-hot mask matmul; on hardware the MXU's
+    default f32 path rounds operands to bf16, silently corrupting every
+    fetched vertex/bound by ~2⁻⁹ relative (spurious/missed hits for rays
+    near geometry — caught by the r3 TPU-vs-brute validation). The roll
+    form is exact AND avoids the multi-pass-f32 MXU latency entirely."""
+    rolled = pltpu.roll(row_1x128, -lane_off, axis=1)
+    return rolled[:, :nfields]
 
 
 def _traverse_kernel(meta_ref, nb_ref, tri_ref, ox_ref, oy_ref, oz_ref,
@@ -153,7 +163,7 @@ def _traverse_kernel(meta_ref, nb_ref, tri_ref, ox_ref, oy_ref, oz_ref,
 
         def leaf_fn(carry):
             bt, bi = carry
-            for k in range(4):
+            for k in range(PACKET_LEAF_MAX):
                 tidx = right + k
                 trow_i = jnp.minimum(tidx // TRIS_PER_ROW, max_trow)
                 troff = (tidx % TRIS_PER_ROW) * TRI_F
@@ -235,12 +245,14 @@ def _bwd(any_hit, shapes_, g):
 bvh_traverse_pallas.defvjp(_fwd, _bwd)
 
 
-@functools.partial(jax.jit, static_argnames=("any_hit", "interpret"))
-def _impl(meta, nbounds, tris, o, d, tmax, *, any_hit, interpret=False):
+@functools.partial(jax.jit, static_argnames=("any_hit", "interpret",
+                                             "rows"))
+def _impl(meta, nbounds, tris, o, d, tmax, *, any_hit, interpret=False,
+          rows=ROWS):
     from pbrt_tpu.core import vecmath
 
     R = o.shape[0]
-    block = ROWS * LANES
+    block = rows * LANES
     Rpad = ((R + block - 1) // block) * block
     pad = Rpad - R
 
@@ -260,7 +272,7 @@ def _impl(meta, nbounds, tris, o, d, tmax, *, any_hit, interpret=False):
         gamma3x2=float(2.0 * np.asarray(vecmath.gamma(3))))
     table_spec = lambda shape, space: pl.BlockSpec(
         shape, lambda i: (0, 0), memory_space=space)
-    ray_spec = pl.BlockSpec((ROWS, LANES), lambda i: (i, 0),
+    ray_spec = pl.BlockSpec((rows, LANES), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
     t, idx = pl.pallas_call(
         kernel,
@@ -279,17 +291,72 @@ def _impl(meta, nbounds, tris, o, d, tmax, *, any_hit, interpret=False):
     return t.reshape(-1)[:R], idx.reshape(-1)[:R]
 
 
+def _collapse_tree(lo, hi, right, count, axis, max_leaf=PACKET_LEAF_MAX):
+    """Collapse subtrees of ≤ max_leaf prims into single leaves,
+    producing a new flat DFS tree (host-side, numpy).
+
+    The builder's DFS leaf ordering makes every subtree's triangles a
+    CONTIGUOUS range, so a collapsed leaf is just (start, count)."""
+    n = right.shape[0]
+    start = np.zeros(n, np.int64)
+    end = np.zeros(n, np.int64)
+    # post-order: children appear after parents in DFS order, so a
+    # reverse sweep sees children before parents
+    for i in range(n - 1, -1, -1):
+        if count[i] > 0:
+            start[i] = right[i]
+            end[i] = right[i] + count[i]
+        else:
+            start[i] = start[i + 1]
+            end[i] = end[right[i]]
+    out = dict(lo=[], hi=[], right=[], count=[], axis=[])
+
+    def emit(i):
+        me = len(out["lo"])
+        out["lo"].append(lo[i])
+        out["hi"].append(hi[i])
+        sub = end[i] - start[i]
+        if count[i] > 0 or sub <= max_leaf:
+            out["right"].append(int(start[i]))
+            out["count"].append(int(sub))
+            out["axis"].append(0)
+            return me
+        out["right"].append(-1)   # patched after left subtree emitted
+        out["count"].append(0)
+        out["axis"].append(int(axis[i]))
+        emit(i + 1)
+        out["right"][me] = len(out["lo"])
+        emit(int(right[i]))
+        return me
+
+    import sys
+    old = sys.getrecursionlimit()
+    sys.setrecursionlimit(max(old, n + 64))
+    try:
+        emit(0)
+    finally:
+        sys.setrecursionlimit(old)
+    return (np.asarray(out["lo"], np.float32),
+            np.asarray(out["hi"], np.float32),
+            np.asarray(out["right"], np.int64),
+            np.asarray(out["count"], np.int64),
+            np.asarray(out["axis"], np.int64))
+
+
 def pack_bvh(lo, hi, right, count, axis, v0, v1, v2):
-    """Host-side packing of a flat DFS BVH into the kernel layout.
+    """Host-side packing of a flat DFS BVH into the kernel layout
+    (subtrees collapsed to PACKET_LEAF_MAX-triangle leaves first).
 
     Returns (meta (1,N) i32 [SMEM], nbounds (ceil(N/12), 128) f32 [VMEM],
     tris (ceil(P/14), 128) f32 [VMEM])."""
+    lo, hi, right, count, axis = _collapse_tree(
+        np.asarray(lo), np.asarray(hi), np.asarray(right, np.int64),
+        np.asarray(count, np.int64), np.asarray(axis, np.int64))
     N = right.shape[0]
     P = v0.shape[0]
-    right = right.astype(np.int64)
     meta = ((right << META_RIGHT_SHIFT)
-            | (axis.astype(np.int64) << META_AXIS_SHIFT)
-            | count.astype(np.int64)).astype(np.int32)[None, :]
+            | (axis << META_AXIS_SHIFT)
+            | count).astype(np.int32)[None, :]
 
     nrows = (N + NODES_PER_ROW - 1) // NODES_PER_ROW
     nb = np.zeros((nrows * NODES_PER_ROW, NODE_F), np.float32)

@@ -518,11 +518,60 @@ def _use_packet_kernel(bvh: FlatBVH, time) -> bool:
     return jax.default_backend() not in ("cpu",)
 
 
+def _spread_bits10(x):
+    """Interleave-ready 10-bit spread (Morton encode helper)."""
+    x = (x | (x << 16)) & jnp.uint32(0x030000FF)
+    x = (x | (x << 8)) & jnp.uint32(0x0300F00F)
+    x = (x | (x << 4)) & jnp.uint32(0x030C30C3)
+    x = (x | (x << 2)) & jnp.uint32(0x09249249)
+    return x
+
+
 def _packet_traverse(bvh: FlatBVH, o, d, tmax, any_hit: bool):
+    """Packet kernel, with direction-octant + origin-Morton ray sorting.
+
+    The packet kernel's shared-stack scheme is fast when a packet's 1024
+    rays agree on which subtrees to enter (coherent primary rays:
+    ~3.5 Grays/s measured on the killeroo BVH; fully random rays:
+    0.11 Mrays/s; random rays sorted: 0.56 Mrays/s — 4.8×). The
+    permutation is two multi-operand lax.sort calls — NOT index gathers,
+    which would stage per-ray indices through SMEM (ops/fastgather.py).
+
+    Default OFF: on the real killeroo render the camera-coherent lanes
+    keep bounce-ray *origins* packet-local, which already bounds subtree
+    entry — measured 0.110 s/spp-pass unsorted vs 0.257 s/spp-pass
+    sorted (the sorts cost more than the coherence they add). Set
+    PBRT_TPU_RAY_SORT=1 for workloads with scrambled lane→pixel maps
+    (e.g. photon/bidirectional batches with scene-wide origins)."""
+    import os
+
     from pbrt_tpu.ops import bvh_pallas as bp
-    return bp.bvh_traverse_pallas(
-        bvh.pk_meta, bvh.pk_nb, bvh.pk_tri, o, d, tmax,
+    R = o.shape[0]
+    sort_on = R >= 4096 and bool(os.environ.get("PBRT_TPU_RAY_SORT"))
+    if not sort_on:
+        return bp.bvh_traverse_pallas(
+            bvh.pk_meta, bvh.pk_nb, bvh.pk_tri, o, d, tmax,
+            bvh.lo.shape[0], bvh.v0.shape[0], any_hit)
+    octant = ((d[:, 0] < 0).astype(jnp.uint32) * 4
+              + (d[:, 1] < 0).astype(jnp.uint32) * 2
+              + (d[:, 2] < 0).astype(jnp.uint32))
+    lo = jnp.min(o, axis=0)
+    hi = jnp.max(o, axis=0)
+    q = jnp.clip(((o - lo) / (hi - lo + 1e-9) * 1023.0).astype(jnp.uint32),
+                 0, 1023)
+    morton = ((_spread_bits10(q[:, 0]) << 2)
+              | (_spread_bits10(q[:, 1]) << 1) | _spread_bits10(q[:, 2]))
+    key = (octant << 27) | (morton >> 3)
+    rid = jnp.arange(R, dtype=jnp.uint32)
+    _, ox, oy, oz, dx, dy, dz, tm, rid_s = jax.lax.sort(
+        (key, o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2],
+         tmax, rid), num_keys=1)
+    t_s, i_s = bp.bvh_traverse_pallas(
+        bvh.pk_meta, bvh.pk_nb, bvh.pk_tri,
+        jnp.stack([ox, oy, oz], -1), jnp.stack([dx, dy, dz], -1), tm,
         bvh.lo.shape[0], bvh.v0.shape[0], any_hit)
+    _, t, leaf_i = jax.lax.sort((rid_s, t_s, i_s), num_keys=1)
+    return t, leaf_i
 
 
 def bvh_intersect_tris(bvh: FlatBVH, o, d, tmax, time=None):
