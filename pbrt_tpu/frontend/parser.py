@@ -912,22 +912,22 @@ class PbrtParser:
                 w0 = p.one("width0", p.one("width", 1.0))
                 w1 = p.one("width1", p.one("width", 1.0))
                 ctype = str(p.one("type") or "flat").strip('"')
-                if ctype in ("flat", "cylinder"):
-                    # analytic Bézier intersection (curve.cpp) — control
-                    # points to world space; width scaled by the CTM's
-                    # mean linear scale
-                    cp_w = np.stack([self._xf_point(q) for q in cp[:4]])
-                    sc = float(np.mean([np.linalg.norm(self.ctm[:3, k])
-                                        for k in range(3)]))
-                    b.add_curve(cp_w, w0 * sc, w1 * sc, mat=mat)
-                    return
-                # ribbon: oriented flat geometry → tessellated (needs the
-                # normal interpolation the SoA curve family doesn't carry)
-                v, fidx, curve_uv = tess.tessellate_curve(cp[:4], w0, w1)
-                pts_w = np.stack([self._xf_point(q) for q in v])
-                # ribbon uvs carry the hair parameterization (u along the
-                # fiber, v across → h); no transform needed
-                b.add_mesh(pts_w, fidx, mat=mat, uvs=curve_uv)
+                # analytic Bézier intersection (curve.cpp) for all three
+                # curve types — control points to world space; width
+                # scaled by the CTM's mean linear scale; ribbons carry
+                # their u=0/1 orientation normals ("normal N") through
+                # the inverse-transpose (curve.cpp:44-58)
+                cp_w = np.stack([self._xf_point(q) for q in cp[:4]])
+                sc = float(np.mean([np.linalg.norm(self.ctm[:3, k])
+                                    for k in range(3)]))
+                n0 = n1 = None
+                if ctype == "ribbon" and "N" in p:
+                    ns = np.asarray(p["N"][1], np.float64).reshape(-1, 3)
+                    n0 = self._xf_normal(ns[0])
+                    n0 = n0 / max(np.linalg.norm(n0), 1e-12)
+                    n1 = self._xf_normal(ns[-1])
+                    n1 = n1 / max(np.linalg.norm(n1), 1e-12)
+                b.add_curve(cp_w, w0 * sc, w1 * sc, mat=mat, n0=n0, n1=n1)
                 return
             pts_w = np.stack([self._xf_point(q) for q in v])
             normals = (np.stack([self._xf_normal(q) for q in nrm])

@@ -641,7 +641,7 @@ def intersect_bvh(scene, o, d, tmax, time=None):
             upd, scene.n_tri + scene.n_sph + scene.n_pln + idx, prim_id)
     if scene.n_crv:
         tc, uc, vc, hc = shapes.intersect_curves(o, d, best_t, g.crv_cp,
-                                                 g.crv_w)
+                                                 g.crv_w, g.crv_n)
         tb, idx, anyh = isect_mod._family_best(tc, hc)
         upd = anyh & (tb < best_t)
         best_t = jnp.where(upd, tb, best_t)
@@ -673,7 +673,8 @@ def intersect_p_bvh(scene, o, d, tmax, time=None):
                                       g.dsk_inner)
         occ |= h.any(-1)
     if scene.n_crv:
-        _, _, _, h = shapes.intersect_curves(o, d, tmax, g.crv_cp, g.crv_w)
+        _, _, _, h = shapes.intersect_curves(o, d, tmax, g.crv_cp,
+                                             g.crv_w, g.crv_n)
         occ |= h.any(-1)
     if scene.inst is not None:
         from pbrt_tpu.scene import instances as inst_mod

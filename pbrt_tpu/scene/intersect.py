@@ -165,7 +165,8 @@ def _intersect_brute(scene, o: Array, d: Array, tmax: Array,
                             prim_id)
     if scene.n_crv:
         t, u, v, h = shapes.intersect_curves(o, d, best_t, scene.geom.crv_cp,
-                                             scene.geom.crv_w)
+                                             scene.geom.crv_w,
+                                             scene.geom.crv_n)
         tb, idx, any_h = _family_best(t, h)
         ub = _at_argmin(u, idx)
         vb = _at_argmin(v, idx)
@@ -301,10 +302,12 @@ def finalize_hit(scene, o, d, t, prim_id, results=None, time=None) -> Hit:
             _, _, _, u_c, v_c = results["crv"]
         else:
             tt, uu, vv, hh = shapes.intersect_curves(
-                o, d, t + 1e-3, g.crv_cp, g.crv_w)
+                o, d, t + 1e-3, g.crv_cp, g.crv_w, g.crv_n)
             u_c = _at_argmin(uu, ci)
             v_c = _at_argmin(vv, ci)
-        tang, n_c = shapes.curve_hit_frame(o, d, cp_r, w_r, u_c, v_c, p)
+        n_rows = gc(g.crv_n) if g.crv_n is not None else None
+        tang, n_c = shapes.curve_hit_frame(o, d, cp_r, w_r, u_c, v_c, p,
+                                           nrows=n_rows)
         ng = jnp.where(is_crv[..., None], n_c, ng)
         ns = jnp.where(is_crv[..., None], n_c, ns)
         uv = jnp.where(is_crv[..., None],
@@ -345,7 +348,8 @@ def _intersect_p_brute(scene, o: Array, d: Array, tmax: Array,
                                       g.dsk_inner)
         occluded |= h.any(-1)
     if scene.n_crv:
-        _, _, _, h = shapes.intersect_curves(o, d, tmax, g.crv_cp, g.crv_w)
+        _, _, _, h = shapes.intersect_curves(o, d, tmax, g.crv_cp,
+                                             g.crv_w, g.crv_n)
         occluded |= h.any(-1)
     if scene.inst is not None:
         from pbrt_tpu.scene import instances as inst_mod

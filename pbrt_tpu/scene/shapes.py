@@ -428,22 +428,44 @@ def _ray_frame(d: Array):
     return dn, e1, e2
 
 
-def intersect_curves(o: Array, d: Array, tmax: Array, cp: Array, w: Array):
+def curve_slerp_normal(n: Array, u: Array):
+    """Ribbon orientation normal at parameter u: spherical lerp between
+    the u=0/1 normals (curve.cpp:44-58 + :169 Slerp). n: (...,2,3);
+    u broadcastable to n[...,0,0]. Returns (...,3) (unnormalized-safe)."""
+    n0 = n[..., 0, :]
+    n1 = n[..., 1, :]
+    cosang = jnp.clip(jnp.sum(n0 * n1, -1), -1.0, 1.0)
+    ang = jnp.arccos(cosang)
+    sinang = jnp.sin(ang)
+    safe = sinang > 1e-4
+    s0 = jnp.where(safe, jnp.sin((1.0 - u) * ang)
+                   / jnp.maximum(sinang, 1e-9), 1.0 - u)
+    s1 = jnp.where(safe, jnp.sin(u * ang)
+                   / jnp.maximum(sinang, 1e-9), u)
+    return s0[..., None] * n0 + s1[..., None] * n1
+
+
+def intersect_curves(o: Array, d: Array, tmax: Array, cp: Array, w: Array,
+                     n: Array = None):
     """All-pairs ray×curve (curve.cpp Curve::intersect).
 
     o,d: (R,3); cp: (N,4,3) world-space control points; w: (N,2) widths at
-    u=0/1. Returns (t, u, v, hit): each (R,N); v ∈ [0,1] is the offset
-    across the width (hair h = 2v−1), t in units of |d|=1 rays.
+    u=0/1; n: (N,2,3) ribbon orientation normals or None (zero rows =
+    flat/cylinder). Returns (t, u, v, hit): each (R,N); v ∈ [0,1] is the
+    offset across the width (hair h = 2v−1), t in units of |d|=1 rays.
 
     Per span [u_i, u_{i+1}]: project onto the ray frame, closest approach
     of the 2D chord to the ray axis, width test at the interpolated u —
     exactly the reference's recursion-leaf segment test, scanned over
-    CURVE_SEGMENTS static spans.
+    CURVE_SEGMENTS static spans. Ribbon rows scale the visible width by
+    |n(u)·d| (curve.cpp:165-172).
     """
     R = o.shape[0]
     N = cp.shape[0]
     dn, e1, e2 = _ray_frame(d)
     inv_len_d = 1.0  # callers pass unit-ish d; t reported along dn
+    is_ribbon = (jnp.sum(n[:, 0] * n[:, 0], -1) > 1e-12) if n is not None \
+        else None
 
     def ray_space(p_world):
         q = p_world - o[:, None, :]
@@ -471,6 +493,11 @@ def intersect_curves(o: Array, d: Array, tmax: Array, cp: Array, w: Array):
         pc = a + s[..., None] * (b - a)
         u_hit = ui + s * (uj - ui)
         hw = 0.5 * (w0 * (1.0 - u_hit) + w1 * u_hit)
+        if is_ribbon is not None:
+            nhit = curve_slerp_normal(n[None], u_hit)        # (R,N,3)
+            cosr = jnp.abs(jnp.sum(nhit * dn[:, None, :], -1)) \
+                / jnp.maximum(jnp.linalg.norm(nhit, axis=-1), 1e-9)
+            hw = jnp.where(is_ribbon[None], hw * cosr, hw)
         dist2 = pc[..., 0] ** 2 + pc[..., 1] ** 2
         t = pc[..., 2]
         hit = (dist2 <= hw * hw) & (t > 1e-4) & (t < tmax[:, None]) \
@@ -490,10 +517,12 @@ def intersect_curves(o: Array, d: Array, tmax: Array, cp: Array, w: Array):
 
 
 def curve_hit_frame(o: Array, d: Array, cp: Array, w: Array, u: Array,
-                    v: Array, p: Array):
+                    v: Array, p: Array, nrows: Array = None):
     """Shading attributes at a curve hit: dpdu = fiber tangent (drives the
     hair BSDF frame); normal = view-perpendicularized −d (flat/cylinder
-    shading normal role, curve.cpp:213-230). cp: (R,4,3) gathered rows."""
+    shading normal role, curve.cpp:213-230), or the slerped orientation
+    normal for ribbon rows (curve.cpp Ribbon dpdv, :213-218).
+    cp: (R,4,3) gathered rows; nrows: (R,2,3) gathered ribbon normals."""
     tang = bezier_tangent(cp, u)
     tang = normalize(tang)
     dn = normalize(d)
@@ -501,4 +530,11 @@ def curve_hit_frame(o: Array, d: Array, cp: Array, w: Array, u: Array,
     n = normalize(jnp.where(jnp.sum(n * n, -1, keepdims=True) > 1e-12, n,
                             jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]),
                                              n.shape)))
+    if nrows is not None:
+        is_rib = jnp.sum(nrows[:, 0] * nrows[:, 0], -1) > 1e-12
+        n_rib = curve_slerp_normal(nrows, u)
+        n_rib = normalize(jnp.where(
+            jnp.sum(n_rib * n_rib, -1, keepdims=True) > 1e-12, n_rib,
+            n))
+        n = jnp.where(is_rib[..., None], n_rib, n)
     return tang, n

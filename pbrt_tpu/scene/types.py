@@ -69,6 +69,10 @@ class Geometry:
     # cubic Bézier curves (shapes/curve.cpp), analytic intersection
     crv_cp: Optional[Array] = None    # (Ncrv,4,3) world-space control pts
     crv_w: Optional[Array] = None     # (Ncrv,2) widths at u=0/1
+    # ribbon orientation normals at u=0/1 ((0,0,0) rows = flat/cylinder;
+    # curve.cpp Ribbon type slerps between them and scales the visible
+    # width by |n·d|)
+    crv_n: Optional[Array] = None     # (Ncrv,2,3)
 
 
 @jax.tree_util.register_dataclass
@@ -300,12 +304,19 @@ class SceneBuilder:
                                med_in=med_in, med_out=med_out))
         return len(self.disks) - 1
 
-    def add_curve(self, cp, width0, width1, mat=0, med_in=-1, med_out=-1):
+    def add_curve(self, cp, width0, width1, mat=0, med_in=-1, med_out=-1,
+                  n0=None, n1=None):
         """Cubic Bézier hair/fur segment (shapes/curve.cpp), analytic
-        intersection; cp: (4,3) world-space control points."""
+        intersection; cp: (4,3) world-space control points. n0/n1: ribbon
+        orientation normals at u=0/1 (None = flat/cylinder)."""
+        z = np.zeros(3, np.float32)
         self.curves.append(dict(cp=np.asarray(cp, np.float32).reshape(4, 3),
                                 w0=float(width0), w1=float(width1), mat=mat,
-                                med_in=med_in, med_out=med_out))
+                                med_in=med_in, med_out=med_out,
+                                n0=(z if n0 is None
+                                    else np.asarray(n0, np.float32)),
+                                n1=(z if n1 is None
+                                    else np.asarray(n1, np.float32))))
         return len(self.curves) - 1
 
     # -- finalize ----------------------------------------------------------
@@ -396,6 +407,11 @@ class SceneBuilder:
             crv_w=(jnp.asarray(np.asarray(
                 [[r["w0"], r["w1"]] for r in self.curves], np.float32))
                 if ncv else None),
+            # static specialization: None unless some curve is a ribbon
+            # (so flat/cylinder scenes never trace the slerp math)
+            crv_n=(jnp.asarray(cn) if ncv and (cn := np.asarray(
+                [[r["n0"], r["n1"]] for r in self.curves],
+                np.float32)).any() else None),
         )
 
         def ids(rows, k, default=0):
