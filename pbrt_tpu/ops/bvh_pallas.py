@@ -15,12 +15,15 @@ kernel keeps the whole traversal on-chip and uses no gathers at all:
 - **Node metadata in SMEM**: one packed int32 per node
   (right<<5 | axis<<3 | leaf_count) — scalar loads with a dynamic index
   are SMEM's native operation.
-- **Node bounds / triangles in VMEM, extracted by mask-matmul**: bounds
-  rows are packed 12 nodes per 128-lane row and fetched with a dynamic
-  *sublane* slice (supported) — never a dynamic lane index (unsupported).
-  The 8 floats of the wanted node are pulled out by multiplying the
-  (1,128) row with a (128,8) one-hot mask built from a static lane iota
-  compared against the scalar lane offset: pure vector ops.
+- **Node bounds / triangles in VMEM, extracted by dynamic lane rotate**:
+  bounds rows are packed 12 nodes per 128-lane row, fetched with a
+  dynamic *sublane* slice (supported), then the wanted node's floats are
+  rotated to lane 0 with pltpu.roll and statically sliced — never a
+  dynamic lane index (unsupported), never the MXU (whose default f32
+  path rounds to bf16 — see _extract_fields history).
+- Both children are slab-tested at the parent step and only entered
+  ones are pushed; subtrees of ≤16 prims are collapsed into packet
+  leaves (pack_bvh) — the while step is the unit of cost.
 - Ordered descent: near child first by the packet's majority direction
   sign along the split axis; per-lane best_t keeps pruning exact.
 
@@ -120,16 +123,11 @@ def _traverse_kernel(meta_ref, nb_ref, tri_ref, ox_ref, oy_ref, oz_ref,
         sp, done, _, _ = c
         return (sp > 0) & jnp.logical_not(done)
 
-    def body(c):
-        sp, done, bt, bi = c
-        node = stack_ref[sp - 1]
-        meta = meta_ref[0, node]
-        cnt = meta & META_CNT_MASK
-        axis = (meta >> META_AXIS_SHIFT) & 0x3
-        right = meta >> META_RIGHT_SHIFT
-
-        nrow = node // NODES_PER_ROW
-        noff = (node % NODES_PER_ROW) * NODE_F
+    def _slab(node_idx, bt, bi):
+        """Fetch node_idx's bounds and slab-test the packet: returns a
+        scalar any-lane-enters flag."""
+        nrow = node_idx // NODES_PER_ROW
+        noff = (node_idx % NODES_PER_ROW) * NODE_F
         row = nb_ref[pl.ds(nrow, 1), :]                    # (1,128)
         nb = _extract_fields(row, noff, 6)                 # (1,6)
         lo_x = _bcast(nb, 0, shape)
@@ -138,7 +136,6 @@ def _traverse_kernel(meta_ref, nb_ref, tri_ref, ox_ref, oy_ref, oz_ref,
         hi_x = _bcast(nb, 3, shape)
         hi_y = _bcast(nb, 4, shape)
         hi_z = _bcast(nb, 5, shape)
-
         t0x = (lo_x - ox) * ix
         t1x = (hi_x - ox) * ix
         t0y = (lo_y - oy) * iy
@@ -152,13 +149,21 @@ def _traverse_kernel(meta_ref, nb_ref, tri_ref, ox_ref, oy_ref, oz_ref,
                                      jnp.maximum(t0y, t1y)),
                          jnp.maximum(t0z, t1z)) * gscale
         live = bt if not any_hit else jnp.where(bi >= 0, -BIG, bt)
-        hit_box = (tn <= tf) & (tf > 0.0) & (tn < live)
-        entered = jnp.any(hit_box)
+        return jnp.any((tn <= tf) & (tf > 0.0) & (tn < live))
+
+    def _process(node, sp2, bt, bi, enabled):
+        """Process one ENTERED node: leaf → triangle tests; interior →
+        slab-test both children, push entered ones above sp2. Returns
+        (new_sp2, bt, bi)."""
+        meta = meta_ref[0, node]
+        cnt = meta & META_CNT_MASK
+        axis = (meta >> META_AXIS_SHIFT) & 0x3
+        right = meta >> META_RIGHT_SHIFT
 
         is_leaf = cnt > 0
         # ---- leaf: up to LEAF_MAX sequential triangle tests, skipped
-        # entirely for interior/missed nodes (scalar cond)
-        do_leaf = entered & is_leaf
+        # for interior nodes (scalar cond)
+        do_leaf = is_leaf & enabled
         max_trow = tri_ref.shape[0] - 1
 
         def leaf_fn(carry):
@@ -201,22 +206,45 @@ def _traverse_kernel(meta_ref, nb_ref, tri_ref, ox_ref, oy_ref, oz_ref,
 
         bt, bi = jax.lax.cond(do_leaf, leaf_fn, lambda c: c, (bt, bi))
 
-        # ---- interior: ordered push (near on top)
-        sneg = jnp.where(axis == 0, sneg_x,
-                         jnp.where(axis == 1, sneg_y, sneg_z))
-        c_near = jnp.where(sneg, right, node + 1)
-        c_far = jnp.where(sneg, node + 1, right)
-        do_push = entered & jnp.logical_not(is_leaf)
+        # ---- interior: test BOTH children here, push only entered ones
+        # (far below near so near pops first)
+        def interior_fn(sp2):
+            sneg = jnp.where(axis == 0, sneg_x,
+                             jnp.where(axis == 1, sneg_y, sneg_z))
+            c_near = jnp.where(sneg, right, node + 1)
+            c_far = jnp.where(sneg, node + 1, right)
+            hit_near = _slab(c_near, bt, bi)
+            hit_far = _slab(c_far, bt, bi)
 
-        @pl.when(do_push)
-        def _():
-            stack_ref[sp - 1] = c_far
-            stack_ref[sp] = c_near
+            @pl.when(hit_far)
+            def _():
+                stack_ref[sp2] = c_far
 
-        sp2 = jnp.where(do_push, sp + 1, sp - 1)
+            sp3 = jnp.where(hit_far, sp2 + 1, sp2)
+
+            @pl.when(hit_near)
+            def _():
+                stack_ref[sp3] = c_near
+
+            return jnp.where(hit_near, sp3 + 1, sp3)
+
+        sp2 = jax.lax.cond(is_leaf | jnp.logical_not(enabled),
+                           lambda s: s, interior_fn, sp2)
+        return sp2, bt, bi
+
+    def body(c):
+        """Pop one ENTERED node (children are slab-tested at the
+        parent, so missed subtrees never consume a loop step). A
+        two-node-per-iteration variant was measured 3% slower — the
+        shared-stack SMEM chain serializes, no ILP to win."""
+        sp, done, bt, bi = c
+        node = stack_ref[sp - 1]
+        sp2, bt, bi = _process(node, sp - 1, bt, bi, True)
         done2 = jnp.logical_not(jnp.any(bi < 0)) if any_hit else done
         return (sp2, done2, bt, bi)
 
+    # root: enter unconditionally (one possibly-wasted step on a missed
+    # scene bbox is cheaper than a pre-loop test)
     _, _, bt, bi = jax.lax.while_loop(
         cond, body, (jnp.int32(1), False, best_t0, best_i0))
     t_out[:, :] = bt
