@@ -68,14 +68,18 @@ PACKET_LEAF_MAX = 16
 
 
 def _bcast(vec_1x, col, shape):
-    """Broadcast element [0, col] of a (1, K) vector to ``shape``.
+    """Lane-broadcast element [0, col] of a (1, K) vector to (1, lanes).
 
-    Mosaic can't broadcast (1,1)→(sublanes,lanes) in one op ("Broadcast in
-    both sublanes and lanes" unimplemented), and chained broadcasts fold
-    back into one — lane-broadcast to (1, lanes), then stack sublane
-    copies with concatenate (a distinct op Mosaic handles)."""
+    Mosaic can't broadcast (1,1)→(sublanes,lanes) in one op ("Broadcast
+    in both sublanes and lanes" unimplemented), it FOLDS a chained
+    lane-then-sublane broadcast back into that unsupported form, and
+    optimization_barrier has no Mosaic lowering — so the sublane half is
+    log-doubling concatenation (3 ops for 8 sublanes; the old flat
+    8-way concatenate was ~140 ns per fetched field)."""
     v = jnp.broadcast_to(vec_1x[0:1, col:col + 1], (1, shape[1]))
-    return jnp.concatenate([v] * shape[0], axis=0)
+    while v.shape[0] < shape[0]:
+        v = jnp.concatenate([v, v], axis=0)
+    return v
 
 
 def _extract_fields(row_1x128, lane_off, nfields):
