@@ -13,17 +13,20 @@ kernel keeps the whole traversal on-chip and uses no gathers at all:
   entered when ANY live ray's slab test passes — the classic SIMD packet
   scheme, which maps exactly onto the VPU's (8,128) vector shape.
 - **Node metadata in SMEM**: one packed int32 per node
-  (right<<5 | axis<<3 | leaf_count) — scalar loads with a dynamic index
+  (right<<7 | axis<<5 | leaf_count) — scalar loads with a dynamic index
   are SMEM's native operation.
-- **Node bounds / triangles in VMEM, extracted by dynamic lane rotate**:
-  bounds rows are packed 12 nodes per 128-lane row, fetched with a
-  dynamic *sublane* slice (supported), then the wanted node's floats are
-  rotated to lane 0 with pltpu.roll and statically sliced — never a
-  dynamic lane index (unsupported), never the MXU (whose default f32
-  path rounds to bf16 — see _extract_fields history).
-- Both children are slab-tested at the parent step and only entered
-  ones are pushed; subtrees of ≤16 prims are collapsed into packet
-  leaves (pack_bvh) — the while step is the unit of cost.
+- **Child bounds at the parent, one rotate per interior step**: each
+  interior node's VMEM record holds BOTH children's bounds (12 floats,
+  10 nodes per 128-lane row), fetched with a dynamic *sublane* slice
+  then a pltpu.roll to lane 0 + static slice — never a dynamic lane
+  index (unsupported), never the MXU (whose default f32 path rounds to
+  bf16 — see _extract_fields history). Both children are slab-tested at
+  the parent and only entered ones pushed: a missed subtree never
+  consumes a while iteration.
+- **Leaf blocks at static lanes**: subtrees of ≤PACKET_LEAF_MAX prims
+  collapse into one leaf (pack_bvh) stored as aligned rows with every
+  triangle at a STATIC lane offset (v0|e1|e2|leaf-ordered-index) — leaf
+  tests do zero dynamic lane math.
 - Ordered descent: near child first by the packet's majority direction
   sign along the split axis; per-lane best_t keeps pruning exact.
 
@@ -47,10 +50,13 @@ Array = Any
 
 LANES = 128
 ROWS = 8                  # rays per packet = ROWS * LANES = 1024
-NODES_PER_ROW = 12        # 12 nodes x 10 floats = 120 lanes used
-TRIS_PER_ROW = 14         # 14 tris x 9 floats = 126 lanes used
-NODE_F = 10               # lo3 hi3 (6 used; 4 pad for alignment)
-TRI_F = 9                 # v0 e1 e2
+NODES_PER_ROW = 10        # 10 nodes x 12 floats = 120 lanes used
+TRIS_PER_LEAF_ROW = 12    # leaf-block layout: 12 tris x 10 floats/row
+NODE_F = 12               # BOTH children's bounds at the parent:
+                          # [left.lo3 left.hi3 right.lo3 right.hi3] —
+                          # one roll fetch per interior step instead of
+                          # two (leaf slots unused)
+TRI_F = 10                # v0 e1 e2 + leaf-ordered tri index (float)
 STACK = 96
 BIG = 1e30
 
@@ -64,7 +70,9 @@ META_RIGHT_SHIFT = 7
 # smaller tree beats the extra masked triangle tests (which are cheap
 # vector work). The XLA traversal path keeps the builder's LEAF_MAX=4
 # tree — only the packet layout is coarsened.
-PACKET_LEAF_MAX = 16
+PACKET_LEAF_MAX = 16  # A/B: 8 (1-row blocks) measured equal; 16 = fewer nodes
+# rows per leaf block (12 tris × 10 floats fit one 128-lane row)
+LEAF_BLOCK_ROWS = (PACKET_LEAF_MAX * TRI_F + LANES - 1) // LANES
 
 
 def _bcast(vec_1x, col, shape):
@@ -127,19 +135,16 @@ def _traverse_kernel(meta_ref, nb_ref, tri_ref, ox_ref, oy_ref, oz_ref,
         sp, done, _, _ = c
         return (sp > 0) & jnp.logical_not(done)
 
-    def _slab(node_idx, bt, bi):
-        """Fetch node_idx's bounds and slab-test the packet: returns a
+    def _slab_cols(nb, base, bt, bi):
+        """Slab-test one child whose bounds sit at columns
+        [base, base+6) of the fetched (1,12) parent record; returns a
         scalar any-lane-enters flag."""
-        nrow = node_idx // NODES_PER_ROW
-        noff = (node_idx % NODES_PER_ROW) * NODE_F
-        row = nb_ref[pl.ds(nrow, 1), :]                    # (1,128)
-        nb = _extract_fields(row, noff, 6)                 # (1,6)
-        lo_x = _bcast(nb, 0, shape)
-        lo_y = _bcast(nb, 1, shape)
-        lo_z = _bcast(nb, 2, shape)
-        hi_x = _bcast(nb, 3, shape)
-        hi_y = _bcast(nb, 4, shape)
-        hi_z = _bcast(nb, 5, shape)
+        lo_x = _bcast(nb, base + 0, shape)
+        lo_y = _bcast(nb, base + 1, shape)
+        lo_z = _bcast(nb, base + 2, shape)
+        hi_x = _bcast(nb, base + 3, shape)
+        hi_y = _bcast(nb, base + 4, shape)
+        hi_z = _bcast(nb, base + 5, shape)
         t0x = (lo_x - ox) * ix
         t1x = (hi_x - ox) * ix
         t0y = (lo_y - oy) * iy
@@ -165,19 +170,19 @@ def _traverse_kernel(meta_ref, nb_ref, tri_ref, ox_ref, oy_ref, oz_ref,
         right = meta >> META_RIGHT_SHIFT
 
         is_leaf = cnt > 0
-        # ---- leaf: up to LEAF_MAX sequential triangle tests, skipped
-        # for interior nodes (scalar cond)
+        # ---- leaf: one aligned 2-row block per leaf (right = block id),
+        # every tri at a STATIC lane offset — no rolls, no dynamic lane
+        # math; the leaf-ordered tri index rides in the block as a float
         do_leaf = is_leaf & enabled
-        max_trow = tri_ref.shape[0] - 1
 
         def leaf_fn(carry):
             bt, bi = carry
+            rows2 = tri_ref[pl.ds(right * LEAF_BLOCK_ROWS,
+                                  LEAF_BLOCK_ROWS), :]
             for k in range(PACKET_LEAF_MAX):
-                tidx = right + k
-                trow_i = jnp.minimum(tidx // TRIS_PER_ROW, max_trow)
-                troff = (tidx % TRIS_PER_ROW) * TRI_F
-                trow = tri_ref[pl.ds(trow_i, 1), :]
-                tv = _extract_fields(trow, troff, 9)       # (1,9)
+                r = k // TRIS_PER_LEAF_ROW
+                base = (k % TRIS_PER_LEAF_ROW) * TRI_F
+                tv = rows2[r:r + 1, base:base + TRI_F]     # (1,10) static
                 v0x = _bcast(tv, 0, shape)
                 v0y = _bcast(tv, 1, shape)
                 v0z = _bcast(tv, 2, shape)
@@ -187,6 +192,7 @@ def _traverse_kernel(meta_ref, nb_ref, tri_ref, ox_ref, oy_ref, oz_ref,
                 e2x = _bcast(tv, 6, shape)
                 e2y = _bcast(tv, 7, shape)
                 e2z = _bcast(tv, 8, shape)
+                idx_f = _bcast(tv, 9, shape)
                 px = dy * e2z - dz * e2y
                 py = dz * e2x - dx * e2z
                 pz = dx * e2y - dy * e2x
@@ -205,7 +211,7 @@ def _traverse_kernel(meta_ref, nb_ref, tri_ref, ox_ref, oy_ref, oz_ref,
                        & (v >= 0.0) & (u + v <= 1.0) & (t > 1e-4)
                        & (t < bt))
                 bt = jnp.where(hit, t, bt)
-                bi = jnp.where(hit, jnp.full(shape, tidx, jnp.int32), bi)
+                bi = jnp.where(hit, idx_f.astype(jnp.int32), bi)
             return bt, bi
 
         bt, bi = jax.lax.cond(do_leaf, leaf_fn, lambda c: c, (bt, bi))
@@ -213,12 +219,18 @@ def _traverse_kernel(meta_ref, nb_ref, tri_ref, ox_ref, oy_ref, oz_ref,
         # ---- interior: test BOTH children here, push only entered ones
         # (far below near so near pops first)
         def interior_fn(sp2):
+            nrow = node // NODES_PER_ROW
+            noff = (node % NODES_PER_ROW) * NODE_F
+            row = nb_ref[pl.ds(nrow, 1), :]                  # (1,128)
+            nb = _extract_fields(row, noff, 12)              # (1,12)
             sneg = jnp.where(axis == 0, sneg_x,
                              jnp.where(axis == 1, sneg_y, sneg_z))
             c_near = jnp.where(sneg, right, node + 1)
             c_far = jnp.where(sneg, node + 1, right)
-            hit_near = _slab(c_near, bt, bi)
-            hit_far = _slab(c_far, bt, bi)
+            hit_left = _slab_cols(nb, 0, bt, bi)
+            hit_right = _slab_cols(nb, 6, bt, bi)
+            hit_near = jnp.where(sneg, hit_right, hit_left)
+            hit_far = jnp.where(sneg, hit_left, hit_right)
 
             @pl.when(hit_far)
             def _():
@@ -386,24 +398,45 @@ def pack_bvh(lo, hi, right, count, axis, v0, v1, v2):
         np.asarray(count, np.int64), np.asarray(axis, np.int64))
     N = right.shape[0]
     P = v0.shape[0]
-    meta = ((right << META_RIGHT_SHIFT)
-            | (axis << META_AXIS_SHIFT)
-            | count).astype(np.int32)[None, :]
 
     nrows = (N + NODES_PER_ROW - 1) // NODES_PER_ROW
     nb = np.zeros((nrows * NODES_PER_ROW, NODE_F), np.float32)
-    nb[:N, 0:3] = lo
-    nb[:N, 3:6] = hi
+    interior = count == 0
+    li = np.where(interior)[0]
+    if li.size:
+        lchild = li + 1
+        rchild = right[li].astype(np.int64)
+        nb[li, 0:3] = lo[lchild]
+        nb[li, 3:6] = hi[lchild]
+        nb[li, 6:9] = lo[rchild]
+        nb[li, 9:12] = hi[rchild]
     nb = nb.reshape(nrows, NODES_PER_ROW * NODE_F)
     nbounds = np.zeros((nrows, LANES), np.float32)
     nbounds[:, :NODES_PER_ROW * NODE_F] = nb
 
-    trows = (P + TRIS_PER_ROW - 1) // TRIS_PER_ROW
-    tr = np.zeros((trows * TRIS_PER_ROW, TRI_F), np.float32)
-    tr[:P, 0:3] = v0
-    tr[:P, 3:6] = v1 - v0
-    tr[:P, 6:9] = v2 - v0
-    tr = tr.reshape(trows, TRIS_PER_ROW * TRI_F)
-    tris = np.zeros((trows, LANES), np.float32)
-    tris[:, :TRIS_PER_ROW * TRI_F] = tr
-    return meta, nbounds, tris
+    # leaf blocks: 2 aligned rows per leaf, tri k at row k//12,
+    # lanes (k%12)*10 .. +10 = [v0, e1, e2, leaf-ordered index]; meta's
+    # right field for leaves becomes the BLOCK id (kernel row = 2*id)
+    e1 = v1 - v0
+    e2 = v2 - v0
+    leaves = np.where(count > 0)[0]
+    n_leaf = max(len(leaves), 1)
+    br = LEAF_BLOCK_ROWS
+    blocks = np.zeros((n_leaf * br, LANES), np.float32)
+    new_right = right.copy()
+    for b, i in enumerate(leaves):
+        st = int(right[i])
+        cn = int(count[i])
+        new_right[i] = b
+        for k in range(cn):
+            r, base = divmod(k, TRIS_PER_LEAF_ROW)
+            blocks[br * b + r, base * TRI_F:base * TRI_F + 3] = v0[st + k]
+            blocks[br * b + r,
+                   base * TRI_F + 3:base * TRI_F + 6] = e1[st + k]
+            blocks[br * b + r,
+                   base * TRI_F + 6:base * TRI_F + 9] = e2[st + k]
+            blocks[br * b + r, base * TRI_F + 9] = float(st + k)
+    meta = ((new_right << META_RIGHT_SHIFT)
+            | (axis << META_AXIS_SHIFT)
+            | count).astype(np.int32)[None, :]
+    return meta, nbounds, blocks
