@@ -15,14 +15,15 @@ kernel keeps the whole traversal on-chip and uses no gathers at all:
 - **Node metadata in SMEM**: one packed int32 per node
   (right<<7 | axis<<5 | leaf_count) — scalar loads with a dynamic index
   are SMEM's native operation.
-- **Child bounds at the parent, one rotate per interior step**: each
-  interior node's VMEM record holds BOTH children's bounds (12 floats,
-  10 nodes per 128-lane row), fetched with a dynamic *sublane* slice
-  then a pltpu.roll to lane 0 + static slice — never a dynamic lane
-  index (unsupported), never the MXU (whose default f32 path rounds to
-  bf16 — see _extract_fields history). Both children are slab-tested at
-  the parent and only entered ones pushed: a missed subtree never
-  consumes a while iteration.
+- **4-wide (BVH4) nodes, one rotate per interior step**: pairs of
+  binary levels merge; each wide node's VMEM record holds its four
+  slots' bounds (24 floats, 5 nodes per 128-lane row), fetched with a
+  dynamic *sublane* slice then a pltpu.roll to lane 0 + static slice —
+  never a dynamic lane index (unsupported), never the MXU (whose
+  default f32 path rounds to bf16 — see _extract_fields history). All
+  four slots are slab-tested from the one fetch and only entered ones
+  pushed (near group last): a missed subtree never consumes a while
+  iteration. Slot encodings + the parent split axis live in SMEM.
 - **Leaf blocks at static lanes**: subtrees of ≤PACKET_LEAF_MAX prims
   collapse into one leaf (pack_bvh) stored as aligned rows with every
   triangle at a STATIC lane offset (v0|e1|e2|leaf-ordered-index) — leaf
@@ -50,12 +51,11 @@ Array = Any
 
 LANES = 128
 ROWS = 8                  # rays per packet = ROWS * LANES = 1024
-NODES_PER_ROW = 10        # 10 nodes x 12 floats = 120 lanes used
+NODES_PER_ROW = 5         # wide (BVH4) nodes: 5 x 24 floats = 120 lanes
 TRIS_PER_LEAF_ROW = 12    # leaf-block layout: 12 tris x 10 floats/row
-NODE_F = 12               # BOTH children's bounds at the parent:
-                          # [left.lo3 left.hi3 right.lo3 right.hi3] —
-                          # one roll fetch per interior step instead of
-                          # two (leaf slots unused)
+NODE_F = 24               # four slot bounds per wide node record:
+                          # [slot0.lo3 slot0.hi3 ... slot3.lo3 slot3.hi3]
+                          # — ONE roll fetch tests four children
 TRI_F = 10                # v0 e1 e2 + leaf-ordered tri index (float)
 STACK = 96
 BIG = 1e30
@@ -70,7 +70,7 @@ META_RIGHT_SHIFT = 7
 # smaller tree beats the extra masked triangle tests (which are cheap
 # vector work). The XLA traversal path keeps the builder's LEAF_MAX=4
 # tree — only the packet layout is coarsened.
-PACKET_LEAF_MAX = 16  # A/B: 8 (1-row blocks) measured equal; 16 = fewer nodes
+PACKET_LEAF_MAX = 16   # A/B: 8 and 12 measured equal-or-slower
 # rows per leaf block (12 tris × 10 floats fit one 128-lane row)
 LEAF_BLOCK_ROWS = (PACKET_LEAF_MAX * TRI_F + LANES - 1) // LANES
 
@@ -160,102 +160,87 @@ def _traverse_kernel(meta_ref, nb_ref, tri_ref, ox_ref, oy_ref, oz_ref,
         live = bt if not any_hit else jnp.where(bi >= 0, -BIG, bt)
         return jnp.any((tn <= tf) & (tf > 0.0) & (tn < live))
 
-    def _process(node, sp2, bt, bi, enabled):
-        """Process one ENTERED node: leaf → triangle tests; interior →
-        slab-test both children, push entered ones above sp2. Returns
-        (new_sp2, bt, bi)."""
-        meta = meta_ref[0, node]
-        cnt = meta & META_CNT_MASK
-        axis = (meta >> META_AXIS_SHIFT) & 0x3
-        right = meta >> META_RIGHT_SHIFT
-
-        is_leaf = cnt > 0
-        # ---- leaf: one aligned 2-row block per leaf (right = block id),
-        # every tri at a STATIC lane offset — no rolls, no dynamic lane
-        # math; the leaf-ordered tri index rides in the block as a float
-        do_leaf = is_leaf & enabled
-
-        def leaf_fn(carry):
-            bt, bi = carry
-            rows2 = tri_ref[pl.ds(right * LEAF_BLOCK_ROWS,
-                                  LEAF_BLOCK_ROWS), :]
-            for k in range(PACKET_LEAF_MAX):
-                r = k // TRIS_PER_LEAF_ROW
-                base = (k % TRIS_PER_LEAF_ROW) * TRI_F
-                tv = rows2[r:r + 1, base:base + TRI_F]     # (1,10) static
-                v0x = _bcast(tv, 0, shape)
-                v0y = _bcast(tv, 1, shape)
-                v0z = _bcast(tv, 2, shape)
-                e1x = _bcast(tv, 3, shape)
-                e1y = _bcast(tv, 4, shape)
-                e1z = _bcast(tv, 5, shape)
-                e2x = _bcast(tv, 6, shape)
-                e2y = _bcast(tv, 7, shape)
-                e2z = _bcast(tv, 8, shape)
-                idx_f = _bcast(tv, 9, shape)
-                px = dy * e2z - dz * e2y
-                py = dz * e2x - dx * e2z
-                pz = dx * e2y - dy * e2x
-                det = e1x * px + e1y * py + e1z * pz
-                inv_det = jnp.where(jnp.abs(det) > 1e-12, 1.0 / det, 0.0)
-                rx = ox - v0x
-                ry = oy - v0y
-                rz = oz - v0z
-                u = (rx * px + ry * py + rz * pz) * inv_det
-                qx = ry * e1z - rz * e1y
-                qy = rz * e1x - rx * e1z
-                qz = rx * e1y - ry * e1x
-                v = (dx * qx + dy * qy + dz * qz) * inv_det
-                t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
-                hit = ((k < cnt) & (jnp.abs(det) > 1e-12) & (u >= 0.0)
-                       & (v >= 0.0) & (u + v <= 1.0) & (t > 1e-4)
-                       & (t < bt))
-                bt = jnp.where(hit, t, bt)
-                bi = jnp.where(hit, idx_f.astype(jnp.int32), bi)
-            return bt, bi
-
-        bt, bi = jax.lax.cond(do_leaf, leaf_fn, lambda c: c, (bt, bi))
-
-        # ---- interior: test BOTH children here, push only entered ones
-        # (far below near so near pops first)
-        def interior_fn(sp2):
-            nrow = node // NODES_PER_ROW
-            noff = (node % NODES_PER_ROW) * NODE_F
-            row = nb_ref[pl.ds(nrow, 1), :]                  # (1,128)
-            nb = _extract_fields(row, noff, 12)              # (1,12)
-            sneg = jnp.where(axis == 0, sneg_x,
-                             jnp.where(axis == 1, sneg_y, sneg_z))
-            c_near = jnp.where(sneg, right, node + 1)
-            c_far = jnp.where(sneg, node + 1, right)
-            hit_left = _slab_cols(nb, 0, bt, bi)
-            hit_right = _slab_cols(nb, 6, bt, bi)
-            hit_near = jnp.where(sneg, hit_right, hit_left)
-            hit_far = jnp.where(sneg, hit_left, hit_right)
-
-            @pl.when(hit_far)
-            def _():
-                stack_ref[sp2] = c_far
-
-            sp3 = jnp.where(hit_far, sp2 + 1, sp2)
-
-            @pl.when(hit_near)
-            def _():
-                stack_ref[sp3] = c_near
-
-            return jnp.where(hit_near, sp3 + 1, sp3)
-
-        sp2 = jax.lax.cond(is_leaf | jnp.logical_not(enabled),
-                           lambda s: s, interior_fn, sp2)
-        return sp2, bt, bi
+    def _leaf(block, cnt, bt, bi):
+        """Triangle tests over one static-lane leaf block."""
+        rows2 = tri_ref[pl.ds(block * LEAF_BLOCK_ROWS,
+                              LEAF_BLOCK_ROWS), :]
+        for k in range(PACKET_LEAF_MAX):
+            r = k // TRIS_PER_LEAF_ROW
+            base = (k % TRIS_PER_LEAF_ROW) * TRI_F
+            tv = rows2[r:r + 1, base:base + TRI_F]     # (1,10) static
+            v0x = _bcast(tv, 0, shape)
+            v0y = _bcast(tv, 1, shape)
+            v0z = _bcast(tv, 2, shape)
+            e1x = _bcast(tv, 3, shape)
+            e1y = _bcast(tv, 4, shape)
+            e1z = _bcast(tv, 5, shape)
+            e2x = _bcast(tv, 6, shape)
+            e2y = _bcast(tv, 7, shape)
+            e2z = _bcast(tv, 8, shape)
+            idx_f = _bcast(tv, 9, shape)
+            px = dy * e2z - dz * e2y
+            py = dz * e2x - dx * e2z
+            pz = dx * e2y - dy * e2x
+            det = e1x * px + e1y * py + e1z * pz
+            inv_det = jnp.where(jnp.abs(det) > 1e-12, 1.0 / det, 0.0)
+            rx = ox - v0x
+            ry = oy - v0y
+            rz = oz - v0z
+            u = (rx * px + ry * py + rz * pz) * inv_det
+            qx = ry * e1z - rz * e1y
+            qy = rz * e1x - rx * e1z
+            qz = rx * e1y - ry * e1x
+            v = (dx * qx + dy * qy + dz * qz) * inv_det
+            t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+            hit = ((k < cnt) & (jnp.abs(det) > 1e-12) & (u >= 0.0)
+                   & (v >= 0.0) & (u + v <= 1.0) & (t > 1e-4)
+                   & (t < bt))
+            bt = jnp.where(hit, t, bt)
+            bi = jnp.where(hit, idx_f.astype(jnp.int32), bi)
+        return bt, bi
 
     def body(c):
-        """Pop one ENTERED node (children are slab-tested at the
-        parent, so missed subtrees never consume a loop step). A
-        two-node-per-iteration variant was measured 3% slower — the
-        shared-stack SMEM chain serializes, no ILP to win."""
+        """Pop one encoded entry: (target<<5|cnt); cnt>0 → leaf block,
+        else a wide node whose FOUR child slots are slab-tested from one
+        fetched record, entered ones pushed near-group-last (the wide
+        node stores the parent binary split axis for the group vote)."""
         sp, done, bt, bi = c
-        node = stack_ref[sp - 1]
-        sp2, bt, bi = _process(node, sp - 1, bt, bi, True)
+        e = stack_ref[sp - 1]
+        cnt = e & META_CNT_MASK
+        target = e >> META_AXIS_SHIFT
+        do_leaf = cnt > 0
+        bt, bi = jax.lax.cond(
+            do_leaf, lambda c2: _leaf(target, cnt, c2[0], c2[1]),
+            lambda c2: c2, (bt, bi))
+        sp2 = sp - 1
+
+        def wide_fn(sp2):
+            nrow = target // NODES_PER_ROW
+            noff = (target % NODES_PER_ROW) * NODE_F
+            row = nb_ref[pl.ds(nrow, 1), :]                  # (1,128)
+            nb = _extract_fields(row, noff, 24)              # (1,24)
+            axis = meta_ref[4, target]
+            sneg = jnp.where(axis == 0, sneg_x,
+                             jnp.where(axis == 1, sneg_y, sneg_z))
+            encs = [meta_ref[k, target] for k in range(4)]
+            hits = [_slab_cols(nb, 6 * k, bt, bi) for k in range(4)]
+            valid = [(encs[k] >= 0) & hits[k] for k in range(4)]
+            # slots 0,1 = left subtree, 2,3 = right; push far group
+            # first so the near group pops first (LIFO)
+            for j in range(4):
+                k_pos = (2, 3, 0, 1)[j]   # !sneg: left near → push right 1st
+                k_neg = (0, 1, 2, 3)[j]   # sneg: right near → push left 1st
+                ek = jnp.where(sneg, encs[k_neg], encs[k_pos])
+                vk = jnp.where(sneg, valid[k_neg], valid[k_pos])
+
+                @pl.when(vk)
+                def _(sp2=sp2, ek=ek):
+                    stack_ref[sp2] = ek
+
+                sp2 = jnp.where(vk, sp2 + 1, sp2)
+            return sp2
+
+        sp2 = jax.lax.cond(do_leaf, lambda s2: s2, wide_fn, sp2)
         done2 = jnp.logical_not(jnp.any(bi < 0)) if any_hit else done
         return (sp2, done2, bt, bi)
 
@@ -388,46 +373,35 @@ def _collapse_tree(lo, hi, right, count, axis, max_leaf=PACKET_LEAF_MAX):
 
 
 def pack_bvh(lo, hi, right, count, axis, v0, v1, v2):
-    """Host-side packing of a flat DFS BVH into the kernel layout
-    (subtrees collapsed to PACKET_LEAF_MAX-triangle leaves first).
+    """Host-side packing of a flat DFS BVH into the BVH4 kernel layout.
 
-    Returns (meta (1,N) i32 [SMEM], nbounds (ceil(N/12), 128) f32 [VMEM],
-    tris (ceil(P/14), 128) f32 [VMEM])."""
+    The binary tree is first collapsed to PACKET_LEAF_MAX-triangle
+    leaves (_collapse_tree), then pairs of binary levels merge into
+    4-wide nodes: each wide node's record holds its (up to) four slots'
+    bounds (24 floats, 5 nodes per 128-lane row in VMEM) and the slot
+    encodings + parent split axis live in SMEM ((5, Nw) int32). Leaf
+    triangles are repacked into aligned static-lane blocks
+    (v0|e1|e2|leaf-ordered-index, 12 tris per row).
+
+    Returns (meta (5,Nw) i32 [SMEM], nbounds (ceil(Nw/5),128) f32
+    [VMEM], tris (n_leaf*LEAF_BLOCK_ROWS, 128) f32 [VMEM])."""
     lo, hi, right, count, axis = _collapse_tree(
         np.asarray(lo), np.asarray(hi), np.asarray(right, np.int64),
         np.asarray(count, np.int64), np.asarray(axis, np.int64))
-    N = right.shape[0]
-    P = v0.shape[0]
-
-    nrows = (N + NODES_PER_ROW - 1) // NODES_PER_ROW
-    nb = np.zeros((nrows * NODES_PER_ROW, NODE_F), np.float32)
-    interior = count == 0
-    li = np.where(interior)[0]
-    if li.size:
-        lchild = li + 1
-        rchild = right[li].astype(np.int64)
-        nb[li, 0:3] = lo[lchild]
-        nb[li, 3:6] = hi[lchild]
-        nb[li, 6:9] = lo[rchild]
-        nb[li, 9:12] = hi[rchild]
-    nb = nb.reshape(nrows, NODES_PER_ROW * NODE_F)
-    nbounds = np.zeros((nrows, LANES), np.float32)
-    nbounds[:, :NODES_PER_ROW * NODE_F] = nb
-
-    # leaf blocks: 2 aligned rows per leaf, tri k at row k//12,
-    # lanes (k%12)*10 .. +10 = [v0, e1, e2, leaf-ordered index]; meta's
-    # right field for leaves becomes the BLOCK id (kernel row = 2*id)
+    n = right.shape[0]
     e1 = v1 - v0
     e2 = v2 - v0
+
+    # ---- leaf blocks (block id per binary leaf)
     leaves = np.where(count > 0)[0]
     n_leaf = max(len(leaves), 1)
     br = LEAF_BLOCK_ROWS
     blocks = np.zeros((n_leaf * br, LANES), np.float32)
-    new_right = right.copy()
+    block_id = np.full(n, -1, np.int64)
     for b, i in enumerate(leaves):
         st = int(right[i])
         cn = int(count[i])
-        new_right[i] = b
+        block_id[i] = b
         for k in range(cn):
             r, base = divmod(k, TRIS_PER_LEAF_ROW)
             blocks[br * b + r, base * TRI_F:base * TRI_F + 3] = v0[st + k]
@@ -436,7 +410,52 @@ def pack_bvh(lo, hi, right, count, axis, v0, v1, v2):
             blocks[br * b + r,
                    base * TRI_F + 6:base * TRI_F + 9] = e2[st + k]
             blocks[br * b + r, base * TRI_F + 9] = float(st + k)
-    meta = ((new_right << META_RIGHT_SHIFT)
-            | (axis << META_AXIS_SHIFT)
-            | count).astype(np.int32)[None, :]
+
+    # ---- wide (BVH4) nodes
+    wmeta = []      # rows of 5 ints: 4 slot encodings + parent axis
+    wbounds = []    # rows of 24 floats
+
+    def leaf_enc(i):
+        return int(block_id[i]) << META_AXIS_SHIFT | int(count[i])
+
+    def make_wide(b):
+        """Binary interior (or lone-leaf root) → wide node id."""
+        wid = len(wmeta)
+        wmeta.append([-1, -1, -1, -1, 0])
+        wbounds.append(np.zeros(24, np.float32))
+        if count[b] > 0:            # degenerate root-leaf
+            slots = [b]
+        else:
+            slots = []
+            for c in (int(b) + 1, int(right[b])):
+                if count[c] > 0:
+                    slots.append(c)
+                else:
+                    slots.extend((c + 1, int(right[c])))
+        for k, si in enumerate(slots):
+            wbounds[wid][6 * k:6 * k + 3] = lo[si]
+            wbounds[wid][6 * k + 3:6 * k + 6] = hi[si]
+            if count[si] > 0:
+                wmeta[wid][k] = leaf_enc(si)
+            else:
+                wmeta[wid][k] = make_wide(si) << META_AXIS_SHIFT
+        wmeta[wid][4] = int(axis[b])
+        return wid
+
+    import sys
+    old_lim = sys.getrecursionlimit()
+    sys.setrecursionlimit(max(old_lim, n + 64))
+    try:
+        make_wide(0)
+    finally:
+        sys.setrecursionlimit(old_lim)
+
+    nw = len(wmeta)
+    meta = np.asarray(wmeta, np.int32).T.copy()          # (5, Nw)
+    nrows = (nw + NODES_PER_ROW - 1) // NODES_PER_ROW
+    nb = np.zeros((nrows * NODES_PER_ROW, NODE_F), np.float32)
+    nb[:nw] = np.asarray(wbounds, np.float32)
+    nb = nb.reshape(nrows, NODES_PER_ROW * NODE_F)
+    nbounds = np.zeros((nrows, LANES), np.float32)
+    nbounds[:, :NODES_PER_ROW * NODE_F] = nb
     return meta, nbounds, blocks
