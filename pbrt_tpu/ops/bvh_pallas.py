@@ -51,11 +51,13 @@ Array = Any
 
 LANES = 128
 ROWS = 8                  # rays per packet = ROWS * LANES = 1024
-NODES_PER_ROW = 5         # wide (BVH4) nodes: 5 x 24 floats = 120 lanes
+WIDE = 4                  # children per wide node; 8 A/Bed slower (the
+                          # longer scalar push chain beats the step cut)
+NODES_PER_ROW = 5         # wide nodes: 5 x 24 floats = 120 lanes
 TRIS_PER_LEAF_ROW = 12    # leaf-block layout: 12 tris x 10 floats/row
-NODE_F = 24               # four slot bounds per wide node record:
-                          # [slot0.lo3 slot0.hi3 ... slot3.lo3 slot3.hi3]
-                          # — ONE roll fetch tests four children
+NODE_F = WIDE * 6         # slot bounds per wide node record:
+                          # [slot0.lo3 slot0.hi3 ... slotW.lo3 slotW.hi3]
+                          # — ONE roll fetch tests all children
 TRI_F = 10                # v0 e1 e2 + leaf-ordered tri index (float)
 STACK = 96
 BIG = 1e30
@@ -218,20 +220,23 @@ def _traverse_kernel(meta_ref, nb_ref, tri_ref, ox_ref, oy_ref, oz_ref,
             nrow = target // NODES_PER_ROW
             noff = (target % NODES_PER_ROW) * NODE_F
             row = nb_ref[pl.ds(nrow, 1), :]                  # (1,128)
-            nb = _extract_fields(row, noff, 24)              # (1,24)
-            axis = meta_ref[4, target]
+            nb = _extract_fields(row, noff, NODE_F)          # (1,W*6)
+            axis = meta_ref[WIDE, target]
             sneg = jnp.where(axis == 0, sneg_x,
                              jnp.where(axis == 1, sneg_y, sneg_z))
-            encs = [meta_ref[k, target] for k in range(4)]
-            hits = [_slab_cols(nb, 6 * k, bt, bi) for k in range(4)]
-            valid = [(encs[k] >= 0) & hits[k] for k in range(4)]
-            # slots 0,1 = left subtree, 2,3 = right; push far group
-            # first so the near group pops first (LIFO)
-            for j in range(4):
-                k_pos = (2, 3, 0, 1)[j]   # !sneg: left near → push right 1st
-                k_neg = (0, 1, 2, 3)[j]   # sneg: right near → push left 1st
-                ek = jnp.where(sneg, encs[k_neg], encs[k_pos])
-                vk = jnp.where(sneg, valid[k_neg], valid[k_pos])
+            encs = [meta_ref[k, target] for k in range(WIDE)]
+            hits = [_slab_cols(nb, 6 * k, bt, bi) for k in range(WIDE)]
+            valid = [(encs[k] >= 0) & hits[k] for k in range(WIDE)]
+            # first half = left subtree, second half = right; push the
+            # far group first so the near group pops first (LIFO)
+            half = WIDE // 2
+            order_neg = tuple(range(WIDE))
+            order_pos = tuple(range(half, WIDE)) + tuple(range(half))
+            for j in range(WIDE):
+                ek = jnp.where(sneg, encs[order_neg[j]],
+                               encs[order_pos[j]])
+                vk = jnp.where(sneg, valid[order_neg[j]],
+                               valid[order_pos[j]])
 
                 @pl.when(vk)
                 def _(sp2=sp2, ek=ek):
@@ -418,20 +423,25 @@ def pack_bvh(lo, hi, right, count, axis, v0, v1, v2):
     def leaf_enc(i):
         return int(block_id[i]) << META_AXIS_SHIFT | int(count[i])
 
+    def expand(i, levels):
+        """Expand binary node i to ≤2^levels descendant slots."""
+        if levels == 0 or count[i] > 0:
+            return [int(i)]
+        return (expand(int(i) + 1, levels - 1)
+                + expand(int(right[i]), levels - 1))
+
+    wide_levels = {8: 3, 4: 2}[WIDE]
+
     def make_wide(b):
         """Binary interior (or lone-leaf root) → wide node id."""
         wid = len(wmeta)
-        wmeta.append([-1, -1, -1, -1, 0])
-        wbounds.append(np.zeros(24, np.float32))
+        wmeta.append([-1] * WIDE + [0])
+        wbounds.append(np.zeros(NODE_F, np.float32))
         if count[b] > 0:            # degenerate root-leaf
             slots = [b]
         else:
-            slots = []
-            for c in (int(b) + 1, int(right[b])):
-                if count[c] > 0:
-                    slots.append(c)
-                else:
-                    slots.extend((c + 1, int(right[c])))
+            slots = expand(int(b) + 1, wide_levels - 1) \
+                + expand(int(right[b]), wide_levels - 1)
         for k, si in enumerate(slots):
             wbounds[wid][6 * k:6 * k + 3] = lo[si]
             wbounds[wid][6 * k + 3:6 * k + 6] = hi[si]
@@ -439,7 +449,7 @@ def pack_bvh(lo, hi, right, count, axis, v0, v1, v2):
                 wmeta[wid][k] = leaf_enc(si)
             else:
                 wmeta[wid][k] = make_wide(si) << META_AXIS_SHIFT
-        wmeta[wid][4] = int(axis[b])
+        wmeta[wid][WIDE] = int(axis[b])
         return wid
 
     import sys
@@ -451,7 +461,7 @@ def pack_bvh(lo, hi, right, count, axis, v0, v1, v2):
         sys.setrecursionlimit(old_lim)
 
     nw = len(wmeta)
-    meta = np.asarray(wmeta, np.int32).T.copy()          # (5, Nw)
+    meta = np.asarray(wmeta, np.int32).T.copy()          # (W+1, Nw)
     nrows = (nw + NODES_PER_ROW - 1) // NODES_PER_ROW
     nb = np.zeros((nrows * NODES_PER_ROW, NODE_F), np.float32)
     nb[:nw] = np.asarray(wbounds, np.float32)
