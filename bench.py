@@ -74,7 +74,8 @@ def worker():
 
     W = H = 256
     SPP = 64
-    CHUNK = 8
+    CHUNK = 32   # r3 scan: 8/16/32 -> 282/366/391 Mrays/s (bigger
+                 # batches amortize per-op overhead; R = 2M lanes)
     MAX_DEPTH = 4          # bounces = max_depth + 1 loop iterations
     # build the scene on the host CPU backend: construction is many tiny
     # eager ops, and on the remote-TPU (axon) backend each one is a
