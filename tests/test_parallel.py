@@ -157,3 +157,25 @@ def test_volpath_through_sharded_path():
     img = np.asarray(render_sharded(scene, cam, _mesh(4, 2), spp=8,
                                     integrator="volpath", max_depth=2))
     np.testing.assert_allclose(img, ref, rtol=5e-3, atol=5e-4)
+
+
+def test_hero_spectral_through_sharded_path():
+    """The fork's HWSS hero_path_mis through shard_map: the shared
+    integrator registry must drive the sharded pass identically to the
+    single-device render (60-bin spectral film psum'd over dp)."""
+    from pbrt_tpu.core.spectrum import SAMPLED
+
+    b = SceneBuilder(SAMPLED)
+    white = b.add_material(type=0, kd=(0.7, 0.7, 0.7))
+    b.add_mesh([(-2, 0, -2), (2, 0, -2), (2, 0, 2), (-2, 0, 2)],
+               [(0, 1, 2), (0, 2, 3)], mat=white)
+    b.add_light(type="point", I=10.0, pos=(0, 2, -1))
+    scene = b.build()
+    cam = _cam((8, 8))
+    ref = np.asarray(render(scene, cam, spp=4, integrator="hero_path_mis",
+                            max_depth=2))
+    img = np.asarray(render_sharded(scene, cam, _mesh(2, 2), spp=4,
+                                    integrator="hero_path_mis",
+                                    max_depth=2))
+    assert img.shape == ref.shape and img.shape[-1] == ref.shape[-1]
+    np.testing.assert_allclose(img, ref, rtol=5e-3, atol=5e-4)
