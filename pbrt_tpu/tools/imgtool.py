@@ -86,78 +86,15 @@ def cmd_assemble(args):
 
 
 def cmd_makesky(args):
-    """Analytic clear-sky environment map (imgtool makesky's role,
-    tools/imgtool.cpp + ext/ArHosekSkyModel.c). The reference uses the
-    Hošek–Wilkie dataset; here the Preetham et al. 1999 analytic model
-    (Perez functions + zenith chromaticity fits) generates the lat-long
-    map — same usage, no multi-megabyte coefficient tables."""
-    T = args.turbidity
-    elev = np.radians(args.elevation)
-    res = args.resolution
-    theta_s = np.pi / 2 - elev
-
-    # lat-long grid (z-up): rows θ ∈ [0, π] from zenith, columns
-    # φ ∈ [0, 2π); below-horizon rows are written black
-    H, W = res, 2 * res
-    v, u = np.meshgrid((np.arange(H) + 0.5) / H,
-                       (np.arange(W) + 0.5) / W, indexing="ij")
-    theta = v * np.pi              # polar from zenith
-    phi = u * 2 * np.pi
-    d = np.stack([np.sin(theta) * np.cos(phi),
-                  np.sin(theta) * np.sin(phi),
-                  np.cos(theta)], -1)
-    sun = np.asarray([np.cos(elev), 0.0, np.sin(elev)])
-    cos_g = np.clip(d @ sun, -1.0, 1.0)
-    gamma = np.arccos(cos_g)
-    cos_t = np.clip(np.cos(theta), 1e-3, 1.0)
-
-    def perez(A, B, C, D, E, th_cos, g, g_cos):
-        return ((1 + A * np.exp(B / th_cos))
-                * (1 + C * np.exp(D * g) + E * g_cos * g_cos))
-
-    # Preetham coefficient fits (turbidity-linear)
-    cY = (0.1787 * T - 1.4630, -0.3554 * T + 0.4275,
-          -0.0227 * T + 5.3251, 0.1206 * T - 2.5771,
-          -0.0670 * T + 0.3703)
-    cx = (-0.0193 * T - 0.2592, -0.0665 * T + 0.0008,
-          -0.0004 * T + 0.2125, -0.0641 * T - 0.8989,
-          -0.0033 * T + 0.0452)
-    cy = (-0.0167 * T - 0.2608, -0.0950 * T + 0.0092,
-          -0.0079 * T + 0.2102, -0.0441 * T - 1.6537,
-          -0.0109 * T + 0.0529)
-
-    chi = (4.0 / 9.0 - T / 120.0) * (np.pi - 2 * theta_s)
-    Yz = (4.0453 * T - 4.9710) * np.tan(chi) - 0.2155 * T + 2.4192
-    tv = np.asarray([T * T, T, 1.0])
-    sv = np.asarray([theta_s ** 3, theta_s ** 2, theta_s, 1.0])
-    Mx = np.asarray([[0.00166, -0.00375, 0.00209, 0.0],
-                     [-0.02903, 0.06377, -0.03202, 0.00394],
-                     [0.11693, -0.21196, 0.06052, 0.25886]])
-    My = np.asarray([[0.00275, -0.00610, 0.00317, 0.0],
-                     [-0.04214, 0.08970, -0.04153, 0.00516],
-                     [0.15346, -0.26756, 0.06670, 0.26688]])
-    xz = tv @ Mx @ sv
-    yz = tv @ My @ sv
-
-    def ratio(c, zen):
-        num = perez(*c, cos_t, gamma, cos_g)
-        den = perez(*c, 1.0, theta_s, np.cos(theta_s))
-        return zen * num / np.maximum(den, 1e-9)
-
-    Y = ratio(cY, max(Yz, 0.0))
-    x = ratio(cx, xz)
-    y = ratio(cy, yz)
-    # xyY → XYZ → linear sRGB
-    y_s = np.maximum(y, 1e-5)
-    X = x / y_s * Y
-    Z = (1 - x - y) / y_s * Y
-    M = np.asarray([[3.2406, -1.5372, -0.4986],
-                    [-0.9689, 1.8758, 0.0415],
-                    [0.0557, -0.2040, 1.0570]])
-    rgb = np.einsum("ij,hwj->hwi", M, np.stack([X, Y, Z], -1))
-    rgb = np.clip(rgb, 0.0, None) * args.scale
-    rgb[theta > np.pi / 2 - 1e-3] = 0.0   # below horizon
-    imageio.write_image(args.outfile, rgb.astype(np.float32))
+    """Analytic clear-sky environment map — the Hošek–Wilkie spectral
+    model (tools/hosek.py), matching the reference's `imgtool makesky`
+    (tools/imgtool.cpp:87-186 + ext/ArHosekSkyModel.c) to float
+    precision: lat-long dome, 9 wavelengths averaged 3-per-RGB-channel,
+    solar disc with limb darkening, below-horizon rows black."""
+    from pbrt_tpu.tools.hosek import makesky_image
+    rgb = makesky_image(np.radians(args.elevation), args.turbidity,
+                        args.albedo, args.resolution)
+    imageio.write_image(args.outfile, rgb * args.scale)
     return 0
 
 
@@ -192,6 +129,7 @@ def main(argv=None):
     p = sub.add_parser("makesky")
     p.add_argument("outfile")
     p.add_argument("--turbidity", type=float, default=3.0)
+    p.add_argument("--albedo", type=float, default=0.5)
     p.add_argument("--elevation", type=float, default=30.0,
                    help="sun elevation in degrees")
     p.add_argument("--resolution", type=int, default=256,

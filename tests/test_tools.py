@@ -95,3 +95,23 @@ class TestMakeSky:
             zen = img[0].mean(0)
             assert zen[2] > zen[0]
             assert img[-1].max() == 0.0
+
+
+def test_makesky_matches_reference_imgtool():
+    """makesky now IS the Hošek–Wilkie model: tests/oracle/sky_ref.pfm
+    was produced by the reference binary's `imgtool makesky --resolution
+    32 --elevation 10 --turbidity 3 --albedo 0.5` (oracle/build.sh
+    imgtool); ours must match to float precision."""
+    import numpy as np
+    from pbrt_tpu.tools.hosek import makesky_image
+    from pbrt_tpu.utils.imageio import read_pfm
+    import os
+    ref = np.asarray(read_pfm(os.path.join(
+        os.path.dirname(__file__), "oracle", "sky_ref.pfm")))
+    ours = makesky_image(np.radians(10.0), 3.0, 0.5, 32)
+    assert ours.shape == ref.shape
+    b = ref != 0
+    rel = np.abs(ours - ref) / (np.abs(ref) + 1e-3)
+    assert rel[b].max() < 1e-4, rel[b].max()
+    # zero exactly where the reference is zero (below-horizon rows)
+    np.testing.assert_array_equal(ours == 0, ref == 0)
