@@ -62,6 +62,13 @@ def make_distribution_1d(f: Array) -> Distribution1D:
     return Distribution1D(func=f, cdf=cdf, func_int=func_int)
 
 
+def _take1d(tab: Array, idx: Array) -> Array:
+    """tab[idx] for a 1D table shared across all lanes — fastgather path
+    (small tables = the per-ray index gathers PROFILE_r03 flags)."""
+    from pbrt_tpu.ops import fastgather
+    return fastgather.gather_rows(tab, idx)
+
+
 def _find_interval(cdf: Array, u: Array) -> Array:
     """Index i such that cdf[i] <= u < cdf[i+1]; batched searchsorted."""
     n = cdf.shape[-1] - 1
@@ -79,14 +86,14 @@ def sample_distribution_1d_continuous(d: Distribution1D, u: Array):
     """SampleContinuous (sampling.h:65-87): returns (x in [0,1), pdf, offset)."""
     off = _find_interval(d.cdf, u)
     c_lo = jnp.take_along_axis(d.cdf, off[..., None], axis=-1)[..., 0] \
-        if d.cdf.ndim > 1 else d.cdf[off]
+        if d.cdf.ndim > 1 else _take1d(d.cdf, off)
     c_hi = jnp.take_along_axis(d.cdf, off[..., None] + 1, axis=-1)[..., 0] \
-        if d.cdf.ndim > 1 else d.cdf[off + 1]
+        if d.cdf.ndim > 1 else _take1d(d.cdf, off + 1)
     du = u - c_lo
     denom = jnp.where(c_hi - c_lo > 0, c_hi - c_lo, 1.0)
     du = du / denom
     f = jnp.take_along_axis(d.func, off[..., None], axis=-1)[..., 0] \
-        if d.func.ndim > 1 else d.func[off]
+        if d.func.ndim > 1 else _take1d(d.func, off)
     func_int = jnp.where(d.func_int > 0, d.func_int, 1.0)
     pdf = f / func_int
     x = (off.astype(u.dtype) + du) / d.n
@@ -97,7 +104,7 @@ def sample_distribution_1d_discrete(d: Distribution1D, u: Array):
     """SampleDiscrete (sampling.h:89-99): returns (index, pmf)."""
     off = _find_interval(d.cdf, u)
     f = jnp.take_along_axis(d.func, off[..., None], axis=-1)[..., 0] \
-        if d.func.ndim > 1 else d.func[off]
+        if d.func.ndim > 1 else _take1d(d.func, off)
     func_int = jnp.where(d.func_int > 0, d.func_int, 1.0)
     pmf = f / (func_int * d.n)
     # zero-integral distribution: uniform pmf
@@ -107,7 +114,7 @@ def sample_distribution_1d_discrete(d: Distribution1D, u: Array):
 
 def distribution_1d_discrete_pdf(d: Distribution1D, idx: Array) -> Array:
     f = jnp.take_along_axis(d.func, idx[..., None], axis=-1)[..., 0] \
-        if d.func.ndim > 1 else d.func[idx]
+        if d.func.ndim > 1 else _take1d(d.func, idx)
     func_int = jnp.where(d.func_int > 0, d.func_int, 1.0)
     return jnp.where(d.func_int > 0, f / (func_int * d.n), 1.0 / d.n)
 
