@@ -185,9 +185,19 @@ def _photon_pass(scene, vps, radius, n_photons, it, seed, max_depth,
                                                   u_pos)
     p_pln, n_pln, ip_pln = shapes.sample_aaplane(ap.lo, ap.hi, ap.ax,
                                                  ap.facing, u_pos)
-    p_l = jnp.where(ap.is_pln[..., None], p_pln, p_tri)
-    n_l = jnp.where(ap.is_pln[..., None], n_pln, n_tri)
-    pdf_pos = jnp.where(ap.is_pln, ip_pln, ip_tri)
+    # sphere area lights: uniform area point (sphere.cpp Sample) — the
+    # same emission-position gap the r3 caustic oracle exposed in BDPT
+    from pbrt_tpu.core.sampling import uniform_sample_sphere
+    d_sph = uniform_sample_sphere(u_pos)
+    p_sph = ap.center + ap.radius[..., None] * d_sph
+    ip_sph = 1.0 / jnp.maximum(4.0 * jnp.pi * ap.radius * ap.radius,
+                               1e-20)
+    p_l = jnp.where(ap.is_sph[..., None], p_sph,
+                    jnp.where(ap.is_pln[..., None], p_pln, p_tri))
+    n_l = jnp.where(ap.is_sph[..., None], d_sph,
+                    jnp.where(ap.is_pln[..., None], n_pln, n_tri))
+    pdf_pos = jnp.where(ap.is_sph, ip_sph,
+                        jnp.where(ap.is_pln, ip_pln, ip_tri))
     is_area = g.ltype == lights_mod.AREA
     u_dir = jnp.stack([sfn(ppid, sidx, 303, seed),
                        sfn(ppid, sidx, 304, seed)], -1)

@@ -176,3 +176,23 @@ def test_subsurface_matches_reference_binary_energy():
     bl = _block_rel_l1(img, ref, k=16)
     assert md < 0.25, f"sss mean delta {md:.4f} (design-delta guard)"
     assert bl < 0.35, f"sss block rel-L1 {bl:.4f}"
+
+
+def test_caustic_sppm_matches_reference_binary():
+    """SPPM (photon pass) on the caustic oracle: photons must emit from
+    the SPHERE area light's surface (sppm.cpp photon pass; the r3 fix —
+    emission previously fell back to a clipped triangle position, losing
+    half the caustic: mean delta 0.21 broken vs 0.08 fixed at this
+    budget; residual is the surfaced grid-cell overflow bias + radius
+    bias)."""
+    from pbrt_tpu.frontend import load_pbrt
+    from pbrt_tpu.integrators.sppm import render_sppm
+
+    ref = _load_ref("caustic_ref.pfm")
+    scene, cam, opts = load_pbrt(
+        os.path.join(ORACLE, "caustic_oracle.pbrt"))
+    img = np.asarray(render_sppm(scene, cam, n_iterations=12,
+                                 photons_per_iter=1 << 16,
+                                 max_depth=opts["max_depth"], seed=1))
+    md = _mean_delta(img, ref)
+    assert md < 0.15, f"sppm mean delta {md:.4f} vs reference binary"
