@@ -461,6 +461,24 @@ def pack_bvh(lo, hi, right, count, axis, v0, v1, v2):
         sys.setrecursionlimit(old_lim)
 
     nw = len(wmeta)
+    # worst-case stack requirement: popping a wide node pushes up to
+    # `c` children (net +c-1), so a deep skewed tree can exceed the old
+    # 3*depth+1 intuition. U[w] = slots used at/above w's own slot while
+    # its subtree runs; adversarial pop order bound = (c-1) + max(child U).
+    # Children are created after parents (pre-order), so a reverse sweep
+    # sees children first.
+    umax = np.ones(nw, np.int64)
+    for wid in range(nw - 1, -1, -1):
+        child_u = [1 if (e & META_CNT_MASK) > 0
+                   else umax[e >> META_AXIS_SHIFT]
+                   for e in wmeta[wid][:WIDE] if e >= 0]
+        if child_u:
+            umax[wid] = (len(child_u) - 1) + max(child_u)
+    if int(umax[0]) > STACK:
+        raise ValueError(
+            f"BVH4 packet tree needs a {int(umax[0])}-deep traversal "
+            f"stack (> STACK={STACK}); raise bvh_pallas.STACK for this "
+            "scene")
     meta = np.asarray(wmeta, np.int32).T.copy()          # (W+1, Nw)
     nrows = (nw + NODES_PER_ROW - 1) // NODES_PER_ROW
     nb = np.zeros((nrows * NODES_PER_ROW, NODE_F), np.float32)

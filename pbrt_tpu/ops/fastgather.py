@@ -29,6 +29,10 @@ MAX_ONEHOT = 512
 # below this row count an unrolled where-chain beats the one-hot matmul:
 # it fuses into consumers with no (R,N) intermediate or relayout copies
 MAX_SELECT = 32
+# peak bytes allowed for the (R, N) f32 one-hot intermediate; above this the
+# matmul is chunked over R so a 2M-ray × 512-row gather cannot materialize
+# multi-GB one-hot matrices in HBM
+ONEHOT_BUDGET_BYTES = 128 << 20
 
 
 def _apply_select(idx: Array, leaf: Array) -> Array:
@@ -42,18 +46,43 @@ def _apply_select(idx: Array, leaf: Array) -> Array:
 
 
 def _apply_onehot(oh: Array, leaf: Array) -> Array:
-    """(R,N) one-hot @ (N,...) table → (R,...), dtype-preserving."""
+    """(R,N) one-hot @ (N,...) table → (R,...), dtype-preserving.
+
+    The dots run at Precision.HIGHEST: TPU MXU default precision rounds f32
+    operands to bf16 (~2^-9 relative), which would silently corrupt every
+    gathered table value in the 33..512-row window — and round integer ids
+    > 256 to a WRONG row after rint. The one-hot side is exact 0/1 either
+    way; HIGHEST keeps the table side full f32. Cost is a few passes of an
+    op that replaces a ~1000× slower SMEM-index gather.
+    """
     n = leaf.shape[0]
     flat = leaf.reshape(n, -1)
+    hi = jax.lax.Precision.HIGHEST
     if leaf.dtype == jnp.bool_:
-        out = oh @ flat.astype(jnp.float32)
+        out = jnp.matmul(oh, flat.astype(jnp.float32), precision=hi)
         out = out > 0.5
     elif jnp.issubdtype(leaf.dtype, jnp.integer):
-        out = oh @ flat.astype(jnp.float32)
+        out = jnp.matmul(oh, flat.astype(jnp.float32), precision=hi)
         out = jnp.rint(out).astype(leaf.dtype)
     else:
-        out = (oh @ flat.astype(jnp.float32)).astype(leaf.dtype)
+        out = jnp.matmul(oh, flat.astype(jnp.float32),
+                         precision=hi).astype(leaf.dtype)
     return out.reshape(oh.shape[:1] + leaf.shape[1:])
+
+
+def _onehot_gather(idx: Array, leaf: Array) -> Array:
+    """One-hot-matmul gather, chunked over R when the (R, N) one-hot would
+    exceed ONEHOT_BUDGET_BYTES (bounds peak HBM; total traffic unchanged)."""
+    r, n = idx.shape[0], leaf.shape[0]
+    if r * n * 4 <= ONEHOT_BUDGET_BYTES:
+        return _apply_onehot(jax.nn.one_hot(idx, n, dtype=jnp.float32), leaf)
+    chunk = max(8, ONEHOT_BUDGET_BYTES // (n * 4))
+    outs = [
+        _apply_onehot(
+            jax.nn.one_hot(idx[s:s + chunk], n, dtype=jnp.float32), leaf)
+        for s in range(0, r, chunk)
+    ]
+    return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
 
 
 def gather_rows(table: Array, idx: Array, max_onehot: int = MAX_ONEHOT
@@ -67,8 +96,7 @@ def gather_rows(table: Array, idx: Array, max_onehot: int = MAX_ONEHOT
         return table[idx]
     if n <= MAX_SELECT:
         return _apply_select(idx, table)
-    oh = jax.nn.one_hot(idx, n, dtype=jnp.float32)
-    return _apply_onehot(oh, table)
+    return _onehot_gather(idx, table)
 
 
 def make_row_gather(n: int, idx: Array, max_onehot: int = MAX_ONEHOT):
@@ -78,8 +106,10 @@ def make_row_gather(n: int, idx: Array, max_onehot: int = MAX_ONEHOT):
     if idx.ndim == 1 and n <= MAX_SELECT:
         return lambda a: _apply_select(idx, a)
     if idx.ndim == 1 and n <= max_onehot:
-        oh = jax.nn.one_hot(idx, n, dtype=jnp.float32)
-        return lambda a: _apply_onehot(oh, a)
+        if idx.shape[0] * n * 4 <= ONEHOT_BUDGET_BYTES:
+            oh = jax.nn.one_hot(idx, n, dtype=jnp.float32)
+            return lambda a: _apply_onehot(oh, a)
+        return lambda a: _onehot_gather(idx, a)
     return lambda a: a[idx]
 
 

@@ -61,11 +61,13 @@ class FlatBVH:
     # leaf primitive test.
     nodes8: Array = None      # (8N, 8) float32
     tri9: Array = None        # (P_pad, 9) float32
-    # packet-kernel layout (ops/bvh_pallas.py): SMEM meta + lane-packed
-    # VMEM bounds/tris; the TPU traversal path
-    pk_meta: Array = None     # (1, N) int32
-    pk_nb: Array = None       # (ceil(N/12), 128) float32
-    pk_tri: Array = None      # (ceil(P/14), 128) float32
+    # packet-kernel BVH4 layout (ops/bvh_pallas.py pack_bvh): SMEM slot
+    # encodings + parent axis, lane-packed VMEM wide-node bounds records
+    # (24 floats/node, 5 nodes per 128-lane row) and static-lane leaf
+    # triangle blocks; the TPU traversal path
+    pk_meta: Array = None     # (WIDE+1, Nw) int32: 4 slot encs + axis
+    pk_nb: Array = None       # (ceil(Nw/5), 128) float32 wide-node bounds
+    pk_tri: Array = None      # (n_leaf*LEAF_BLOCK_ROWS, 128) f32 tri blocks
 
 
 def build_bvh(builder, scene, split_method: str = "sah") -> FlatBVH:
