@@ -1,17 +1,24 @@
 """Killeroo end-to-end TPU benchmark + packet-kernel validation artifact.
 
 BASELINE config 3 (killeroo-simple.pbrt: ~66k-triangle loopsubdiv mesh,
-BVH, plastic, mypath d3). Produces KILLEROO_r03.json with:
+BVH, plastic, mypath d3). Produces KILLEROO_r04.json with:
 - per-spp wall time of the full render pass at 512² on the TPU
   (primary + bounce + shadow rays through the packet BVH kernel),
 - isolated packet-traversal rates for coherent primary rays, incoherent
-  random rays, and incoherent+sorted rays (the ray-sorting A/B of
-  scene/bvh.py _packet_traverse),
+  random rays, and incoherent+sorted rays,
 - a recorded TPU-vs-XLA agreement check of bvh_traverse_pallas on the
-  killeroo BVH (closes VERDICT r2 Weak #4),
+  killeroo BVH,
+- a TPU-side exactness check of fastgather's one-hot window (33..512
+  rows, values > 256 — the MXU-bf16 hazard class, r4 ADVICE #1),
 - the reference binary's wall time on this machine when available.
 
-Usage: python killeroo_bench.py  (on the TPU; ~3-4 min incl. compiles)
+Timing methodology (r4): single-call timings through the axon tunnel
+carry a ~58 ms fixed sync/fetch cost (measured: primary-vs-random step
+counts imply 368 ns/step + 58 ms/call). All rates below therefore time
+the SLOPE between 1 and N chained in-program iterations, which cancels
+the fixed cost; `t1_s` fields record the raw single-call wall time.
+
+Usage: python killeroo_bench.py  (on the TPU; ~4-6 min incl. compiles)
 """
 
 import functools
@@ -21,6 +28,20 @@ import subprocess
 import time
 
 import numpy as np
+
+
+def slope(make_loop, n_big=9, reps=2):
+    import jax
+    f1, fN = make_loop(1), make_loop(n_big)
+    ts = {}
+    for name, f in (("t1", f1), ("tN", fN)):
+        r = f()
+        np.asarray(jax.device_get(r))
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            np.asarray(jax.device_get(f()))
+        ts[name] = (time.perf_counter() - t0) / reps
+    return (ts["tN"] - ts["t1"]) / (n_big - 1), ts["t1"]
 
 
 def main():
@@ -52,25 +73,28 @@ def main():
     filt = film_mod.make_filter("box")
     cfg = RenderConfig(integrator="mypath", max_depth=3,
                        sampler="independent")
-    f = jax.jit(functools.partial(render_pass, cfg=cfg, width=W, height=H,
-                                  chunk=1))
-    # NOTE: on the remote (axon) backend block_until_ready can return
-    # before execution completes — every timing below forces a host
-    # device_get of the result instead
+    fpass = functools.partial(render_pass, cfg=cfg, width=W, height=H,
+                              chunk=1)
+
+    def make_render_loop(n):
+        @jax.jit
+        def f():
+            def step(j, acc):
+                return acc + fpass(scene_d, cam_d, filt,
+                                   spp_offset=j.astype(jnp.uint32))
+            return jax.lax.fori_loop(0, n, step,
+                                     jnp.zeros((H, W, 3), jnp.float32))
+        return f
+
     t0 = time.perf_counter()
-    img = f(scene_d, cam_d, filt, spp_offset=jnp.asarray(0, jnp.uint32))
-    np.asarray(jax.device_get(img))
+    dt, t1 = slope(make_render_loop, n_big=5)
     out["t_compile_s"] = round(time.perf_counter() - t0, 1)
-    t0 = time.perf_counter()
-    n_rep = 3
-    for i in range(n_rep):
-        img = img + f(scene_d, cam_d, filt,
-                      spp_offset=jnp.asarray(i + 1, jnp.uint32))
-    np.asarray(jax.device_get(img))
-    dt = (time.perf_counter() - t0) / n_rep
     out["t_per_spp_pass_512_s"] = round(dt, 4)
+    out["t_per_spp_single_call_s"] = round(t1, 4)
     out["t_128spp_extrapolated_s"] = round(dt * 128, 1)
-    out["image_mean"] = round(float(img.mean()) / (n_rep + 1), 5)
+    img = make_render_loop(1)()
+    out["image_mean"] = round(float(np.asarray(
+        jax.device_get(img)).mean()), 5)
     # mypath d3: per sample ≈ 4 closest-hit + 4 shadow traversals
     out["mrays_per_s_all_traversals"] = round(W * H * 8 / dt / 1e6, 2)
 
@@ -79,64 +103,81 @@ def main():
     R = 262144
     meta, nb, tri = [jax.device_put(jnp.asarray(x), dev)
                      for x in (bvh.pk_meta, bvh.pk_nb, bvh.pk_tri)]
-    tmax = jnp.full(R, 1e30)
+    tmax = jax.device_put(jnp.full(R, 1e30, jnp.float32), dev)
     lid = jnp.arange(R, dtype=jnp.uint32)
     pf = jnp.stack([(lid % 512).astype(jnp.float32) + 0.5,
                     (lid // 512).astype(jnp.float32) + 0.5], -1)
     with jax.default_device(cpu):
         rays = cam_mod.generate_rays(cam, pf, jnp.zeros((R, 2)),
                                      jnp.zeros(R))
-    o_p = jax.device_put(rays.o, dev)
-    d_p = jax.device_put(rays.d, dev)
     rng = np.random.RandomState(0)
     pick = rng.randint(0, v0_np.shape[0], R)
-    o_r = v0_np[pick] + rng.randn(R, 3).astype(np.float32) * 0.5
-    d_r = rng.randn(R, 3).astype(np.float32)
-    d_r /= np.linalg.norm(d_r, axis=1, keepdims=True)
-    o_r = jax.device_put(jnp.asarray(o_r), dev)
-    d_r = jax.device_put(jnp.asarray(d_r), dev)
+    o_r_np = v0_np[pick] + rng.randn(R, 3).astype(np.float32) * 0.5
+    d_r_np = rng.randn(R, 3).astype(np.float32)
+    d_r_np /= np.linalg.norm(d_r_np, axis=1, keepdims=True)
 
-    from pbrt_tpu.scene import bvh as bvh_mod
+    # octant+origin-Morton sort (the production _packet_traverse order)
+    def spread(x):
+        x = (x | (x << 16)) & 0x030000FF
+        x = (x | (x << 8)) & 0x0300F00F
+        x = (x | (x << 4)) & 0x030C30C3
+        x = (x | (x << 2)) & 0x09249249
+        return x
 
-    def timed(fn, *a):
-        r = fn(*a)
-        np.asarray(jax.device_get(r[0]))
-        t0 = time.perf_counter()
-        for _ in range(2):
-            r = fn(*a)
-            np.asarray(jax.device_get(r[0]))
-        return (time.perf_counter() - t0) / 2, r
+    oct_ = ((d_r_np[:, 0] < 0) * 4 + (d_r_np[:, 1] < 0) * 2
+            + (d_r_np[:, 2] < 0)).astype(np.uint32)
+    q = np.clip((o_r_np - o_r_np.min(0))
+                / (o_r_np.max(0) - o_r_np.min(0) + 1e-9) * 1023.0, 0,
+                1023).astype(np.uint32)
+    morton = ((spread(q[:, 0]) << 2) | (spread(q[:, 1]) << 1)
+              | spread(q[:, 2]))
+    perm = np.argsort((oct_.astype(np.uint64) << 32)
+                      | morton.astype(np.uint64), kind="stable")
 
-    plain = jax.jit(lambda o, d: bp._impl(meta, nb, tri, o, d, tmax,
-                                          any_hit=False))
-    dtp, rp = timed(plain, o_p, d_p)
-    out["traversal_primary_mrays"] = round(R / dtp / 1e6, 1)
-    dtr, _ = timed(plain, o_r, d_r)
-    out["traversal_random_mrays"] = round(R / dtr / 1e6, 3)
-    os.environ["PBRT_TPU_RAY_SORT"] = "1"
-    srt = jax.jit(functools.partial(bvh_mod._packet_traverse, bvh_d :=
-                                    jax.device_put(bvh, dev),
-                                    any_hit=False))
-    dts, _ = timed(srt, o_r, d_r, tmax)
-    del os.environ["PBRT_TPU_RAY_SORT"]
-    out["traversal_random_sorted_mrays"] = round(R / dts / 1e6, 3)
+    def trav_rate(o_np, d_np, n_big=9):
+        o = jax.device_put(jnp.asarray(o_np), dev)
+        d = jax.device_put(jnp.asarray(d_np), dev)
+
+        def make_loop(n):
+            @jax.jit
+            def f():
+                def step(j, acc):
+                    t, _ = bp._impl(
+                        meta, nb, tri, o, d,
+                        tmax * (1.0 + j.astype(jnp.float32) * 1e-7),
+                        any_hit=False)
+                    return acc + t
+                return jax.lax.fori_loop(0, n, step,
+                                         jnp.zeros(R, jnp.float32))
+            return f
+
+        dt, _ = slope(make_loop, n_big=n_big)
+        return R / dt / 1e6
+
+    out["traversal_primary_mrays"] = round(
+        trav_rate(np.asarray(rays.o), np.asarray(rays.d), n_big=17), 1)
+    out["traversal_random_mrays"] = round(trav_rate(o_r_np, d_r_np,
+                                                    n_big=5), 3)
+    out["traversal_random_sorted_mrays"] = round(
+        trav_rate(o_r_np[perm], d_r_np[perm], n_big=9), 3)
 
     # ---- TPU packet kernel vs XLA while-loop traversal (same rays)
+    from pbrt_tpu.scene import bvh as bvh_mod
     n_chk = 16384
-    o_mix = jnp.concatenate([rays.o[:n_chk // 2],
-                             jnp.asarray(np.asarray(
-                                 jax.device_get(o_r))[:n_chk // 2])])
-    d_mix = jnp.concatenate([rays.d[:n_chk // 2],
-                             jnp.asarray(np.asarray(
-                                 jax.device_get(d_r))[:n_chk // 2])])
-    t_tpu, i_tpu = bp._impl(meta, nb, tri, jax.device_put(o_mix, dev),
-                            jax.device_put(d_mix, dev),
+    o_mix = np.concatenate([np.asarray(rays.o)[:n_chk // 2],
+                            o_r_np[:n_chk // 2]])
+    d_mix = np.concatenate([np.asarray(rays.d)[:n_chk // 2],
+                            d_r_np[:n_chk // 2]])
+    t_tpu, i_tpu = bp._impl(meta, nb, tri,
+                            jax.device_put(jnp.asarray(o_mix), dev),
+                            jax.device_put(jnp.asarray(d_mix), dev),
                             jnp.full(n_chk, 1e30), any_hit=False)
     t_tpu = np.asarray(jax.device_get(t_tpu))
     i_tpu = np.asarray(jax.device_get(i_tpu))
     with jax.default_device(cpu):
         t_x, i_x = bvh_mod._traverse_batch(
-            bvh, o_mix, d_mix, jnp.full(n_chk, 1e30), False)
+            bvh, jnp.asarray(o_mix), jnp.asarray(d_mix),
+            jnp.full(n_chk, 1e30), False)
         t_x = np.asarray(t_x)
         i_x = np.asarray(i_x)
     same = i_tpu == i_x
@@ -148,6 +189,24 @@ def main():
         "max_abs_dt_on_hits": float(dt_hit.max()),
         "hit_rate_tpu": round(float((i_tpu >= 0).mean()), 4),
         "hit_rate_xla": round(float((i_x >= 0).mean()), 4),
+    }
+
+    # ---- fastgather one-hot window exactness ON TPU (ADVICE r4 #1):
+    # 300-row i32 table with values up to 2^20 — would mis-round to a
+    # wrong row under the MXU's default bf16 f32 path
+    from pbrt_tpu.ops import fastgather as fg
+    tab_np = (np.arange(300, dtype=np.int64)[:, None] * 3517 % (1 << 20)
+              ).astype(np.int32) + np.arange(4, dtype=np.int32)[None, :]
+    idx_np = rng.randint(0, 300, 8192).astype(np.int32)
+    tab = jax.device_put(jnp.asarray(tab_np), dev)
+    idx = jax.device_put(jnp.asarray(idx_np), dev)
+    got = np.asarray(jax.device_get(jax.jit(fg.gather_rows)(tab, idx)))
+    ftab_np = rng.randn(300, 4).astype(np.float32)
+    fgot = np.asarray(jax.device_get(jax.jit(fg.gather_rows)(
+        jax.device_put(jnp.asarray(ftab_np), dev), idx)))
+    out["fastgather_tpu_check"] = {
+        "i32_rows_exact": bool((got == tab_np[idx_np]).all()),
+        "f32_rows_exact": bool((fgot == ftab_np[idx_np]).all()),
     }
 
     # ---- reference binary wall time (same machine, all cores)
@@ -165,9 +224,10 @@ def main():
             "cores": os.cpu_count(),
         }
         out["speedup_vs_reference_per_spp"] = round(
-            (dt_ref / 16) / dt * (500 * 500) / (W * H), 2)
+            (dt_ref / 16) / out["t_per_spp_pass_512_s"]
+            * (W * H) / (500 * 500), 2)
 
-    with open("KILLEROO_r03.json", "w") as fjson:
+    with open("KILLEROO_r04.json", "w") as fjson:
         json.dump(out, fjson, indent=1)
     print(json.dumps(out, indent=1))
 

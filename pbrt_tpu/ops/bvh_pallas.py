@@ -12,24 +12,34 @@ kernel keeps the whole traversal on-chip and uses no gathers at all:
   scalar DFS stack (SMEM scratch) is shared by the block, and a node is
   entered when ANY live ray's slab test passes — the classic SIMD packet
   scheme, which maps exactly onto the VPU's (8,128) vector shape.
-- **Node metadata in SMEM**: one packed int32 per node
-  (right<<7 | axis<<5 | leaf_count) — scalar loads with a dynamic index
-  are SMEM's native operation.
-- **4-wide (BVH4) nodes, one rotate per interior step**: pairs of
-  binary levels merge; each wide node's VMEM record holds its four
-  slots' bounds (24 floats, 5 nodes per 128-lane row), fetched with a
-  dynamic *sublane* slice then a pltpu.roll to lane 0 + static slice —
-  never a dynamic lane index (unsupported), never the MXU (whose
-  default f32 path rounds to bf16 — see _extract_fields history). All
-  four slots are slab-tested from the one fetch and only entered ones
-  pushed (near group last): a missed subtree never consumes a while
-  iteration. Slot encodings + the parent split axis live in SMEM.
+- **Wide-node bounds live in SMEM as f32 scalars** ((24, Nw)): the slab
+  test reads 6 scalars per child and feeds them to the VPU as native
+  scalar→vector splat operands. This replaced the round-3 VMEM record
+  fetch (pltpu.roll + 24 log-doubling broadcasts, ~190 ns/step of pure
+  data movement): measured r4, interior fetch cost ≈ 0 and the whole
+  kernel went 3.0 → 3.8 Mrays/s on coherent loads before the packet-size
+  retune. SMEM holds ~768 KB on this chip (probed); killeroo's 2971 wide
+  nodes need 285 KB.
+- **4-wide (BVH4) nodes**: pairs of binary levels merge; all four slots
+  are slab-tested per step and only entered ones pushed (near group
+  last): a missed subtree never consumes a while iteration. Slot
+  encodings + the parent split axis live in SMEM. 8-wide A/Bed
+  equal-or-slower both rounds (longer scalar push chain).
 - **Leaf blocks at static lanes**: subtrees of ≤PACKET_LEAF_MAX prims
   collapse into one leaf (pack_bvh) stored as aligned rows with every
-  triangle at a STATIC lane offset (v0|e1|e2|leaf-ordered-index) — leaf
-  tests do zero dynamic lane math.
+  triangle at a STATIC lane offset (v0|e1|e2|leaf-ordered-index). Leaf
+  fields broadcast in ONE op each: the fetched row is sublane-doubled
+  once (log-2 concats), then each field is an (R,1)→(R,128)
+  lane-broadcast — never a (1,1)→(R,128) both-dims broadcast (no Mosaic
+  lowering) and never the MXU (whose default f32 path rounds operands
+  to bf16: the r3 silent-corruption bug — see git history of
+  _extract_fields).
 - Ordered descent: near child first by the packet's majority direction
   sign along the split axis; per-lane best_t keeps pruning exact.
+- ROWS=16 (2048-ray packets) measured best on the killeroo BVH:
+  rows 8/16/32/64 → 28/42/28/24 Mrays/s coherent (r4 A/B). Entry-
+  distance stack pruning A/Bed slower (the per-child packet-min reduce
+  costs more than the skipped pops) — not adopted.
 
 Closest-hit and any-hit variants share the kernel (ANY_HIT static flag).
 Detached for AD like ops/intersect_pallas.py (sampled hit distances carry
@@ -50,64 +60,42 @@ from jax.experimental.pallas import tpu as pltpu
 Array = Any
 
 LANES = 128
-ROWS = 8                  # rays per packet = ROWS * LANES = 1024
+ROWS = 16                 # rays per packet = ROWS * LANES = 2048
 WIDE = 4                  # children per wide node; 8 A/Bed slower (the
                           # longer scalar push chain beats the step cut)
-NODES_PER_ROW = 5         # wide nodes: 5 x 24 floats = 120 lanes
-TRIS_PER_LEAF_ROW = 12    # leaf-block layout: 12 tris x 10 floats/row
-NODE_F = WIDE * 6         # slot bounds per wide node record:
+NODE_F = WIDE * 6         # f32 bounds per wide node in the SMEM table:
                           # [slot0.lo3 slot0.hi3 ... slotW.lo3 slotW.hi3]
-                          # — ONE roll fetch tests all children
+TRIS_PER_LEAF_ROW = 12    # leaf-block layout: 12 tris x 10 floats/row
 TRI_F = 10                # v0 e1 e2 + leaf-ordered tri index (float)
 STACK = 96
 BIG = 1e30
 
-# meta packing: right<<7 | axis<<5 | count  (count <= PACKET_LEAF_MAX=16)
+# meta packing: target<<5 | leaf_count  (count <= PACKET_LEAF_MAX=16)
 META_CNT_MASK = 0x1F
 META_AXIS_SHIFT = 5
-META_RIGHT_SHIFT = 7
 # packet-tree leaves hold up to this many triangles: pack_bvh collapses
 # subtrees of ≤16 prims into one leaf. The while-loop step (scalar
-# control + SMEM meta + node fetch) dominates traversal cost, so a 5×
+# control + SMEM meta + leaf fetch) dominates traversal cost, so a 5×
 # smaller tree beats the extra masked triangle tests (which are cheap
 # vector work). The XLA traversal path keeps the builder's LEAF_MAX=4
 # tree — only the packet layout is coarsened.
-PACKET_LEAF_MAX = 16   # A/B: 8 and 12 measured equal-or-slower
+PACKET_LEAF_MAX = 16   # A/B: 8 and 12 measured equal-or-slower (r3+r4)
 # rows per leaf block (12 tris × 10 floats fit one 128-lane row)
 LEAF_BLOCK_ROWS = (PACKET_LEAF_MAX * TRI_F + LANES - 1) // LANES
 
 
-def _bcast(vec_1x, col, shape):
-    """Lane-broadcast element [0, col] of a (1, K) vector to (1, lanes).
-
-    Mosaic can't broadcast (1,1)→(sublanes,lanes) in one op ("Broadcast
-    in both sublanes and lanes" unimplemented), it FOLDS a chained
-    lane-then-sublane broadcast back into that unsupported form, and
-    optimization_barrier has no Mosaic lowering — so the sublane half is
-    log-doubling concatenation (3 ops for 8 sublanes; the old flat
-    8-way concatenate was ~140 ns per fetched field)."""
-    v = jnp.broadcast_to(vec_1x[0:1, col:col + 1], (1, shape[1]))
-    while v.shape[0] < shape[0]:
+def _sublane_double(row_1x, nrows):
+    """(1,128) → (nrows,128) by log-doubling concatenation (Mosaic has no
+    (1,1)→(R,128) both-dims broadcast, and a chained lane-then-sublane
+    broadcast pair gets re-folded into that unsupported form; doubling a
+    full row avoids both)."""
+    v = row_1x
+    while v.shape[0] < nrows:
         v = jnp.concatenate([v, v], axis=0)
     return v
 
 
-def _extract_fields(row_1x128, lane_off, nfields):
-    """Pull ``nfields`` consecutive floats starting at scalar ``lane_off``
-    out of a (1,128) row without dynamic lane indexing: a dynamic lane
-    ROTATE (pltpu.roll — a native TPU vector op) followed by a static
-    slice. Returns (1, nfields).
-
-    History: this was a one-hot mask matmul; on hardware the MXU's
-    default f32 path rounds operands to bf16, silently corrupting every
-    fetched vertex/bound by ~2⁻⁹ relative (spurious/missed hits for rays
-    near geometry — caught by the r3 TPU-vs-brute validation). The roll
-    form is exact AND avoids the multi-pass-f32 MXU latency entirely."""
-    rolled = pltpu.roll(row_1x128, -lane_off, axis=1)
-    return rolled[:, :nfields]
-
-
-def _traverse_kernel(meta_ref, nb_ref, tri_ref, ox_ref, oy_ref, oz_ref,
+def _traverse_kernel(meta_ref, nbs_ref, tri_ref, ox_ref, oy_ref, oz_ref,
                      ix_ref, iy_ref, iz_ref, dx_ref, dy_ref, dz_ref,
                      tmax_ref, t_out, i_out, stack_ref, *, any_hit,
                      gamma3x2):
@@ -137,16 +125,15 @@ def _traverse_kernel(meta_ref, nb_ref, tri_ref, ox_ref, oy_ref, oz_ref,
         sp, done, _, _ = c
         return (sp > 0) & jnp.logical_not(done)
 
-    def _slab_cols(nb, base, bt, bi):
-        """Slab-test one child whose bounds sit at columns
-        [base, base+6) of the fetched (1,12) parent record; returns a
-        scalar any-lane-enters flag."""
-        lo_x = _bcast(nb, base + 0, shape)
-        lo_y = _bcast(nb, base + 1, shape)
-        lo_z = _bcast(nb, base + 2, shape)
-        hi_x = _bcast(nb, base + 3, shape)
-        hi_y = _bcast(nb, base + 4, shape)
-        hi_z = _bcast(nb, base + 5, shape)
+    def _slab_scalar(t, k, bt, bi):
+        """Slab-test child slot k of wide node t against the packet; the
+        six bounds are scalar SMEM loads splatted into the VPU ops."""
+        lo_x = nbs_ref[6 * k + 0, t]
+        lo_y = nbs_ref[6 * k + 1, t]
+        lo_z = nbs_ref[6 * k + 2, t]
+        hi_x = nbs_ref[6 * k + 3, t]
+        hi_y = nbs_ref[6 * k + 4, t]
+        hi_z = nbs_ref[6 * k + 5, t]
         t0x = (lo_x - ox) * ix
         t1x = (hi_x - ox) * ix
         t0y = (lo_y - oy) * iy
@@ -166,20 +153,26 @@ def _traverse_kernel(meta_ref, nb_ref, tri_ref, ox_ref, oy_ref, oz_ref,
         """Triangle tests over one static-lane leaf block."""
         rows2 = tri_ref[pl.ds(block * LEAF_BLOCK_ROWS,
                               LEAF_BLOCK_ROWS), :]
-        for k in range(PACKET_LEAF_MAX):
+        r8 = [_sublane_double(rows2[r:r + 1, :], shape[0])
+              for r in range(LEAF_BLOCK_ROWS)]
+
+        def fld(k, f):
             r = k // TRIS_PER_LEAF_ROW
             base = (k % TRIS_PER_LEAF_ROW) * TRI_F
-            tv = rows2[r:r + 1, base:base + TRI_F]     # (1,10) static
-            v0x = _bcast(tv, 0, shape)
-            v0y = _bcast(tv, 1, shape)
-            v0z = _bcast(tv, 2, shape)
-            e1x = _bcast(tv, 3, shape)
-            e1y = _bcast(tv, 4, shape)
-            e1z = _bcast(tv, 5, shape)
-            e2x = _bcast(tv, 6, shape)
-            e2y = _bcast(tv, 7, shape)
-            e2z = _bcast(tv, 8, shape)
-            idx_f = _bcast(tv, 9, shape)
+            return jnp.broadcast_to(r8[r][:, base + f:base + f + 1],
+                                    shape)
+
+        for k in range(PACKET_LEAF_MAX):
+            v0x = fld(k, 0)
+            v0y = fld(k, 1)
+            v0z = fld(k, 2)
+            e1x = fld(k, 3)
+            e1y = fld(k, 4)
+            e1z = fld(k, 5)
+            e2x = fld(k, 6)
+            e2y = fld(k, 7)
+            e2z = fld(k, 8)
+            idx_f = fld(k, 9)
             px = dy * e2z - dz * e2y
             py = dz * e2x - dx * e2z
             pz = dx * e2y - dy * e2x
@@ -203,9 +196,10 @@ def _traverse_kernel(meta_ref, nb_ref, tri_ref, ox_ref, oy_ref, oz_ref,
 
     def body(c):
         """Pop one encoded entry: (target<<5|cnt); cnt>0 → leaf block,
-        else a wide node whose FOUR child slots are slab-tested from one
-        fetched record, entered ones pushed near-group-last (the wide
-        node stores the parent binary split axis for the group vote)."""
+        else a wide node whose FOUR child slots are slab-tested from
+        scalar SMEM bounds, entered ones pushed near-group-last (the
+        wide node stores the parent binary split axis for the group
+        vote)."""
         sp, done, bt, bi = c
         e = stack_ref[sp - 1]
         cnt = e & META_CNT_MASK
@@ -217,15 +211,11 @@ def _traverse_kernel(meta_ref, nb_ref, tri_ref, ox_ref, oy_ref, oz_ref,
         sp2 = sp - 1
 
         def wide_fn(sp2):
-            nrow = target // NODES_PER_ROW
-            noff = (target % NODES_PER_ROW) * NODE_F
-            row = nb_ref[pl.ds(nrow, 1), :]                  # (1,128)
-            nb = _extract_fields(row, noff, NODE_F)          # (1,W*6)
             axis = meta_ref[WIDE, target]
             sneg = jnp.where(axis == 0, sneg_x,
                              jnp.where(axis == 1, sneg_y, sneg_z))
             encs = [meta_ref[k, target] for k in range(WIDE)]
-            hits = [_slab_cols(nb, 6 * k, bt, bi) for k in range(WIDE)]
+            hits = [_slab_scalar(target, k, bt, bi) for k in range(WIDE)]
             valid = [(encs[k] >= 0) & hits[k] for k in range(WIDE)]
             # first half = left subtree, second half = right; push the
             # far group first so the near group pops first (LIFO)
@@ -312,7 +302,7 @@ def _impl(meta, nbounds, tris, o, d, tmax, *, any_hit, interpret=False,
         kernel,
         grid=(Rpad // block,),
         in_specs=[table_spec(meta.shape, pltpu.SMEM),
-                  table_spec(nbounds.shape, pltpu.VMEM),
+                  table_spec(nbounds.shape, pltpu.SMEM),
                   table_spec(tris.shape, pltpu.VMEM)] + [ray_spec] * 10,
         out_specs=[ray_spec, ray_spec],
         out_shape=[
@@ -382,14 +372,14 @@ def pack_bvh(lo, hi, right, count, axis, v0, v1, v2):
 
     The binary tree is first collapsed to PACKET_LEAF_MAX-triangle
     leaves (_collapse_tree), then pairs of binary levels merge into
-    4-wide nodes: each wide node's record holds its (up to) four slots'
-    bounds (24 floats, 5 nodes per 128-lane row in VMEM) and the slot
-    encodings + parent split axis live in SMEM ((5, Nw) int32). Leaf
-    triangles are repacked into aligned static-lane blocks
+    4-wide nodes: each wide node's (up to) four slots' bounds go into an
+    SMEM f32 table ((24, Nw): 6 scalars per slot) and the slot
+    encodings + parent split axis into an SMEM int32 table ((5, Nw)).
+    Leaf triangles are repacked into aligned static-lane VMEM blocks
     (v0|e1|e2|leaf-ordered-index, 12 tris per row).
 
-    Returns (meta (5,Nw) i32 [SMEM], nbounds (ceil(Nw/5),128) f32
-    [VMEM], tris (n_leaf*LEAF_BLOCK_ROWS, 128) f32 [VMEM])."""
+    Returns (meta (5,Nw) i32 [SMEM], nbounds (24,Nw) f32 [SMEM],
+    tris (n_leaf*LEAF_BLOCK_ROWS, 128) f32 [VMEM])."""
     lo, hi, right, count, axis = _collapse_tree(
         np.asarray(lo), np.asarray(hi), np.asarray(right, np.int64),
         np.asarray(count, np.int64), np.asarray(axis, np.int64))
@@ -480,10 +470,6 @@ def pack_bvh(lo, hi, right, count, axis, v0, v1, v2):
             f"stack (> STACK={STACK}); raise bvh_pallas.STACK for this "
             "scene")
     meta = np.asarray(wmeta, np.int32).T.copy()          # (W+1, Nw)
-    nrows = (nw + NODES_PER_ROW - 1) // NODES_PER_ROW
-    nb = np.zeros((nrows * NODES_PER_ROW, NODE_F), np.float32)
-    nb[:nw] = np.asarray(wbounds, np.float32)
-    nb = nb.reshape(nrows, NODES_PER_ROW * NODE_F)
-    nbounds = np.zeros((nrows, LANES), np.float32)
-    nbounds[:, :NODES_PER_ROW * NODE_F] = nb
+    nbounds = np.ascontiguousarray(
+        np.asarray(wbounds, np.float32).T)               # (24, Nw)
     return meta, nbounds, blocks

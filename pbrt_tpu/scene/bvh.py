@@ -66,7 +66,7 @@ class FlatBVH:
     # (24 floats/node, 5 nodes per 128-lane row) and static-lane leaf
     # triangle blocks; the TPU traversal path
     pk_meta: Array = None     # (WIDE+1, Nw) int32: 4 slot encs + axis
-    pk_nb: Array = None       # (ceil(Nw/5), 128) float32 wide-node bounds
+    pk_nb: Array = None       # (24, Nw) float32 wide-node bounds [SMEM]
     pk_tri: Array = None      # (n_leaf*LEAF_BLOCK_ROWS, 128) f32 tri blocks
 
 
