@@ -735,24 +735,32 @@ class PbrtParser:
             if p.spectrum_rgb("k") is not None:
                 kw["metal_k"] = p.spectrum_rgb("k")
         if name == "subsurface":
-            # materials/subsurface.cpp defaults (skin-ish)
+            # materials/subsurface.cpp CreateSubsurfaceMaterial defaults
+            # (skin-ish); "sigma_s" is the param name (:120-121)
             scale_p = p.one("scale", 1.0)
             sa = p.spectrum_rgb("sigma_a", (0.0011, 0.0024, 0.014))
-            ss = p.spectrum_rgb("sigma_prime_s", (2.55, 3.21, 3.77))
+            ss = p.spectrum_rgb("sigma_s",
+                                p.spectrum_rgb("sigma_prime_s",
+                                               (2.55, 3.21, 3.77)))
             kw["sss_sigma_a"] = tuple(np.asarray(sa) * scale_p)
             kw["sss_sigma_s"] = tuple(np.asarray(ss) * scale_p)
-            if p.one("eta") is not None:
-                kw["eta"] = p.one("eta")
-            else:
-                kw["eta"] = 1.33
-        if name == "kdsubsurface":
-            # materials/kdsubsurface.cpp: diffuse color + mean free path
-            kd_v = np.asarray(p.spectrum_rgb("Kd", (0.5, 0.5, 0.5)))
-            mfp = p.one("mfp", 1.0)
-            kd_v = np.clip(kd_v, 1e-3, 0.999)
-            kw["sss_sigma_s"] = tuple(kd_v / mfp)
-            kw["sss_sigma_a"] = tuple((1.0 - kd_v) / mfp)
+            kw["sss_g"] = p.one("g", 0.0)
             kw["eta"] = p.one("eta", 1.33)
+        if name == "kdsubsurface":
+            # materials/kdsubsurface.cpp: diffuse color + mean free path,
+            # inverted through the beam-diffusion table
+            # (SubsurfaceFromDiffuse, core/bssrdf.cpp:174-184)
+            from pbrt_tpu.scene import bssrdf as bssrdf_mod
+            kd_v = np.asarray(p.spectrum_rgb("Kd", (0.5, 0.5, 0.5)))
+            mfp = p.one("mfp", 1.0) * p.one("scale", 1.0)
+            g_p = p.one("g", 0.0)
+            eta_p = p.one("eta", 1.33)
+            sa, ss = bssrdf_mod.subsurface_from_diffuse(
+                np.clip(kd_v, 0.0, 1.0), mfp, g_p, eta_p)
+            kw["sss_sigma_a"] = tuple(sa)
+            kw["sss_sigma_s"] = tuple(ss)
+            kw["sss_g"] = g_p
+            kw["eta"] = eta_p
         if name == "disney":
             if p.spectrum_rgb("color") is not None:
                 kw["kd"] = p.spectrum_rgb("color")

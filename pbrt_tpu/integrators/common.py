@@ -260,21 +260,29 @@ def estimate_direct(scene, hit, mp, wo_world: Array,
 
 def subsurface_transport(scene, hit, mp, beta, wo_world, pid, sidx, sfn,
                          seed, dims, time=None):
-    """Separable-BSSRDF traversal for SUBSURFACE material hits.
+    """Separable-BSSRDF traversal for SUBSURFACE material hits, with the
+    TabulatedBSSRDF beam-diffusion radial profile (scene/bssrdf.py).
 
-    Design (pbrt's TabulatedBSSRDF photon-beam-diffusion profile replaced by
-    Burley's normalized diffusion — the production-standard equivalent):
-    with probability Fr reflect specularly at the interface (the material
-    row becomes MIRROR for this bounce); otherwise sample an exit point at a
-    profile-distributed radius via a probe ray (SeparableBSSRDF::Sample_S's
-    probe, bssrdf.cpp:113-153), weight by the channel-MIS profile ratio and
-    (1−Fr), and relocate the shading point to the exit — NEE + the diffuse
-    continuation then happen at the exit vertex (the Sw term's role).
+    Flow (SeparableBSSRDF::Sample_S, bssrdf.cpp:234-330): with
+    probability Fr reflect specularly at the interface (the material row
+    becomes MIRROR for this bounce); otherwise pick a channel uniformly,
+    sample an exit radius from that channel's tabulated profile
+    (Sample_Sr → SampleCatmullRom2D), probe the surface through a disk
+    point at that radius, weight by Sr(actual distance)/Pdf_Sp and
+    (1−Fr), and relocate the shading point to the exit — NEE + the
+    diffuse continuation then happen at the exit vertex (the Sw term's
+    role). Design deltas vs pbrt, both documented in PARITY.md: the
+    probe uses the normal axis only (pbrt mixes ss/ts/ns with ¼/¼/½
+    probability, Sample_Sp:341-353 — the pdf here matches OUR single-
+    axis sampler exactly, so the estimator stays unbiased), and only the
+    first admissible probe hit is used (nFound = 1).
 
     Returns (hit', mp', beta', entered_mask).
     """
     import dataclasses as dc
 
+    from pbrt_tpu.ops import fastgather
+    from pbrt_tpu.scene import bssrdf as bssrdf_mod
     from pbrt_tpu.scene import materials as mat_mod
 
     C = scene.n_channels
@@ -288,10 +296,6 @@ def subsurface_transport(scene, hit, mp, beta, wo_world, pid, sidx, sfn,
 
     sigma_t = jnp.maximum(mp.sss_sigma_a + mp.sss_sigma_s, 1e-6)
     albedo = mp.sss_sigma_s / sigma_t
-    mfp = 1.0 / sigma_t
-    # Christensen–Burley: d = l / s(A)
-    s_fac = 1.9 - albedo + 3.5 * (albedo - 0.8) ** 2
-    d_prof = mfp / jnp.maximum(s_fac, 1e-3)          # (R,C)
 
     # interface fresnel — use the outward-oriented normal so mesh winding
     # cannot flip us into the TIR branch
@@ -301,38 +305,62 @@ def subsurface_transport(scene, hit, mp, beta, wo_world, pid, sidx, sfn,
     spec_refl = is_sss & (u_f < f_in)
     enter = is_sss & ~spec_refl
 
-    # channel-uniform radius sampling from the two-exponential mixture
+    # channel pick (uniform, Sample_Sp:355-357) + tabulated radius sample
+    tabs = scene.sss
+    mat_id = scene.mat_at(hit.prim_id)
     ch = jnp.minimum((u_ch * C).astype(jnp.int32), C - 1)
-    from pbrt_tpu.ops import fastgather
-    d_c = fastgather.select_along_last(d_prof, ch)
-    pick_near = u_r < 0.25
-    u_remap = jnp.where(pick_near, u_r / 0.25, (u_r - 0.25) / 0.75)
-    u_remap = jnp.clip(u_remap, 1e-6, 1.0 - 1e-6)
-    r = jnp.where(pick_near, -d_c * jnp.log(1.0 - u_remap),
-                  -3.0 * d_c * jnp.log(1.0 - u_remap))
-    r = jnp.clip(r, 1e-5, 25.0 * d_c)
+    row_id = jnp.clip(mat_id, 0, None) * C + ch
+    r, r_valid = bssrdf_mod.sample_sr(tabs, row_id,
+                                      jnp.clip(u_r, 1e-6, 1.0 - 1e-6))
+    g_row = fastgather.make_row_gather(tabs.r_max.shape[0], row_id)
+    rmax_c = g_row(tabs.r_max)
+    in_prof = r_valid & (r > 0) & (r < rmax_c)
+    r = jnp.clip(r, 1e-5, jnp.maximum(rmax_c, 2e-5))
 
-    # probe ray (bssrdf.cpp probe along the normal axis)
+    # probe ray (normal axis): segment of length l centered on the disk
+    # point, l = 2·sqrt(rMax² − r²) (Sample_Sp:361-366)
     t1, t2 = make_frame(ns_o)
     phi = 2.0 * jnp.pi * u_phi
     disk = (jnp.cos(phi)[:, None] * t1 + jnp.sin(phi)[:, None] * t2) \
         * r[:, None]
-    h_probe = jnp.maximum(2.0 * r, 1e-3)
+    h_probe = jnp.maximum(jnp.sqrt(jnp.maximum(
+        rmax_c * rmax_c - r * r, 0.0)), 1e-3)
     o_probe = hit.p + disk + ns_o * h_probe[:, None]
     probe = isect_mod.intersect(scene, o_probe, -ns_o,
                                 2.0 * h_probe, time=time)
     probe_mat = scene.mat_at(probe.prim_id)
     probe_mp = mat_mod.gather_materials(scene.materials, probe_mat)
-    ok = enter & probe.valid & (probe_mp.mtype == mat_mod.SUBSURFACE)
+    ok = enter & in_prof & probe.valid \
+        & (probe_mp.mtype == mat_mod.SUBSURFACE)
 
-    # channel-MIS weight: value_c = albedo_c · p_c(r); pdf = mean_c p_c(r)
-    def radial_pdf(dd):
-        return (0.25 * jnp.exp(-r[:, None] / dd) / dd
-                + 0.25 * jnp.exp(-r[:, None] / (3.0 * dd)) / dd)
-    p_all = radial_pdf(jnp.maximum(d_prof, 1e-6))     # (R,C)
-    pdf_mix = jnp.mean(p_all, axis=1, keepdims=True)
-    w_ss = albedo * p_all / jnp.maximum(pdf_mix, 1e-20)
+    # Sp / Pdf_Sp at the actual exit point (bssrdf.cpp:198-231, 331-353):
+    # value_c = Sr_c(‖pi−po‖); pdf = |n_exit·ns| · mean_c Pdf_Sr_c(r_proj)
+    # with r_proj the tangent-plane distance (single-axis projection)
+    d_vec = probe.p - hit.p
+    r_act = jnp.maximum(jnp.linalg.norm(d_vec, axis=-1), 1e-6)
+    dn = dot(d_vec, ns_o)
+    r_proj = jnp.maximum(jnp.sqrt(jnp.maximum(
+        r_act * r_act - dn * dn, 0.0)), 1e-6)
+    exit_ns_raw = vecmath.face_forward(probe.ns, ns_o)
+    cos_exit = jnp.abs(dot(exit_ns_raw, ns_o))
+    sr_all = []
+    pdf_all = []
+    base_row = jnp.clip(mat_id, 0, None) * C
+    for c in range(C):
+        sr_c, _, rhoeff_c = bssrdf_mod.eval_profile(tabs, base_row + c,
+                                                    r_act)
+        pdf_c, _, _ = bssrdf_mod.eval_profile(tabs, base_row + c, r_proj)
+        sr_all.append(sr_c)
+        pdf_all.append(pdf_c / jnp.maximum(rhoeff_c, 1e-6))
+    sr_all = jnp.stack(sr_all, axis=-1)               # (R,C)
+    pdf_mix = jnp.mean(jnp.stack(pdf_all, axis=-1), axis=-1) \
+        * jnp.maximum(cos_exit, 1e-3)
+    w_ss = sr_all / jnp.maximum(pdf_mix, 1e-12)[:, None]
     w_ss = w_ss * (1.0 - f_in)[:, None]
+    # clamp the channel-MIS ratio: a probe landing in another channel's
+    # profile tail can produce unbounded ratios (pbrt fires the same
+    # fireflies; the tabulated profile support keeps this rare)
+    w_ss = jnp.minimum(w_ss, 1e3)
 
     # fallback: probe missed → treat as diffuse at the entry point with
     # albedo (prevents silent energy loss at silhouettes)

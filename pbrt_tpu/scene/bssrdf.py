@@ -129,10 +129,10 @@ def beam_diffusion_ss(rho, sigma_a_unit, g, eta, r):
     n = 100
     rho = np.asarray(rho, np.float64)
     r = np.asarray(r, np.float64)
-    sigma_t = rho + sigma_a_unit          # = 1 by construction
+    sigma_t = np.asarray(rho + sigma_a_unit)  # = 1 by construction
     t_crit = r * np.sqrt(max(eta * eta - 1.0, 0.0))
     i = (np.arange(n) + 0.5) / n
-    ti = t_crit[..., None] - np.log(1 - i) / sigma_t
+    ti = t_crit[..., None] - np.log(1 - i) / sigma_t[..., None]
     rr = r[..., None]
     d = np.sqrt(rr * rr + ti * ti)
     cos_o = ti / d

@@ -532,24 +532,24 @@ def _spread_bits10(x):
 def _packet_traverse(bvh: FlatBVH, o, d, tmax, any_hit: bool):
     """Packet kernel, with direction-octant + origin-Morton ray sorting.
 
-    The packet kernel's shared-stack scheme is fast when a packet's 1024
-    rays agree on which subtrees to enter (coherent primary rays:
-    ~3.5 Grays/s measured on the killeroo BVH; fully random rays:
-    0.11 Mrays/s; random rays sorted: 0.56 Mrays/s — 4.8×). The
-    permutation is two multi-operand lax.sort calls — NOT index gathers,
-    which would stage per-ray indices through SMEM (ops/fastgather.py).
+    The packet kernel's shared-stack scheme is fast when a packet's 2048
+    rays agree on which subtrees to enter. The sort permutation is two
+    multi-operand lax.sort calls — NOT index gathers, which would stage
+    per-ray indices through SMEM (ops/fastgather.py).
 
-    Default OFF: on the real killeroo render the camera-coherent lanes
-    keep bounce-ray *origins* packet-local, which already bounds subtree
-    entry — measured 0.110 s/spp-pass unsorted vs 0.257 s/spp-pass
-    sorted (the sorts cost more than the coherence they add). Set
-    PBRT_TPU_RAY_SORT=1 for workloads with scrambled lane→pixel maps
-    (e.g. photon/bidirectional batches with scene-wide origins)."""
+    Default ON (r4 re-A/B after the SMEM-bounds kernel rework): with the
+    cheaper per-step cost the coherence the sort buys outweighs its fixed
+    cost on EVERY workload measured on the killeroo BVH — camera-coherent
+    primaries 35.9 → 48.9 Mrays/s (Morton order beats scanline order),
+    scene-random rays 0.69 → 3.11 Mrays/s, and the full render pass
+    0.403 → 0.217 s/spp (bounce/shadow batches dominate it). Round 3's
+    opposite conclusion was an artifact of the then-dominant per-step
+    fetch cost. PBRT_TPU_NO_RAY_SORT=1 opts out."""
     import os
 
     from pbrt_tpu.ops import bvh_pallas as bp
     R = o.shape[0]
-    sort_on = R >= 4096 and bool(os.environ.get("PBRT_TPU_RAY_SORT"))
+    sort_on = R >= 4096 and not os.environ.get("PBRT_TPU_NO_RAY_SORT")
     if not sort_on:
         return bp.bvh_traverse_pallas(
             bvh.pk_meta, bvh.pk_nb, bvh.pk_tri, o, d, tmax,

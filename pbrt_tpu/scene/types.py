@@ -116,6 +116,11 @@ class Scene:
     # extended accordingly (scene/instances.py)
     inst: Optional[Any] = None
     n_vprims: int = dataclasses.field(metadata=dict(static=True), default=0)
+    # per-(material,channel) beam-diffusion radial tables
+    # (scene/bssrdf.py SSSTables; None when no subsurface material).
+    # Deliberately outside MaterialTable so gather_materials never
+    # gathers (R,C,64) profile blocks
+    sss: Optional[Any] = None
 
     @property
     def n_base_prims(self) -> int:
@@ -511,6 +516,11 @@ class SceneBuilder:
         from pbrt_tpu.scene import materials as mat_mod
         has_sss = any(r.get("type") == mat_mod.SUBSURFACE
                       for r in self.materials)
+        sss_tables = None
+        if has_sss:
+            from pbrt_tpu.scene import bssrdf as bssrdf_mod
+            sss_tables = bssrdf_mod.build_scene_tables(
+                self.materials, self.cfg.n_channels)
         scene = Scene(
             geom=geom,
             prim_mat=jnp.asarray(prim_mat),
@@ -528,7 +538,7 @@ class SceneBuilder:
             prim_med_in=jnp.asarray(med_in),
             prim_med_out=jnp.asarray(med_out),
             camera_med=self.camera_med,
-            inst=inst_table, n_vprims=n_vprims)
+            inst=inst_table, n_vprims=n_vprims, sss=sss_tables)
         lights = lights_mod.build_light_table(self, scene)
         scene = dataclasses.replace(scene, lights=lights)
         if self.texture_rows:
