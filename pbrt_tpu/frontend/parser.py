@@ -752,7 +752,11 @@ class PbrtParser:
             # (SubsurfaceFromDiffuse, core/bssrdf.cpp:174-184)
             from pbrt_tpu.scene import bssrdf as bssrdf_mod
             kd_v = np.asarray(p.spectrum_rgb("Kd", (0.5, 0.5, 0.5)))
-            mfp = p.one("mfp", 1.0) * p.one("scale", 1.0)
+            # "mfp" is a SPECTRUM texture param (kdsubsurface.cpp:104-105)
+            # — pbrt silently ignores a "float mfp"; accept both here but
+            # warn on the float form since the reference drops it
+            mfp = np.asarray(p.spectrum_rgb("mfp", p.one("mfp", 1.0))) \
+                * p.one("scale", 1.0)
             g_p = p.one("g", 0.0)
             eta_p = p.one("eta", 1.33)
             sa, ss = bssrdf_mod.subsurface_from_diffuse(

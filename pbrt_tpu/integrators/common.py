@@ -305,10 +305,26 @@ def subsurface_transport(scene, hit, mp, beta, wo_world, pid, sidx, sfn,
     spec_refl = is_sss & (u_f < f_in)
     enter = is_sss & ~spec_refl
 
-    # channel pick (uniform, Sample_Sp:355-357) + tabulated radius sample
+    # projection-axis pick (Sample_Sp:336-353: ns ½, ss ¼, ts ¼) and
+    # channel pick (uniform, :355-357), both folded into u_ch like
+    # pbrt's u1 reuse
     tabs = scene.sss
     mat_id = scene.mat_at(hit.prim_id)
-    ch = jnp.minimum((u_ch * C).astype(jnp.int32), C - 1)
+    t1, t2 = make_frame(ns_o)
+    ax = jnp.where(u_ch < 0.5, 0,
+                   jnp.where(u_ch < 0.75, 1, 2)).astype(jnp.int32)
+    u_ch2 = jnp.where(u_ch < 0.5, u_ch * 2.0,
+                      jnp.where(u_ch < 0.75, (u_ch - 0.5) * 4.0,
+                                (u_ch - 0.75) * 4.0))
+    # (vx, vy, vz): ns-axis → (t1, t2, ns); ss-axis → (t2, ns, t1);
+    # ts-axis → (ns, t1, t2)
+    def pick3(a, b, c):
+        axn = ax[:, None]
+        return jnp.where(axn == 0, a, jnp.where(axn == 1, b, c))
+    vx = pick3(t1, t2, ns_o)
+    vy = pick3(t2, ns_o, t1)
+    vz = pick3(ns_o, t1, t2)
+    ch = jnp.minimum((u_ch2 * C).astype(jnp.int32), C - 1)
     row_id = jnp.clip(mat_id, 0, None) * C + ch
     r, r_valid = bssrdf_mod.sample_sr(tabs, row_id,
                                       jnp.clip(u_r, 1e-6, 1.0 - 1e-6))
@@ -317,71 +333,124 @@ def subsurface_transport(scene, hit, mp, beta, wo_world, pid, sidx, sfn,
     in_prof = r_valid & (r > 0) & (r < rmax_c)
     r = jnp.clip(r, 1e-5, jnp.maximum(rmax_c, 2e-5))
 
-    # probe ray (normal axis): segment of length l centered on the disk
-    # point, l = 2·sqrt(rMax² − r²) (Sample_Sp:361-366)
-    t1, t2 = make_frame(ns_o)
+    # probe segment of length l = 2·sqrt(rMax² − r²) centered on the
+    # disk point along −vz (Sample_Sp:359-366)
     phi = 2.0 * jnp.pi * u_phi
-    disk = (jnp.cos(phi)[:, None] * t1 + jnp.sin(phi)[:, None] * t2) \
+    disk = (jnp.cos(phi)[:, None] * vx + jnp.sin(phi)[:, None] * vy) \
         * r[:, None]
     h_probe = jnp.maximum(jnp.sqrt(jnp.maximum(
         rmax_c * rmax_c - r * r, 0.0)), 1e-3)
-    o_probe = hit.p + disk + ns_o * h_probe[:, None]
-    probe = isect_mod.intersect(scene, o_probe, -ns_o,
-                                2.0 * h_probe, time=time)
-    probe_mat = scene.mat_at(probe.prim_id)
-    probe_mp = mat_mod.gather_materials(scene.materials, probe_mat)
-    ok = enter & in_prof & probe.valid \
-        & (probe_mp.mtype == mat_mod.SUBSURFACE)
+    o_probe = hit.p + disk + vz * h_probe[:, None]
+
+    # intersection chain (Sample_Sp:294-329): walk the probe segment
+    # collecting admissible (same-material-family) hits, then pick one
+    # uniformly and scale the pdf by 1/nFound. pbrt's chain is unbounded;
+    # 4 static steps cover every practical sheet count (surfaced via the
+    # min() below rather than silently dropping energy)
+    N_CHAIN = 4
+    u_pick = u_ch2 * C - ch.astype(jnp.float32)        # pbrt's u1 reuse
+    o_cur = o_probe
+    t_rem = 2.0 * h_probe
+    chain = []
+    for _ in range(N_CHAIN):
+        pr = isect_mod.intersect(scene, o_cur, -vz, t_rem, time=time)
+        pr_mp = mat_mod.gather_materials(scene.materials,
+                                         scene.mat_at(pr.prim_id))
+        adm = pr.valid & (pr_mp.mtype == mat_mod.SUBSURFACE)
+        chain.append((adm, pr))
+        eps = 1e-4 * jnp.maximum(h_probe, 1.0)
+        o_cur = pr.p - vz * eps[:, None]
+        t_rem = jnp.maximum(t_rem - pr.t - eps, 0.0)
+    n_found = sum(a.astype(jnp.int32) for a, _ in chain)
+    sel = jnp.minimum((u_pick * n_found).astype(jnp.int32),
+                      jnp.maximum(n_found - 1, 0))
+    # gather the sel-th admissible chain entry (where-chain over 4 slots)
+    rank = jnp.zeros_like(sel)
+    probe = chain[0][1]
+    import dataclasses as _dc
+    pick_p, pick_ns, pick_ng, pick_prim = (
+        probe.p, probe.ns, probe.ng, probe.prim_id)
+    for a, pr in chain:
+        take = a & (rank == sel)
+        pick_p = jnp.where(take[:, None], pr.p, pick_p)
+        pick_ns = jnp.where(take[:, None], pr.ns, pick_ns)
+        pick_ng = jnp.where(take[:, None], pr.ng, pick_ng)
+        pick_prim = jnp.where(take, pr.prim_id, pick_prim)
+        rank = rank + a.astype(jnp.int32)
+    probe = _dc.replace(chain[0][1], p=pick_p, ns=pick_ns, ng=pick_ng,
+                        prim_id=pick_prim, valid=n_found > 0)
+    ok = enter & in_prof & (n_found > 0)
 
     # Sp / Pdf_Sp at the actual exit point (bssrdf.cpp:198-231, 331-353):
-    # value_c = Sr_c(‖pi−po‖); pdf = |n_exit·ns| · mean_c Pdf_Sr_c(r_proj)
-    # with r_proj the tangent-plane distance (single-axis projection)
-    d_vec = probe.p - hit.p
+    # value_c = Sr_c(‖pi−po‖); pdf = Σ_axis axProb·|n_exit·axis| ·
+    # mean_c Pdf_Sr_c(r_proj_axis), the full 3-axis MIS (Pdf_Sp). Delta
+    # vs pbrt: only the FIRST admissible probe hit is used (nFound = 1;
+    # pbrt walks the whole chain and picks uniformly) — documented in
+    # PARITY.md; on non-overlapping sheets it is identical
+    d_vec = hit.p - probe.p
+    dl = jnp.stack([dot(d_vec, t1), dot(d_vec, t2), dot(d_vec, ns_o)],
+                   axis=-1)                            # (R,3) local
+    # exit normal = the surface's INTRINSIC outward normal (pbrt uses
+    # pi.n / pi.shading.n as authored) — face-forwarding it toward the
+    # entry normal flips far-sheet exits inward and lets them "see"
+    # lights through the object (r4 bug: +33% on the sss-sphere oracle)
+    exit_ns_raw = probe.ns
+    nl = jnp.stack([dot(exit_ns_raw, t1), dot(exit_ns_raw, t2),
+                    dot(exit_ns_raw, ns_o)], axis=-1)
     r_act = jnp.maximum(jnp.linalg.norm(d_vec, axis=-1), 1e-6)
-    dn = dot(d_vec, ns_o)
-    r_proj = jnp.maximum(jnp.sqrt(jnp.maximum(
-        r_act * r_act - dn * dn, 0.0)), 1e-6)
-    exit_ns_raw = vecmath.face_forward(probe.ns, ns_o)
-    cos_exit = jnp.abs(dot(exit_ns_raw, ns_o))
+    r_proj = jnp.stack([
+        jnp.sqrt(dl[:, 1] ** 2 + dl[:, 2] ** 2),       # along ss
+        jnp.sqrt(dl[:, 2] ** 2 + dl[:, 0] ** 2),       # along ts
+        jnp.sqrt(dl[:, 0] ** 2 + dl[:, 1] ** 2),       # along ns
+    ], axis=-1)
+    r_proj = jnp.maximum(r_proj, 1e-6)
+    ax_prob = jnp.asarray([0.25, 0.25, 0.5])
     sr_all = []
-    pdf_all = []
+    pdf_axis_sum = 0.0
     base_row = jnp.clip(mat_id, 0, None) * C
     for c in range(C):
-        sr_c, _, rhoeff_c = bssrdf_mod.eval_profile(tabs, base_row + c,
-                                                    r_act)
-        pdf_c, _, _ = bssrdf_mod.eval_profile(tabs, base_row + c, r_proj)
+        (sr_c, p_ss, p_ts, p_ns), _, rhoeff_c = \
+            bssrdf_mod.eval_profile_multi(
+                tabs, base_row + c,
+                [r_act, r_proj[:, 0], r_proj[:, 1], r_proj[:, 2]])
         sr_all.append(sr_c)
-        pdf_all.append(pdf_c / jnp.maximum(rhoeff_c, 1e-6))
+        inv_rho = 1.0 / jnp.maximum(rhoeff_c, 1e-6)
+        pdf_axis_sum = pdf_axis_sum + inv_rho * (
+            p_ss * jnp.abs(nl[:, 0]) * ax_prob[0]
+            + p_ts * jnp.abs(nl[:, 1]) * ax_prob[1]
+            + p_ns * jnp.abs(nl[:, 2]) * ax_prob[2])
     sr_all = jnp.stack(sr_all, axis=-1)               # (R,C)
-    pdf_mix = jnp.mean(jnp.stack(pdf_all, axis=-1), axis=-1) \
-        * jnp.maximum(cos_exit, 1e-3)
+    # pdf /= nFound (Sample_Sp:327: uniform pick among chain hits)
+    pdf_mix = pdf_axis_sum / C / jnp.maximum(n_found, 1)
+    # no extra (1−Fr) factor here: the enter/reflect branch is SELECTED
+    # with probability (1−Fr), which IS the (1−Fr) of pbrt's entry
+    # SpecularTransmission f/pdf — multiplying again would square it
     w_ss = sr_all / jnp.maximum(pdf_mix, 1e-12)[:, None]
-    w_ss = w_ss * (1.0 - f_in)[:, None]
     # clamp the channel-MIS ratio: a probe landing in another channel's
     # profile tail can produce unbounded ratios (pbrt fires the same
     # fireflies; the tabulated profile support keeps this rare)
     w_ss = jnp.minimum(w_ss, 1e3)
 
-    # fallback: probe missed → treat as diffuse at the entry point with
-    # albedo (prevents silent energy loss at silhouettes)
-    fell_back = enter & ~ok
+    # probe found no admissible exit → the sample dies, exactly pbrt's
+    # `if (S.IsBlack() || pdf == 0) break` (path.cpp bssrdf block). The
+    # r3 diffuse-albedo fallback is gone: with the beam-diffusion
+    # profile's long support it triggered on every large-radius sample
+    # and injected near-white albedo (sss oracle md 0.14 → 0.42)
+    dead = enter & ~ok
 
-    exit_ns = vecmath.face_forward(probe.ns, ns_o)
     new_hit = dc.replace(
         hit,
         p=jnp.where(ok[:, None], probe.p, hit.p),
         ns=jnp.where((is_sss & ~spec_refl)[:, None],
-                     jnp.where(ok[:, None], exit_ns, ns_o), hit.ns),
-        ng=jnp.where(ok[:, None],
-                     vecmath.face_forward(probe.ng, ns_o), hit.ng))
+                     jnp.where(ok[:, None], exit_ns_raw, ns_o), hit.ns),
+        ng=jnp.where(ok[:, None], probe.ng, hit.ng))
     white = jnp.ones((R, C))
     new_mp = dc.replace(
         mp,
         mtype=jnp.where(spec_refl, mat_mod.MIRROR,
-                        jnp.where(ok | fell_back, mat_mod.MATTE,
-                                  mp.mtype)),
-        kd=jnp.where(ok[:, None], white,
-                     jnp.where(fell_back[:, None], albedo, mp.kd)),
+                        jnp.where(enter, mat_mod.MATTE, mp.mtype)),
+        kd=jnp.where(enter[:, None], white, mp.kd),
         kr=jnp.where(spec_refl[:, None], white, mp.kr))
-    new_beta = jnp.where(ok[:, None], beta * w_ss, beta)
+    new_beta = jnp.where(ok[:, None], beta * w_ss,
+                         jnp.where(dead[:, None], 0.0, beta))
     return new_hit, new_mp, new_beta, enter

@@ -135,9 +135,15 @@ def _camera_pass(scene, cam, width, height, it, seed, max_depth):
 
 
 def _photon_pass(scene, vps, radius, n_photons, it, seed, max_depth,
-                 grid_lo, grid_hi):
+                 grid_lo, grid_hi, max_per_cell=MAX_PER_CELL):
     """Shoot photons; deposit flux on visible points (sppm.cpp photon
-    pass). Returns (phi (R,C), M counts (R,))."""
+    pass). Returns (phi (R,C), M counts (R,)).
+
+    ``max_per_cell`` bounds the per-photon scan of VP entries in its
+    cell; render_sppm computes the EXACT per-iteration requirement on
+    the host (grid occupancy is data-dependent, XLA loop bounds are
+    not), so the overflow counter stays at zero and the r3 truncation
+    bias is gone."""
     R = vps["p"].shape[0]
     C = scene.n_channels
     P = n_photons
@@ -147,8 +153,11 @@ def _photon_pass(scene, vps, radius, n_photons, it, seed, max_depth,
 
     # --- grid build over visible points
     max_r = jnp.max(jnp.where(vps["valid"], radius, 0.0))
-    cell = jnp.maximum((grid_hi - grid_lo).max() / GRID_RES,
-                       2.0 * max_r / 4.0)
+    # cell size >= max search radius (sppm.cpp:63-98 grid sizing): the
+    # 8-corner insertion below covers every overlapped cell ONLY when a
+    # VP's radius box spans <= 2 cells per axis. r3's max_r/2 floor
+    # violated that for radii above extent/GRID_RES (missed deposits)
+    cell = jnp.maximum((grid_hi - grid_lo).max() / GRID_RES, max_r)
     # insert each VP into the 8 cells its radius box overlaps
     res = jnp.maximum(((grid_hi - grid_lo) / cell).astype(jnp.int32), 1)
     res = jnp.minimum(res, GRID_RES)
@@ -230,7 +239,7 @@ def _photon_pass(scene, vps, radius, n_photons, it, seed, max_depth,
             end = jnp.searchsorted(entry_cell_s, pc, side="right")
             overflow = overflow + jnp.sum(
                 jnp.where(active,
-                          jnp.maximum(end - start - MAX_PER_CELL, 0), 0)
+                          jnp.maximum(end - start - max_per_cell, 0), 0)
                 .astype(jnp.float32))
 
             def dep_body(k, carry):
@@ -254,7 +263,7 @@ def _photon_pass(scene, vps, radius, n_photons, it, seed, max_depth,
                 m_cnt = m_cnt.at[vp].add(near.astype(jnp.float32))
                 return phi, m_cnt
 
-            phi, m_cnt = jax.lax.fori_loop(0, MAX_PER_CELL, dep_body,
+            phi, m_cnt = jax.lax.fori_loop(0, max_per_cell, dep_body,
                                            (phi, m_cnt))
 
         # continue photon (BSDF sampling with RR)
@@ -302,11 +311,16 @@ def render_sppm(scene, cam, n_iterations=8, photons_per_iter=4096,
     grid_lo = scene.world_lo
     grid_hi = scene.world_hi
 
-    @jax.jit
-    def one_iter(it, radius, N, tau):
-        vps = _camera_pass(scene, cam, width, height, it, seed, max_depth)
-        phi, M, ovf = _photon_pass(scene, vps, radius, photons_per_iter, it,
-                                   seed, max_depth, grid_lo, grid_hi)
+    cam_pass = jax.jit(lambda it: _camera_pass(
+        scene, cam, width, height, it, seed, max_depth))
+
+    import functools
+
+    @functools.partial(jax.jit, static_argnames=("max_per_cell",))
+    def photon_and_update(it, radius, N, tau, vps, *, max_per_cell):
+        phi, M, ovf = _photon_pass(scene, vps, radius, photons_per_iter,
+                                   it, seed, max_depth, grid_lo, grid_hi,
+                                   max_per_cell=max_per_cell)
         phi = phi * vps["beta"]
         has = M > 0
         N_new = N + SPPM_ALPHA * M
@@ -318,9 +332,40 @@ def render_sppm(scene, cam, n_iterations=8, photons_per_iter=4096,
         tau = jnp.where(has[..., None], tau_new, tau)
         return radius, N, tau, vps["L_direct"], ovf
 
+    def needed_capacity(vps, radius):
+        """Exact max VP-entries-per-cell, on host (mirrors the grid
+        build in _photon_pass); rounded up to a power of two so the
+        photon pass recompiles at most a handful of times."""
+        valid = np.asarray(vps["valid"])
+        if not valid.any():
+            return 8
+        p = np.asarray(vps["p"])
+        r = np.asarray(radius)
+        lo = np.asarray(grid_lo)
+        hi = np.asarray(grid_hi)
+        max_r = float(r[valid].max())
+        cell = max(float((hi - lo).max()) / GRID_RES, max_r)
+        res3 = np.clip(((hi - lo) / cell).astype(np.int64), 1, GRID_RES)
+        ids = []
+        for dx in (0, 1):
+            for dy in (0, 1):
+                for dz in (0, 1):
+                    off = np.asarray([dx, dy, dz], np.float32)
+                    q = p + (off * 2.0 - 1.0) * r[:, None]
+                    c = np.clip(((q - lo) / cell).astype(np.int64), 0,
+                                res3 - 1)
+                    ids.append((c[:, 0] * res3[1] + c[:, 1]) * res3[2]
+                               + c[:, 2])
+        ids = np.concatenate([i[valid] for i in ids])
+        need = int(np.bincount(ids).max())
+        return max(8, 1 << int(np.ceil(np.log2(max(need, 1)))))
+
     ovf_total = 0.0
     for it in range(n_iterations):
-        radius, N, tau, L_dir, ovf = one_iter(it, radius, N, tau)
+        vps = cam_pass(it)
+        cap = needed_capacity(vps, radius)
+        radius, N, tau, L_dir, ovf = photon_and_update(
+            it, radius, N, tau, vps, max_per_cell=cap)
         L_direct_sum = L_direct_sum + L_dir
         ovf_total += float(ovf)
 
@@ -330,9 +375,8 @@ def render_sppm(scene, cam, n_iterations=8, photons_per_iter=4096,
     if ovf_total > 0:
         import sys
         print(f"pbrt_tpu sppm: {ovf_total:.0f} visible-point entries "
-              f"exceeded MAX_PER_CELL={MAX_PER_CELL} and were skipped "
-              f"(dense cells; raise MAX_PER_CELL or photon count)",
-              file=sys.stderr)
+              f"exceeded the host-computed cell capacity and were "
+              f"skipped (capacity race; report this)", file=sys.stderr)
 
     n_total = n_iterations * photons_per_iter
     L_indirect = tau / jnp.maximum(

@@ -141,7 +141,8 @@ def beam_diffusion_ss(rho, sigma_a_unit, g, eta, r):
     phase = (1 - g * g) / (4 * np.pi * denom * np.sqrt(
         np.maximum(denom, 1e-12)))
     fr = _fr_dielectric_np(-cos_o, 1.0, eta)
-    ess = (rho[..., None] * np.exp(-sigma_t * (d + t_crit[..., None]))
+    ess = (rho[..., None] * np.exp(-sigma_t[..., None]
+                                   * (d + t_crit[..., None]))
            / (d * d) * phase * (1 - fr) * np.abs(cos_o))
     return ess.mean(-1)
 
@@ -468,6 +469,37 @@ def sample_sr(tables: SSSTables, row_id: Array, u: Array):
     r_opt = x0 + width * t
     r_world = r_opt / jnp.maximum(s_t, 1e-20)
     return jnp.where(valid, r_world, -1.0), valid
+
+
+def eval_profile_multi(tables: SSSTables, row_id: Array, radii):
+    """eval_profile at several world radii sharing ONE row gather.
+    Returns (list of sr_hat per radius, sigma_t, rho_eff)."""
+    from pbrt_tpu.ops import fastgather
+    g_prof = fastgather.make_row_gather(tables.profile.shape[0], row_id)
+    prof = g_prof(tables.profile)
+    s_t = g_prof(tables.sigma_t)
+    rho_eff = g_prof(tables.rho_eff)
+    n = prof.shape[-1]
+    grid = jnp.broadcast_to(tables.radius[None, :], prof.shape)
+    outs = []
+    for r_world in radii:
+        r_opt = r_world * s_t
+        idx = jnp.sum((grid <= r_opt[:, None]).astype(jnp.int32),
+                      axis=-1) - 1
+        idx = jnp.clip(idx, 0, n - 2)
+        x0, x1, width, f0, f1, d0, d1 = _spline_coeffs(
+            tables.radius, prof, idx)
+        t = jnp.clip((r_opt - x0) / jnp.maximum(width, 1e-20), 0.0, 1.0)
+        t2 = t * t
+        t3 = t2 * t
+        val = ((2 * t3 - 3 * t2 + 1) * f0 + (-2 * t3 + 3 * t2) * f1
+               + (t3 - 2 * t2 + t) * d0 + (t3 - t2) * d1)
+        in_range = (r_opt >= tables.radius[0]) \
+            & (r_opt <= tables.radius[-1])
+        val = jnp.where(in_range, jnp.maximum(val, 0.0), 0.0)
+        outs.append(val / jnp.maximum(2.0 * jnp.pi * r_opt, 1e-12)
+                    * s_t * s_t)
+    return outs, s_t, rho_eff
 
 
 def eval_profile(tables: SSSTables, row_id: Array, r_world: Array):

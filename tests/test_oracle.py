@@ -145,14 +145,14 @@ def test_caustic_path_and_bdpt_match_reference_binary():
                               max_depth=opts["max_depth"], seed=2))
     md = _mean_delta(img_p, ref)
     bl = _block_rel_l1(img_p, ref, k=16)
-    assert md < 0.08, f"path mean delta {md:.4f}"
+    assert md < 0.035, f"path mean delta {md:.4f}"
     assert bl < 0.20, f"path block rel-L1 {bl:.4f}"
 
     img_b = np.asarray(render(scene, cam, spp=8, integrator="bdpt",
                               max_depth=opts["max_depth"], seed=2))
     md_b = _mean_delta(img_b, ref)
     bl_b = _block_rel_l1(img_b, ref, k=16)
-    assert md_b < 0.10, f"bdpt mean delta {md_b:.4f}"
+    assert md_b < 0.05, f"bdpt mean delta {md_b:.4f}"
     assert bl_b < 0.30, f"bdpt block rel-L1 {bl_b:.4f}"
 
 
@@ -160,11 +160,15 @@ def test_subsurface_matches_reference_binary_energy():
     """Subsurface sphere (kdsubsurface) vs the reference binary's
     TabulatedBSSRDF photon-beam-diffusion render at 256 spp.
 
-    DESIGN DELTA: pbrt_tpu uses Burley normalized diffusion instead of
-    the tabulated PBD profile (core/bssrdf.cpp:53-153) — the energy
-    level agrees to ~14% (measured md 0.141 @ 48 spp) but the radial
-    profile differs by construction; this test pins the energy-level
-    agreement as a regression guard, not pixel parity."""
+    r4: pbrt_tpu now implements the tabulated beam-diffusion profile
+    itself (scene/bssrdf.py — table build verified against the
+    reference's ComputeBeamDiffusionBSSRDF to 6 decimals, estimator
+    verified against sphere quadrature), so this is pixel-level parity:
+    measured md 0.028 @ 32 spp / 0.016 @ 64 spp. Residual = MC noise +
+    the Sw-vs-Lambert exit lobe + first-4 chain truncation (PARITY.md).
+    NOTE the oracle scene uses "rgb mfp" — pbrt silently IGNORES a
+    "float mfp" (kdsubsurface's mfp is a spectrum texture param,
+    kdsubsurface.cpp:104-105), which round-3's scene got wrong."""
     ref = _load_ref("sss_ref.pfm")
     from pbrt_tpu.frontend import load_pbrt
     from pbrt_tpu.integrators.render import render
@@ -174,17 +178,18 @@ def test_subsurface_matches_reference_binary_energy():
                             max_depth=opts["max_depth"], seed=2))
     md = _mean_delta(img, ref)
     bl = _block_rel_l1(img, ref, k=16)
-    assert md < 0.25, f"sss mean delta {md:.4f} (design-delta guard)"
-    assert bl < 0.35, f"sss block rel-L1 {bl:.4f}"
+    assert md < 0.045, f"sss mean delta {md:.4f}"
+    assert bl < 0.15, f"sss block rel-L1 {bl:.4f}"
 
 
 def test_caustic_sppm_matches_reference_binary():
     """SPPM (photon pass) on the caustic oracle: photons must emit from
     the SPHERE area light's surface (sppm.cpp photon pass; the r3 fix —
     emission previously fell back to a clipped triangle position, losing
-    half the caustic: mean delta 0.21 broken vs 0.08 fixed at this
-    budget; residual is the surfaced grid-cell overflow bias + radius
-    bias)."""
+    half the caustic). r4: the grid-cell scan capacity is now computed
+    exactly on the host per iteration (no MAX_PER_CELL truncation) and
+    the cell size honors pbrt's cell >= max-radius coverage invariant —
+    measured mean delta 0.023 at this budget (was 0.076)."""
     from pbrt_tpu.frontend import load_pbrt
     from pbrt_tpu.integrators.sppm import render_sppm
 
@@ -195,4 +200,4 @@ def test_caustic_sppm_matches_reference_binary():
                                  photons_per_iter=1 << 16,
                                  max_depth=opts["max_depth"], seed=1))
     md = _mean_delta(img, ref)
-    assert md < 0.15, f"sppm mean delta {md:.4f} vs reference binary"
+    assert md < 0.04, f"sppm mean delta {md:.4f} vs reference binary"
