@@ -9,3 +9,5 @@ sharded sample-batch axis under ``shard_map``; the film merge becomes a
 
 from pbrt_tpu.parallel.render import (make_mesh, render_sharded,  # noqa
                                       inverse_render_step)
+from pbrt_tpu.parallel.multihost import (initialize_multihost,  # noqa
+                                         make_multihost_mesh)

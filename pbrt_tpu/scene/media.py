@@ -152,10 +152,12 @@ def transmittance(med: Medium, p0: Array, p1: Array, u_seed: Array) -> Array:
         tr = jnp.where(ok, tr * jnp.maximum(ratio, 0.0), tr)
         return t, tr, ok
 
-    t0 = jnp.zeros(dist.shape)
-    tr0 = jnp.ones(dist.shape)
+    # carry init derived from `dist` for shard_map varying-type agreement
+    # (see the note in sample_distance's loop)
+    t0 = dist * 0.0
+    tr0 = t0 + 1.0
     _, tr, _ = jax.lax.fori_loop(0, _MAX_TRACKING_STEPS, body,
-                                 (t0, tr0, jnp.ones(dist.shape, bool)))
+                                 (t0, tr0, dist >= 0.0))
     # spectral shape via homogeneous ratio of sigma_t channels
     w = med.sigma_t / jnp.maximum(jnp.max(med.sigma_t), 1e-9)
     return jnp.power(jnp.maximum(tr, 1e-9)[..., None], w[None, :])
@@ -213,8 +215,12 @@ def sample_distance(med: Medium, o: Array, dn: Array, t_max: Array,
         done = done | past | newly_hit
         return t, done, hit_medium
 
-    t0 = jnp.zeros(t_max.shape)
-    done0 = jnp.zeros(t_max.shape, bool)
+    # derive the carry init from t_max so its varying-axes type matches
+    # the body's output under shard_map (a fresh constant is "unvarying"
+    # and lax.fori_loop rejects the mismatched carry — r4, grid volpath
+    # through the sharded path)
+    t0 = t_max * 0.0
+    done0 = t_max < 0.0
     t, _, sampled = jax.lax.fori_loop(
         0, _MAX_TRACKING_STEPS, body, (t0, done0, done0))
     w_med = jnp.broadcast_to((med.sigma_s
