@@ -630,17 +630,35 @@ class PbrtParser:
         klass, p = self.gs.textures[name]
         ttype = self._TEXMAP.get(klass, 0)
         kw = dict(type=ttype)
-        for pname, slot in (("tex1", "v1"), ("tex2", "v2"),
-                            ("value", "v1")):
+        # protect against self-reference cycles during operand recursion
+        self._tex_ids[name] = -1
+        for pname, slot, op_slot in (("tex1", "v1", "op1"),
+                                     ("tex2", "v2", "op2"),
+                                     ("value", "v1", "op1")):
+            if pname in p and p[pname][0] == "texture":
+                # texture OPERAND (scale.cpp:44-48 GetSpectrumTexture):
+                # recursively instantiate the named texture as a row ref
+                kw[op_slot] = self._build_texture(p.one(pname))
+                continue
             v = p.spectrum_rgb(pname)
             if v is not None:
                 kw[slot] = v
         for pname in ("uscale", "vscale", "udelta", "vdelta", "octaves",
-                      "omega"):
+                      "omega", "variation"):
             if p.one(pname) is not None:
                 kw[pname] = p.one(pname)
-        if p.one("amount") is not None:
-            kw["omega"] = p.one("amount")  # mix amount rides in omega slot
+        # marble/noise param names (marble.cpp): roughness→omega,
+        # scale→3D noise frequency
+        if p.one("roughness") is not None:
+            kw["omega"] = p.one("roughness")
+        if p.one("scale") is not None and klass in ("marble", "fbm",
+                                                    "wrinkled", "windy"):
+            kw["scale3d"] = p.one("scale")
+        if "amount" in p:
+            if p["amount"][0] == "texture":
+                kw["op3"] = self._build_texture(p.one("amount"))
+            else:
+                kw["omega"] = p.one("amount")  # amount rides in omega
         if klass == "imagemap" and p.one("filename"):
             from pbrt_tpu.utils import imageio
             try:

@@ -47,16 +47,80 @@ def cmd_diff(args):
     return 1 if n_diff > 0 else 0
 
 
+def _luminance(img):
+    return (img[..., 0] * 0.212671 + img[..., 1] * 0.715160
+            + img[..., 2] * 0.072169)
+
+
+def despike(img, limit):
+    """Median-patch firefly repair (imgtool.cpp convert --despike): any
+    pixel whose luminance exceeds `limit` is replaced by the
+    luminance-MEDIAN of its (≤9-pixel) neighborhood — not clamped."""
+    h, w, _ = img.shape
+    spike = _luminance(img) >= limit
+    if not spike.any():
+        return img, 0
+    out = img.copy()
+    ys, xs = np.nonzero(spike)
+    for y, x in zip(ys, xs):
+        y0, y1 = max(0, y - 1), min(h, y + 2)
+        x0, x1 = max(0, x - 1), min(w, x + 2)
+        patch = img[y0:y1, x0:x1].reshape(-1, img.shape[-1])
+        order = np.argsort(_luminance(patch), kind="stable")
+        out[y, x] = patch[order[len(order) // 2]]
+    return out, len(ys)
+
+
+def bloom(img, level, width=15, scale=0.3, iters=5):
+    """Bloom overlay (imgtool.cpp:492-585): threshold pixels with any
+    channel above `level`, repeatedly blur with a separable
+    exp(-2·|r|/radius) kernel, add the scaled sum of the blur passes."""
+    thresholded = np.where((img > level).any(-1, keepdims=True), img, 0.0)
+    if not (thresholded > 0).any():
+        print(f"imgtool: warning: no pixels were above bloom threshold "
+              f"{level}", file=sys.stderr)
+        return img
+    if width % 2 == 0:
+        width += 1
+        print(f"imgtool: bloom width must be an odd value. Rounding up "
+              f"to {width}.", file=sys.stderr)
+    radius = width // 2
+    sigma = 2.0
+    wts = np.exp(-sigma * np.abs(np.arange(width) - radius) / radius)
+    wts /= wts.sum()
+
+    def blur_axis(im, axis):
+        pad = [(0, 0)] * 3
+        pad[axis] = (radius, radius)
+        ext = np.pad(im, pad, mode="edge")
+        out = np.zeros_like(im)
+        for i, wt in enumerate(wts):
+            sl = [slice(None)] * 3
+            sl[axis] = slice(i, i + im.shape[axis])
+            out += wt * ext[tuple(sl)]
+        return out
+
+    blurred = thresholded
+    total = np.zeros_like(img)
+    for _ in range(iters):
+        blurred = blur_axis(blur_axis(blurred, 1), 0)
+        total += blurred
+    return img + (scale / iters) * total
+
+
 def cmd_convert(args):
     img = imageio.read_image(args.infile)
-    img = img * args.scale
+    img = np.asarray(img, np.float32) * args.scale
+    if args.despike < float("inf"):
+        img, n = despike(img, args.despike)
+        print(f"{args.infile}: despiked {n} pixels", file=sys.stderr)
+    if args.bloomlevel < float("inf"):
+        img = bloom(img, args.bloomlevel, args.bloomwidth,
+                    args.bloomscale, args.bloomiters)
     if args.tonemap:
         img = img / (1.0 + img)
     if args.gamma != 1.0:
         img = np.power(np.clip(img, 0, None), 1.0 / args.gamma)
-    if args.despike < float("inf"):
-        # clamp fireflies (imgtool.cpp despike)
-        img = np.minimum(img, args.despike)
     imageio.write_image(args.outfile, img)
     return 0
 
@@ -118,6 +182,10 @@ def main(argv=None):
     p.add_argument("--gamma", type=float, default=1.0)
     p.add_argument("--tonemap", action="store_true")
     p.add_argument("--despike", type=float, default=float("inf"))
+    p.add_argument("--bloomlevel", type=float, default=float("inf"))
+    p.add_argument("--bloomwidth", type=int, default=15)
+    p.add_argument("--bloomscale", type=float, default=0.3)
+    p.add_argument("--bloomiters", type=int, default=5)
 
     p = sub.add_parser("cat")
     p.add_argument("image")

