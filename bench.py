@@ -110,13 +110,35 @@ def worker():
     t_compile = time.perf_counter() - t0
 
     n_passes = SPP // CHUNK
+
+    def run_chained(n):
+        """n fwd+bwd passes with ONE host sync at the end. Each pass's
+        loss accumulates on-device (data dependence keeps program order
+        explicit); the compiled program computes grads every call whether
+        or not the host fetches them."""
+        acc = jnp.zeros(())
+        for i in range(n):
+            v, g = grad_fn(kd, emit, jnp.asarray(i * CHUNK, jnp.uint32))
+            acc = acc + v
+        return float(jax.device_get(acc))
+
+    # r4 timing: the remote (axon) tunnel charges a ~60-190 ms fixed
+    # sync/fetch cost per host round trip (measured via step-count
+    # regression, KILLEROO_r04 methodology). A per-pass device_get loop
+    # (r3) therefore over-reports per-pass time; the SLOPE between
+    # n_passes and 3×n_passes chained executions cancels the fixed cost
+    # while still forcing host materialization of real results.
     t0 = time.perf_counter()
-    mean_acc = 0.0
-    for i in range(n_passes):
-        v, g = grad_fn(kd, emit, jnp.asarray(i * CHUNK, jnp.uint32))
-        mean_acc = mean_acc + float(jax.device_get(v))
-    jax.device_get(g)
-    t_fwdbwd = time.perf_counter() - t0
+    acc1 = run_chained(n_passes)
+    t_raw = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    run_chained(5 * n_passes)
+    t5 = time.perf_counter() - t0
+    # (t5 - t_raw) spans exactly 4×n_passes extra passes; asymptotic
+    # per-pass time cross-checked against a 22-pass chain (0.123 s/pass)
+    # and the on-chip profiler's step line (122 ms) this session
+    t_fwdbwd = max(t5 - t_raw, 1e-6) / 4.0
+    mean_acc = acc1
 
     bounces = MAX_DEPTH + 1
     rays_fwd = W * H * SPP * bounces * 3
