@@ -31,11 +31,21 @@ def main(argv=None):
                     metavar=("X0", "X1", "Y0", "Y1"),
                     help="render a sub-window (NDC fractions, pbrt "
                          "--cropwindow)")
+    ap.add_argument("--debug-nans", action="store_true",
+                    help="numeric sanitizer: enable jax_debug_nans so the "
+                         "first NaN/Inf produced on device raises with a "
+                         "traceback into the originating primitive (the "
+                         "renderer's release path instead CLAMPS non-finite "
+                         "radiance and counts it in --stats). Role of "
+                         "pbrt's debug-build FP assertions.")
     args = ap.parse_args(argv)
 
     if args.cpu:
         import jax
         jax.config.update("jax_platforms", "cpu")
+    if args.debug_nans:
+        import jax
+        jax.config.update("jax_debug_nans", True)
 
     import numpy as np
 

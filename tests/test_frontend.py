@@ -155,3 +155,17 @@ class TestSpdFiles:
             kd = np.asarray(ps.builder.materials[-1]["kd"])
             assert kd.shape == (3,)
             assert (kd > 0.5).all()          # flat SPD ≈ white
+
+
+def test_cli_debug_nans_flag(tmp_path):
+    """--debug-nans (numeric sanitizer, r4): enables jax_debug_nans for
+    the render; a well-formed scene must still complete and write."""
+    import jax
+
+    from pbrt_tpu.utils import cli
+    out = tmp_path / "dn.png"
+    rc = cli.main(["scenes/cornell_portal.pbrt", "--cpu", "--debug-nans",
+                   "--spp", "1", "--quiet", "-o", str(out)])
+    assert rc in (0, None) and out.exists()
+    # restore for the rest of the suite
+    jax.config.update("jax_debug_nans", False)
