@@ -19,6 +19,7 @@ from typing import Any
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from pbrt_tpu.core import vecmath
 from pbrt_tpu.core.vecmath import absdot, dot, normalize
@@ -52,6 +53,16 @@ class Subpath:
     light_id: Array  # (R,V)
     wo: Array        # (R,V,3) direction back toward the previous vertex
     delta: Array     # (R,V) specular vertex
+    # escaped-ray record (r4 infinite-light support, bdpt.cpp's
+    # EndpointInteraction-at-infinity role): if the walk's segment INTO
+    # slot i missed the scene, esc[i] is set and esc_d/esc_beta/esc_pdf
+    # hold the escape direction, the throughput up to the previous
+    # vertex, and the solid-angle BSDF pdf of having sampled it (0 for
+    # specular bounces)
+    esc: Array = None       # (R,V) bool
+    esc_d: Array = None     # (R,V,3)
+    esc_beta: Array = None  # (R,V,C)
+    esc_pdf: Array = None   # (R,V)
 
 
 def _empty_subpath(R, V, C):
@@ -61,7 +72,10 @@ def _empty_subpath(R, V, C):
                    pdf_rev=jnp.zeros((R, V)),
                    mat_id=jnp.zeros((R, V), jnp.int32),
                    light_id=jnp.full((R, V), -1, jnp.int32),
-                   wo=z3, delta=jnp.zeros((R, V), bool))
+                   wo=z3, delta=jnp.zeros((R, V), bool),
+                   esc=jnp.zeros((R, V), bool), esc_d=z3,
+                   esc_beta=jnp.zeros((R, V, C)),
+                   esc_pdf=jnp.zeros((R, V)))
 
 
 def _set_v(sp: Subpath, i: int, **kw) -> Subpath:
@@ -94,6 +108,13 @@ def _random_walk(scene, sp, o, d, beta0, pdf_dir0, start_i, n_steps,
         hit = isect_mod.intersect(scene, o_cur, d_cur,
                                   jnp.full(R, vecmath.INF))
         ok = active & hit.valid
+        sp = _set_v(sp, i,
+                    esc=active & ~hit.valid,
+                    esc_d=jnp.where((active & ~hit.valid)[..., None],
+                                    d_cur, 0.0),
+                    esc_beta=jnp.where((active & ~hit.valid)[..., None],
+                                       beta, 0.0),
+                    esc_pdf=jnp.where(active & ~hit.valid, pdf_dir, 0.0))
         light_id = scene.light_at(hit.prim_id)
         light_id = jnp.where(ok, light_id, -1)
         mat_id = scene.mat_at(hit.prim_id)
@@ -455,6 +476,67 @@ def _li_bdpt_impl(scene, o, d, pid, sidx, sfn, cfg, power_distr,
             w = mis_weight(scene, cam_sp, light_sp, s, t,
                            include_t1=include_t1)
             L = L + contrib * w[..., None]
+
+    # --- infinite-light path family (r4; bdpt.cpp's at-infinity endpoint
+    # role). Env paths end at infinity, disjoint from the surface-emitter
+    # families above, and are sampled by exactly TWO strategies here —
+    # camera-path escape (s=0 analogue) and env NEE at the last camera
+    # vertex (s=1 analogue) — combined with the balance heuristic over
+    # those two. Light subpaths never start from infinite lights in this
+    # implementation (generate_light_subpath samples area emitters only),
+    # so s>=2 strategies neither sample these paths nor appear in their
+    # MIS denominator: unbiased, variance-only delta (PARITY.md).
+    if lights_mod._lt_present(scene.lights, lights_mod.INFINITE):
+        ltypes = scene.lights.ltype
+        env_row = jnp.argmax(
+            (ltypes == lights_mod.INFINITE).astype(jnp.int32))
+        n_lights = int(ltypes.shape[0])   # static shape
+        pmf_env = 1.0 / n_lights          # choose_light uniform pmf
+        env_idx = jnp.broadcast_to(env_row.astype(jnp.int32), (R,))
+
+        for t in range(2, max_v + 1):
+            cv = t - 1
+            # escape strategy: the segment into slot cv left the scene
+            esc = cam_sp.esc[:, cv]
+            d_esc = cam_sp.esc_d[:, cv]
+            le = lights_mod.escaped_radiance(scene, d_esc)
+            p_bsdf = cam_sp.esc_pdf[:, cv]              # solid angle
+            p_nee = pmf_env * lights_mod.pdf_li(
+                scene, env_idx, cam_sp.p[:, cv - 1], d_esc)
+            # balance heuristic; specular bounce (pdf 0) → only strategy
+            w_esc = jnp.where(p_bsdf > 0,
+                              p_bsdf / jnp.maximum(p_bsdf + p_nee, 1e-20),
+                              1.0)
+            L = L + jnp.where(esc[..., None],
+                              cam_sp.esc_beta[:, cv] * le
+                              * w_esc[..., None], 0.0)
+
+            # env-NEE strategy at surface vertex cv
+            if t < 2:
+                continue
+            vok = cam_sp.vtype[:, cv] == VT_SURFACE
+            u_env = jnp.stack([sfn(pid, sidx, 300 + 2 * t, cfg.seed),
+                               sfn(pid, sidx, 301 + 2 * t, cfg.seed)], -1)
+            ls = lights_mod.sample_li(scene, env_idx, cam_sp.p[:, cv],
+                                      u_env)
+            wi_e = ls["wi"]
+            pdf_e = ls["pdf"] * pmf_env
+            f_e, _ = _vertex_f(scene, cam_sp, cv, wi_e)
+            pdf_b_e = _bsdf_pdf_dir(scene, cam_sp, cv, cam_sp.wo[:, cv],
+                                    wi_e)
+            hit_e = isect_mod.intersect(
+                scene, vecmath.offset_ray_origin(
+                    cam_sp.p[:, cv], cam_sp.ng[:, cv], wi_e),
+                wi_e, jnp.full(R, vecmath.INF))
+            unocc = ~hit_e.valid                    # must leave the scene
+            w_nee = pdf_e / jnp.maximum(pdf_e + pdf_b_e, 1e-20)
+            cos_e = absdot(wi_e, cam_sp.ns[:, cv])
+            good = vok & unocc & (pdf_e > 1e-12)
+            L = L + jnp.where(
+                good[..., None],
+                cam_sp.beta[:, cv] * f_e * ls["li"]
+                * (cos_e * w_nee / jnp.maximum(pdf_e, 1e-20))[..., None],
+                0.0)
     return L
 
 

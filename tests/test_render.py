@@ -189,3 +189,47 @@ class TestGonioProjectionLights:
         # a narrow spotlight-like pool of light: some lit, most dark
         assert lit.any()
         assert lit.mean() < 0.5
+
+
+class TestAnalyticSceneMatrix:
+    """The other half of analytic_scenes.cpp's matrix (:269-416): the same
+    analytically-known furnace scene across INTEGRATORS and both camera
+    models, mean asserted to the ±0.02-class tolerance (r4 — the suite
+    previously crossed samplers only)."""
+
+    def _furnace(self):
+        b = SceneBuilder(RGB)
+        m = b.add_material(type=0, kd=0.5)
+        b.add_sphere((0, 0, 3), 1.0, mat=m)
+        b.add_light(type="infinite", L=1.0,
+                    env_map=np.ones((1, 1, 3), np.float32))
+        return b.build()
+
+    @pytest.mark.parametrize("integrator", ["path", "volpath", "bdpt"])
+    def test_integrators_furnace(self, integrator):
+        scene = self._furnace()
+        cam = look_at_cam((0, 0, 0), (0, 0, 3), fov=20.0)
+        img = np.asarray(render(scene, cam, spp=96, integrator=integrator,
+                                max_depth=3, seed=5))
+        np.testing.assert_allclose(img.mean(), 0.5, atol=0.035,
+                                   err_msg=integrator)
+
+    def test_mlt_furnace(self):
+        from pbrt_tpu.integrators.mlt import render_mlt
+        scene = self._furnace()
+        cam = look_at_cam((0, 0, 0), (0, 0, 3), fov=20.0)
+        img = np.asarray(render_mlt(scene, cam, mutations_per_pixel=256,
+                                    n_chains=2048, n_bootstrap=16384,
+                                    max_depth=3, seed=5))
+        np.testing.assert_allclose(img.mean(), 0.5, atol=0.06)
+
+    def test_orthographic_furnace(self):
+        from pbrt_tpu.core import transform
+        from pbrt_tpu.scene import camera as cam_mod
+        scene = self._furnace()
+        cam = cam_mod.make_orthographic(
+            transform.look_at((0, 0, 0.5), (0, 0, 3), (0, 1, 0)),
+            (10, 10), screen_window=((-0.5, -0.5), (0.5, 0.5)))
+        img = np.asarray(render(scene, cam, spp=96, integrator="path",
+                                max_depth=3, seed=6))
+        np.testing.assert_allclose(img.mean(), 0.5, atol=0.035)
