@@ -219,6 +219,9 @@ def generate_light_subpath(scene, max_v, pid, sidx, sfn, seed):
     pdf_pos = jnp.where(ap.is_sph, ip_sph,
                         jnp.where(ap.is_pln, ip_pln, ip_tri))
     is_area = g.ltype == lights_mod.AREA
+    is_point = g.ltype == lights_mod.POINT
+    is_spot = g.ltype == lights_mod.SPOT
+    is_dist = g.ltype == lights_mod.DISTANT
 
     # cosine-weighted emission direction (diffuse.cpp Sample_Le)
     u_dir = jnp.stack([sfn(pid, sidx, 203, seed),
@@ -229,19 +232,83 @@ def generate_light_subpath(scene, max_v, pid, sidx, sfn, seed):
     d_l = common.to_world(t1, t2, n_l, d_loc)
     pdf_dir = jnp.maximum(d_loc[..., 2], 1e-6) * INV_PI
 
-    Le = g.emit
-    beta0 = Le * (absdot(d_l, n_l)
-                  / jnp.maximum(sel_pmf * pdf_pos * pdf_dir,
-                                1e-20))[..., None]
-    beta0 = jnp.where(is_area[..., None], beta0, 0.0)
-    sp = _set_v(sp, 0, vtype=jnp.where(is_area, VT_LIGHT, VT_NONE),
+    # ---- non-area emitters (r4; bdpt.cpp samples every light's
+    # Sample_Le — this was the "only area lights emit" gap that made
+    # BDPT return zero on point/spot/distant-lit scenes):
+    # point (point.cpp Sample_Le): pos, uniform-sphere direction
+    d_unif = uniform_sample_sphere(u_dir)
+    # spot (spot.cpp Sample_Le): uniform cone around g.dir
+    zc = 1.0 + u_dir[..., 1] * (g.cos_total - 1.0)
+    sc = jnp.sqrt(jnp.maximum(1.0 - zc * zc, 0.0))
+    phic = 2.0 * jnp.pi * u_dir[..., 0]
+    ts1, ts2 = common.make_frame(g.dir)
+    d_cone = (jnp.cos(phic) * sc)[..., None] * ts1 \
+        + (jnp.sin(phic) * sc)[..., None] * ts2 + zc[..., None] * g.dir
+    pdf_cone = 1.0 / jnp.maximum(
+        2.0 * jnp.pi * (1.0 - g.cos_total), 1e-9)
+    # spot falloff along the sampled emission direction (spot.cpp)
+    cos_sp = dot(d_cone, g.dir)
+    dcos = jnp.maximum(g.cos_falloff - g.cos_total, 1e-6)
+    tf = jnp.clip((cos_sp - g.cos_total) / dcos, 0.0, 1.0)
+    fall = jnp.where(cos_sp < g.cos_total, 0.0,
+                     jnp.where(cos_sp > g.cos_falloff, 1.0,
+                               (tf * tf) * (tf * tf)))
+    # distant (distant.cpp Sample_Le): point on a world-radius disk
+    # outside the scene, delta direction g.dir
+    wr = scene.world_radius()
+    wc = 0.5 * (scene.world_lo + scene.world_hi)
+    td1, td2 = common.make_frame(g.dir)
+    from pbrt_tpu.core.sampling import concentric_sample_disk
+    dk = concentric_sample_disk(u_pos)
+    p_disk = wc[None, :] - g.dir * (2.0 * wr) \
+        + (dk[..., 0:1] * td1 + dk[..., 1:2] * td2) * wr
+    pdf_pos_dist = 1.0 / jnp.maximum(jnp.pi * wr * wr, 1e-20)
+
+    # distant lights do NOT start light subpaths here: every distant
+    # path ends in exactly one delta segment, which the s=1
+    # delta-direction NEE (connect_bdpt) reaches from any camera prefix
+    # with weight 1 — a far-disk walk would sample the SAME families
+    # again and double count (measured +4% before this exclusion)
+    emits = is_area | is_point | is_spot
+    p_l = jnp.where(is_dist[..., None], p_disk,
+                    jnp.where((is_point | is_spot)[..., None], g.pos,
+                              p_l))
+    d_l = jnp.where(is_dist[..., None], g.dir,
+                    jnp.where(is_spot[..., None], d_cone,
+                              jnp.where(is_point[..., None], d_unif,
+                                        d_l)))
+    # delta lights: vertex "normal" = emission direction (pbrt
+    # EndpointInteraction convention); distant: the disk normal = g.dir
+    n_l = jnp.where((is_point | is_spot | is_dist)[..., None], d_l, n_l)
+    pdf_pos = jnp.where(is_dist, pdf_pos_dist,
+                        jnp.where(is_point | is_spot, 1.0, pdf_pos))
+    pdf_dir = jnp.where(is_dist, 1.0,
+                        jnp.where(is_spot, pdf_cone,
+                                  jnp.where(is_point,
+                                            1.0 / (4.0 * jnp.pi),
+                                            pdf_dir)))
+
+    # the WALK throughput carries the emitted radiance along the sampled
+    # direction (spot: incl. its cone falloff); the VERTEX beta must NOT
+    # bake a direction-dependent factor in — s=1 connections evaluate the
+    # emission toward THEIR own direction (the falloff would otherwise be
+    # double-counted: caught as a 0.66x spot deficit in the r4 A/B)
+    Le_walk = jnp.where(is_spot[..., None],
+                        g.emit * fall[..., None], g.emit)
+    cos_term = jnp.where(is_area, absdot(d_l, n_l), 1.0)
+    beta0 = Le_walk * (cos_term
+                       / jnp.maximum(sel_pmf * pdf_pos * pdf_dir,
+                                     1e-20))[..., None]
+    beta0 = jnp.where(emits[..., None], beta0, 0.0)
+    sp = _set_v(sp, 0, vtype=jnp.where(emits, VT_LIGHT, VT_NONE),
                 p=p_l, ns=n_l, ng=n_l,
-                beta=jnp.where(is_area[..., None],
-                               Le / jnp.maximum(
+                beta=jnp.where(emits[..., None],
+                               g.emit / jnp.maximum(
                                    sel_pmf * pdf_pos, 1e-20)[..., None],
                                0.0),
                 pdf_fwd=sel_pmf * pdf_pos, light_id=light_idx)
-    o0 = vecmath.offset_ray_origin(p_l, n_l, d_l)
+    o0 = jnp.where((is_point | is_spot)[..., None], p_l,
+                   vecmath.offset_ray_origin(p_l, n_l, d_l))
     sp = _random_walk(scene, sp, o0, d_l, beta0, pdf_dir, 1, max_v - 1,
                       pid, sidx, sfn, seed, 220, True)
     return sp
@@ -276,14 +343,50 @@ def connect_bdpt(scene, cam_sp: Subpath, light_sp: Subpath, s: int, t: int):
     if s == 1:
         # light endpoint is the emitter vertex itself; its beta already
         # carries Le/(selPmf·pdf_pos), so the connection term is only the
-        # emission-orientation mask (DiffuseAreaLight emits on its normal
-        # side unless twoSided)
+        # emission-orientation factor: area lights emit on their normal
+        # side unless twoSided; point lights emit everywhere; spot lights
+        # carry the cone falloff toward the camera vertex (r4 — delta
+        # lights were previously unreachable: light subpaths were
+        # area-only and every s>=1 strategy returned 0 on them)
         g0 = lights_mod.gather_lights(
             scene.lights, jnp.maximum(light_sp.light_id[:, 0], 0))
-        emit_ok = (jnp.sum(light_sp.ng[:, 0] * -w, -1) > 0) | g0.two_sided
+        is_del0 = (g0.ltype == lights_mod.POINT) \
+            | (g0.ltype == lights_mod.SPOT)
+        emit_ok = (jnp.sum(light_sp.ng[:, 0] * -w, -1) > 0) \
+            | g0.two_sided | is_del0
+        cos_e = dot(-w, g0.dir)
+        dcos0 = jnp.maximum(g0.cos_falloff - g0.cos_total, 1e-6)
+        tf0 = jnp.clip((cos_e - g0.cos_total) / dcos0, 0.0, 1.0)
+        fall0 = jnp.where(cos_e < g0.cos_total, 0.0,
+                          jnp.where(cos_e > g0.cos_falloff, 1.0,
+                                    (tf0 * tf0) * (tf0 * tf0)))
+        spot_term = jnp.where((g0.ltype == lights_mod.SPOT), fall0, 1.0)
         f_light_term = jnp.where(emit_ok[..., None],
-                                 jnp.ones_like(f_c), 0.0)
-        cos_l = absdot(light_sp.ns[:, 0], w)
+                                 spot_term[..., None]
+                                 * jnp.ones_like(f_c), 0.0)
+        # delta lights have no surface: drop their cosine in G
+        cos_l = jnp.where(is_del0, 1.0, absdot(light_sp.ns[:, 0], w))
+
+        # distant lights: the light subpath's far-disk vertex is the
+        # WRONG s=1 estimator (its connection directions spread over the
+        # disk instead of the delta direction); use delta-direction NEE
+        # exactly like DistantLight::Sample_Li — wi = −dir, pdf 1, the
+        # shadow ray must leave the scene. MIS weight is overridden to 1
+        # by the caller (the only strategy for this path family).
+        is_dist0 = g0.ltype == lights_mod.DISTANT
+        w_d = -g0.dir
+        wr = scene.world_radius()
+        f_cd, _ = _vertex_f(scene, cam_sp, cv, w_d)
+        pl_far = pc + w_d * (2.2 * wr)
+        vis_d = isect_mod.unoccluded(scene, pc, cam_sp.ns[:, cv], pl_far)
+        n_lights = scene.lights.n          # static row count (selPmf
+        # under the uniform chooser is 1/n; dividing it back out)
+        contrib_dist = (cam_sp.beta[:, cv] * f_cd * g0.emit
+                        * (absdot(cam_sp.ns[:, cv], w_d)
+                           * n_lights)[..., None])
+        valid_dist = (cam_sp.vtype[:, cv] == VT_SURFACE) \
+            & ~cam_sp.delta[:, cv] & vis_d \
+            & (light_sp.light_id[:, 0] >= 0)
     else:
         f_l, _ = _vertex_f(scene, light_sp, lv, -w)
         f_light_term = f_l
@@ -294,7 +397,13 @@ def connect_bdpt(scene, cam_sp: Subpath, light_sp: Subpath, s: int, t: int):
     contrib = (cam_sp.beta[:, cv] * f_c * f_light_term
                * light_sp.beta[:, lv] * geom[..., None])
     valid = valid & vis & (geom > 0)
-    return jnp.where(valid[..., None], contrib, 0.0), valid
+    contrib = jnp.where(valid[..., None], contrib, 0.0)
+    if s == 1:
+        contrib = jnp.where(is_dist0[..., None],
+                            jnp.where(valid_dist[..., None],
+                                      contrib_dist, 0.0), contrib)
+        valid = jnp.where(is_dist0, valid_dist, valid)
+    return contrib, valid
 
 
 def _bsdf_pdf_dir(scene, sp: Subpath, i: int, wo_world, wi_world):
@@ -308,7 +417,12 @@ def _bsdf_pdf_dir(scene, sp: Subpath, i: int, wo_world, wi_world):
 
 def _light_origin_pdfs(scene, light_id, ng, w_out):
     """(pdf_pos·selPmf, pdf_dir) of the light emitting at this vertex along
-    w_out (Vertex::PdfLightOrigin / PdfLight for diffuse area lights)."""
+    w_out (Vertex::PdfLightOrigin / PdfLight). Per-type Pdf_Le semantics
+    (r4): area = 1/area · cosine-hemisphere; point = (0, 1/4π) and spot =
+    (0, cone pdf) — their POSITION is a delta distribution, so Pdf_Le
+    reports pdfPos 0 exactly like pbrt's {Point,Spot}Light::Pdf_Le (the
+    remap0 in MISWeight then treats the hypothetical as a pass-through);
+    distant = (1/(π·wr²), 0) — delta DIRECTION instead."""
     g = lights_mod.gather_lights(scene.lights, jnp.maximum(light_id, 0))
     ap = lights_mod.gather_area_prim(scene, g.prim_id)
     area_tri = shapes.triangle_area(ap.v0, ap.v1, ap.v2)
@@ -319,6 +433,24 @@ def _light_origin_pdfs(scene, light_id, ng, w_out):
     pdf_pos = 1.0 / jnp.maximum(area, 1e-20) / scene.lights.n
     from pbrt_tpu.core.sampling import INV_PI
     pdf_dir = jnp.maximum(absdot(ng, w_out), 1e-6) * INV_PI
+    is_point = g.ltype == lights_mod.POINT
+    is_spot = g.ltype == lights_mod.SPOT
+    is_dist = g.ltype == lights_mod.DISTANT
+    cos_o = dot(w_out, g.dir)
+    pdf_cone = jnp.where(
+        cos_o >= g.cos_total,
+        1.0 / jnp.maximum(2.0 * jnp.pi * (1.0 - g.cos_total), 1e-9),
+        0.0)
+    pdf_dir = jnp.where(is_point, 1.0 / (4.0 * jnp.pi),
+                        jnp.where(is_spot, pdf_cone,
+                                  jnp.where(is_dist, 0.0, pdf_dir)))
+    wr = scene.world_radius()
+    pdf_pos = jnp.where(
+        is_point | is_spot, 0.0,
+        jnp.where(is_dist,
+                  1.0 / jnp.maximum(jnp.pi * wr * wr, 1e-20)
+                  / scene.lights.n,
+                  pdf_pos))
     ok = light_id >= 0
     return jnp.where(ok, pdf_pos, 0.0), jnp.where(ok, pdf_dir, 0.0)
 
@@ -427,7 +559,14 @@ def mis_weight(scene, cam_sp: Subpath, light_sp: Subpath, s: int, t: int,
             elif i == lv - 1 and rev_lvm1 is not None:
                 rev = rev_lvm1
             ri = ri * remap(rev) / remap(light_sp.pdf_fwd[:, i])
-            delta_light = jnp.zeros(R, bool)  # area lights aren't delta
+            # bdpt.cpp:391: the hypothetical below the LIGHT vertex is
+            # suppressed when the light itself is a delta distribution
+            # (point/spot cannot be hit or connected-to by position)
+            g_l0 = lights_mod.gather_lights(
+                scene.lights, jnp.maximum(light_sp.light_id[:, 0], 0))
+            delta_light = ((g_l0.ltype == lights_mod.POINT)
+                           | (g_l0.ltype == lights_mod.SPOT)) \
+                & (light_sp.light_id[:, 0] >= 0)
             not_delta = ~light_sp.delta[:, i] & (
                 ~light_sp.delta[:, i - 1] if i - 1 >= 0 else ~delta_light)
             weight_sum = weight_sum + jnp.where(not_delta, ri, 0.0)
@@ -475,6 +614,13 @@ def _li_bdpt_impl(scene, o, d, pid, sidx, sfn, cfg, power_distr,
             contrib, valid = connect_bdpt(scene, cam_sp, light_sp, s, t)
             w = mis_weight(scene, cam_sp, light_sp, s, t,
                            include_t1=include_t1)
+            if s == 1:
+                # distant-light s=1 is a delta-direction strategy: the
+                # ONLY strategy for its path family → weight 1
+                g0 = lights_mod.gather_lights(
+                    scene.lights,
+                    jnp.maximum(light_sp.light_id[:, 0], 0))
+                w = jnp.where(g0.ltype == lights_mod.DISTANT, 1.0, w)
             L = L + contrib * w[..., None]
 
     # --- infinite-light path family (r4; bdpt.cpp's at-infinity endpoint

@@ -99,3 +99,49 @@ class TestBDPTLightTracing:
         assert np.isfinite(img).all()
         rel = abs(img.mean() - ref.mean()) / ref.mean()
         assert rel < 0.12, (img.mean(), ref.mean())
+
+
+class TestBdptLightTypes:
+    """r4: BDPT light-type coverage — point/spot/distant-lit scenes were
+    BLACK through BDPT (light subpaths sampled area emitters only and no
+    escape handling existed). Each type must now agree with `path` on the
+    same scene. Caught along the way: the spot cone falloff was baked
+    into the light vertex's beta AND applied per-connection (0.66x), and
+    far-disk distant subpaths double-counted the delta-NEE families
+    (+4%)."""
+
+    def _scene(self, **light_kw):
+        from pbrt_tpu.core.spectrum import RGB
+        from pbrt_tpu.scene.types import SceneBuilder
+        b = SceneBuilder(RGB)
+        m = b.add_material(type=0, kd=0.6)
+        b.add_mesh([(-2, 0, -2), (2, 0, -2), (2, 0, 2), (-2, 0, 2)],
+                   [(0, 1, 2), (0, 2, 3)], mat=m)
+        b.add_mesh([(-2, 0, 2), (2, 0, 2), (2, 3, 2), (-2, 3, 2)],
+                   [(0, 1, 2), (0, 2, 3)], mat=m)
+        b.add_light(**light_kw)
+        return b.build()
+
+    def _cam(self):
+        from pbrt_tpu.core import transform
+        from pbrt_tpu.scene import camera as cam_mod
+        return cam_mod.make_perspective(
+            transform.look_at((0, 1.5, -3), (0, 0.5, 0), (0, 1, 0)),
+            45.0, (12, 12))
+
+    @pytest.mark.parametrize("light_kw", [
+        dict(type="point", I=10.0, pos=(0, 2, 0)),
+        dict(type="spot", I=30.0, pos=(0, 2.5, -0.5), to=(0, 0, 0),
+             cone_angle=35.0),
+        dict(type="distant", L=2.0, dir=(0.3, -1, 0.3)),
+    ], ids=["point", "spot", "distant"])
+    def test_bdpt_matches_path(self, light_kw):
+        from pbrt_tpu.integrators.render import render
+        scene = self._scene(**light_kw)
+        cam = self._cam()
+        ip = np.asarray(render(scene, cam, spp=160, integrator="path",
+                               max_depth=4, seed=1)).mean()
+        ib = np.asarray(render(scene, cam, spp=160, integrator="bdpt",
+                               max_depth=4, seed=2)).mean()
+        assert ip > 1e-3
+        assert abs(ib - ip) / ip < 0.05, (light_kw["type"], ip, ib)
