@@ -208,18 +208,97 @@ def _photon_pass(scene, vps, radius, n_photons, it, seed, max_depth,
     pdf_pos = jnp.where(ap.is_sph, ip_sph,
                         jnp.where(ap.is_pln, ip_pln, ip_tri))
     is_area = g.ltype == lights_mod.AREA
+    is_point = g.ltype == lights_mod.POINT
+    is_spot = g.ltype == lights_mod.SPOT
+    is_dist = g.ltype == lights_mod.DISTANT
+    is_inf = g.ltype == lights_mod.INFINITE
     u_dir = jnp.stack([sfn(ppid, sidx, 303, seed),
                        sfn(ppid, sidx, 304, seed)], -1)
     d_loc = cosine_sample_hemisphere(u_dir)
     t1, t2 = common.make_frame(n_l)
     d_l = common.to_world(t1, t2, n_l, d_loc)
     pdf_dir = jnp.maximum(d_loc[..., 2], 1e-6) * INV_PI
-    beta = g.emit * (absdot(d_l, n_l) / jnp.maximum(
+
+    # ---- non-area photon emission (r4; sppm.cpp shoots Sample_Le for
+    # EVERY light — area-only emission silently dropped all indirect
+    # light in point/spot/distant/env-lit scenes):
+    from pbrt_tpu.core.sampling import concentric_sample_disk
+    d_unif = uniform_sample_sphere(u_dir)                 # point
+    zc = 1.0 + u_dir[..., 1] * (g.cos_total - 1.0)        # spot cone
+    sc_ = jnp.sqrt(jnp.maximum(1.0 - zc * zc, 0.0))
+    phic = 2.0 * jnp.pi * u_dir[..., 0]
+    ts1, ts2 = common.make_frame(g.dir)
+    d_cone = (jnp.cos(phic) * sc_)[..., None] * ts1 \
+        + (jnp.sin(phic) * sc_)[..., None] * ts2 + zc[..., None] * g.dir
+    pdf_cone = 1.0 / jnp.maximum(
+        2.0 * jnp.pi * (1.0 - g.cos_total), 1e-9)
+    cos_sp = jnp.sum(d_cone * g.dir, -1)
+    dcos = jnp.maximum(g.cos_falloff - g.cos_total, 1e-6)
+    tf = jnp.clip((cos_sp - g.cos_total) / dcos, 0.0, 1.0)
+    fall = jnp.where(cos_sp < g.cos_total, 0.0,
+                     jnp.where(cos_sp > g.cos_falloff, 1.0,
+                               (tf * tf) * (tf * tf)))
+    wr = scene.world_radius()
+    wc = 0.5 * (scene.world_lo + scene.world_hi)
+    dk = concentric_sample_disk(u_pos)
+    pdf_disk = 1.0 / jnp.maximum(jnp.pi * wr * wr, 1e-20)
+    # distant: disk outside the scene, delta direction
+    td1, td2 = common.make_frame(g.dir)
+    p_disk_dist = wc[None, :] - g.dir * (2.0 * wr) \
+        + (dk[..., 0:1] * td1 + dk[..., 1:2] * td2) * wr
+    # infinite: env-distribution direction INTO the scene + disk origin
+    # (infinite.cpp Sample_Le)
+    if lights_mod._lt_present(scene.lights, lights_mod.INFINITE):
+        from pbrt_tpu.core.sampling import sample_distribution_2d
+        uv_e, pdf_uv_e = sample_distribution_2d(scene.lights.env_distr,
+                                                u_dir)
+        th_e = uv_e[..., 1] * jnp.pi
+        ph_e = uv_e[..., 0] * 2.0 * jnp.pi
+        sin_e = jnp.sin(th_e)
+        w_env = jnp.stack([sin_e * jnp.cos(ph_e), jnp.cos(th_e),
+                           sin_e * jnp.sin(ph_e)], -1)   # toward the env
+        d_env = -w_env                                    # photon travel
+        pdf_env_dir = pdf_uv_e / jnp.maximum(
+            2.0 * jnp.pi * jnp.pi * sin_e, 1e-9)
+        le_env = lights_mod.env_radiance(scene.lights, w_env) * g.emit
+        te1, te2 = common.make_frame(d_env)
+        p_disk_env = wc[None, :] + w_env * (2.0 * wr) \
+            + (dk[..., 0:1] * te1 + dk[..., 1:2] * te2) * wr
+    else:
+        d_env = d_l
+        pdf_env_dir = jnp.ones_like(pdf_dir)
+        le_env = jnp.zeros_like(g.emit)
+        p_disk_env = p_l
+
+    emits = is_area | is_point | is_spot | is_dist | is_inf
+    p_l = jnp.where(is_dist[..., None], p_disk_dist,
+                    jnp.where(is_inf[..., None], p_disk_env,
+                              jnp.where((is_point | is_spot)[..., None],
+                                        g.pos, p_l)))
+    d_l = jnp.where(is_dist[..., None], g.dir,
+                    jnp.where(is_inf[..., None], d_env,
+                              jnp.where(is_spot[..., None], d_cone,
+                                        jnp.where(is_point[..., None],
+                                                  d_unif, d_l))))
+    n_l = jnp.where((~is_area)[..., None], d_l, n_l)
+    pdf_pos = jnp.where(is_dist | is_inf, pdf_disk,
+                        jnp.where(is_point | is_spot, 1.0, pdf_pos))
+    pdf_dir = jnp.where(is_dist, 1.0,
+                        jnp.where(is_inf, pdf_env_dir,
+                                  jnp.where(is_spot, pdf_cone,
+                                            jnp.where(is_point,
+                                                      1.0 / (4 * jnp.pi),
+                                                      pdf_dir))))
+    Le = jnp.where(is_spot[..., None], g.emit * fall[..., None],
+                   jnp.where(is_inf[..., None], le_env, g.emit))
+    cos_term = jnp.where(is_area, absdot(d_l, n_l), 1.0)
+    beta = Le * (cos_term / jnp.maximum(
         sel_pmf * pdf_pos * pdf_dir, 1e-20))[..., None]
-    beta = jnp.where(is_area[..., None], beta, 0.0)
-    o_cur = vecmath.offset_ray_origin(p_l, n_l, d_l)
+    beta = jnp.where(emits[..., None], beta, 0.0)
+    o_cur = jnp.where((is_point | is_spot)[..., None], p_l,
+                      vecmath.offset_ray_origin(p_l, n_l, d_l))
     d_cur = d_l
-    active = is_area
+    active = emits
 
     phi = jnp.zeros((R, C))
     m_cnt = jnp.zeros(R)

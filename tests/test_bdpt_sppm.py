@@ -145,3 +145,48 @@ class TestBdptLightTypes:
                                max_depth=4, seed=2)).mean()
         assert ip > 1e-3
         assert abs(ib - ip) / ip < 0.05, (light_kw["type"], ip, ib)
+
+
+class TestSppmLightTypes:
+    """r4: SPPM photon emission for every light type (sppm.cpp shoots
+    Sample_Le for all lights; area-only emission silently dropped all
+    indirect light in point/spot/distant/env-lit scenes). Measured
+    ratios vs path at this budget: point 0.984, spot 0.938 (cone-edge
+    kernel-estimation bias; 0.968 at 3x budget), distant 0.982,
+    infinite 1.026."""
+
+    @pytest.mark.parametrize("light_kw,tol", [
+        (dict(type="point", I=10.0, pos=(0, 2, 0)), 0.06),
+        (dict(type="spot", I=30.0, pos=(0, 2.5, -0.5), to=(0, 0, 0),
+              cone_angle=35.0), 0.12),
+        (dict(type="distant", L=2.0, dir=(0.3, -1, 0.3)), 0.06),
+        (dict(type="infinite", L=0.7, env_map="ones"), 0.08),
+    ], ids=["point", "spot", "distant", "infinite"])
+    def test_sppm_matches_path(self, light_kw, tol):
+        from pbrt_tpu.core import transform
+        from pbrt_tpu.core.spectrum import RGB
+        from pbrt_tpu.integrators.render import render
+        from pbrt_tpu.integrators.sppm import render_sppm
+        from pbrt_tpu.scene import camera as cam_mod
+        from pbrt_tpu.scene.types import SceneBuilder
+        if light_kw.get("env_map") == "ones":
+            light_kw = dict(light_kw, env_map=np.ones((1, 1, 3),
+                                                      np.float32))
+        b = SceneBuilder(RGB)
+        m = b.add_material(type=0, kd=0.6)
+        b.add_mesh([(-2, 0, -2), (2, 0, -2), (2, 0, 2), (-2, 0, 2)],
+                   [(0, 1, 2), (0, 2, 3)], mat=m)
+        b.add_mesh([(-2, 0, 2), (2, 0, 2), (2, 3, 2), (-2, 3, 2)],
+                   [(0, 1, 2), (0, 2, 3)], mat=m)
+        b.add_light(**light_kw)
+        scene = b.build()
+        cam = cam_mod.make_perspective(
+            transform.look_at((0, 1.5, -3), (0, 0.5, 0), (0, 1, 0)),
+            45.0, (12, 12))
+        ip = np.asarray(render(scene, cam, spp=128, integrator="path",
+                               max_depth=4, seed=1)).mean()
+        isp = np.asarray(render_sppm(scene, cam, n_iterations=8,
+                                     photons_per_iter=1 << 14,
+                                     max_depth=4, seed=1)).mean()
+        assert ip > 1e-3
+        assert abs(isp - ip) / ip < tol, (light_kw["type"], ip, isp)
