@@ -760,14 +760,25 @@ def light_splat_pass(scene, cam, n_paths: int, chunk_it: int, seed: int,
         we, p_raster, cam_ok = cam_mod.camera_we(cam, p_cam_b, w)
         # scattering toward the camera at the endpoint
         if s == 1:
-            # emitter endpoint: orientation-masked unit term (beta holds
-            # Le/(pmf·pdf_pos))
+            # emitter endpoint: orientation-masked emission term (beta
+            # holds Le/(pmf·pdf_pos)); delta lights emit everywhere and
+            # spots carry the cone falloff toward the camera (r4)
             g0 = lights_mod.gather_lights(
                 scene.lights, jnp.maximum(light_sp.light_id[:, 0], 0))
+            is_del0 = (g0.ltype == lights_mod.POINT) \
+                | (g0.ltype == lights_mod.SPOT)
             emit_ok = (jnp.sum(light_sp.ng[:, 0] * -w, -1) > 0) \
-                | g0.two_sided
+                | g0.two_sided | is_del0
+            cos_e = jnp.sum(-w * g0.dir, -1)
+            dcos0 = jnp.maximum(g0.cos_falloff - g0.cos_total, 1e-6)
+            tf0 = jnp.clip((cos_e - g0.cos_total) / dcos0, 0.0, 1.0)
+            fall0 = jnp.where(cos_e < g0.cos_total, 0.0,
+                              jnp.where(cos_e > g0.cos_falloff, 1.0,
+                                        (tf0 * tf0) * (tf0 * tf0)))
+            spot_t = jnp.where(g0.ltype == lights_mod.SPOT, fall0, 1.0)
             f_term = jnp.where(emit_ok[..., None],
-                               jnp.ones((n_paths, C)), 0.0)
+                               spot_t[..., None]
+                               * jnp.ones((n_paths, C)), 0.0)
             not_spec = jnp.ones(n_paths, bool)
         else:
             f_term, _ = _vertex_f(scene, light_sp, lv, -w)
