@@ -211,9 +211,11 @@ def test_mlt_matches_reference_binary():
     therefore carries bootstrap-normalization noise: measured md across
     seeds 0.001-0.042 at this budget (fixed seed below: 0.0009).
 
-    TPU: one recorded on-chip run (v5 lite, this config, r4 session):
-    55.7 s wall incl. compile, 295k mutations, finite image,
-    md 0.050 — the chain loop runs entirely on-device."""
+    TPU: recorded on-chip runs (v5 lite, r4 session): this config
+    55.7 s wall incl. compile (295k mutations); TPU-sized config
+    (131k chains, 4.7M mutations) 100.4 s warm-cache = 47 kmut/s —
+    the whole chain loop is ONE lax.fori_loop program; per-step cost
+    is the 131k-lane path trace + two film scatter splats."""
     ref = _load_ref("caustic_ref.pfm")
     from pbrt_tpu.frontend import load_pbrt
     from pbrt_tpu.integrators.mlt import render_mlt
