@@ -169,3 +169,46 @@ def test_cli_debug_nans_flag(tmp_path):
     assert rc in (0, None) and out.exists()
     # restore for the rest of the suite
     jax.config.update("jax_debug_nans", False)
+
+
+def test_parser_nested_texture_operands(tmp_path):
+    """Texture directives with TEXTURE-typed tex1/tex2/amount params
+    (scale.cpp:44-48 GetSpectrumTexture) instantiate operand rows and
+    evaluate through the nested DAG (r4)."""
+    scene_file = tmp_path / "nested.pbrt"
+    scene_file.write_text("""
+LookAt 0 2 -4  0 0 0  0 1 0
+Camera "perspective" "float fov" [40]
+Film "image" "integer xresolution" [8] "integer yresolution" [8]
+Integrator "path" "integer maxdepth" 2
+WorldBegin
+Texture "checks" "spectrum" "checkerboard"
+  "rgb tex1" [1 1 1] "rgb tex2" [0 0 0] "float uscale" [4] "float vscale" [4]
+Texture "dimmed" "spectrum" "scale"
+  "texture tex1" "checks" "rgb tex2" [0.5 0.5 0.5]
+Texture "mixed" "spectrum" "mix"
+  "rgb tex1" [0.1 0.1 0.1] "rgb tex2" [0.9 0.9 0.9] "texture amount" "checks"
+Material "matte" "texture Kd" "dimmed"
+Shape "trianglemesh" "integer indices" [0 1 2 0 2 3]
+  "point P" [-2 0 -2  2 0 -2  2 0 2  -2 0 2]
+  "float uv" [0 0  1 0  1 1  0 1]
+AttributeBegin
+Material "matte" "texture Kd" "mixed"
+Translate 0 0 3
+Shape "trianglemesh" "integer indices" [0 1 2 0 2 3]
+  "point P" [-2 0 0  2 0 0  2 4 0  -2 4 0]
+  "float uv" [0 0  1 0  1 1  0 1]
+AttributeEnd
+AreaLightSource "area" "rgb L" [8 8 8]
+Translate 0 4 -2
+Shape "sphere" "float radius" [0.4]
+WorldEnd
+""")
+    from pbrt_tpu.frontend import load_pbrt
+    from pbrt_tpu.integrators.render import render
+    scene, cam, opts = load_pbrt(str(scene_file))
+    assert scene.textures is not None
+    assert scene.textures.nest_depth >= 1
+    img = np.asarray(render(scene, cam, spp=16, integrator="path",
+                            max_depth=2, seed=1))
+    assert np.isfinite(img).all() and img.mean() > 1e-4
