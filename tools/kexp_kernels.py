@@ -126,6 +126,73 @@ def pack_params(lo, hi, right, count, axis, v0, v1, v2, *, wide=4,
                                    tris_per_row=tris_per_row)
 
 
+def pack_dual_leaf(lo, hi, right, count, axis, v0, v1, v2, *,
+                   leaf_max=16):
+    """Like pack_params(wide=4) but leaf encodings address a starting
+    ROW, and leaves with <=8 tris occupy ONE row (8x10 floats) while
+    larger ones take two. The kernel tests 8 or 16 triangles per pop
+    depending on cnt (variant 5)."""
+    from pbrt_tpu.ops.bvh_pallas import _collapse_tree
+    lo, hi, right, count, axis = _collapse_tree(
+        np.asarray(lo), np.asarray(hi), np.asarray(right, np.int64),
+        np.asarray(count, np.int64), np.asarray(axis, np.int64),
+        max_leaf=leaf_max)
+    n = right.shape[0]
+    e1 = v1 - v0
+    e2 = v2 - v0
+    cnt_bits = 5
+    leaves = np.where(count > 0)[0]
+    rows_list = []
+    start_row = np.full(n, -1, np.int64)
+    row_cursor = 0
+    for i in leaves:
+        st = int(right[i]); cn = int(count[i])
+        nrows = 1 if cn <= 8 else 2
+        start_row[i] = row_cursor
+        row_cursor += nrows
+        block = np.zeros((nrows, LANES), np.float32)
+        for k in range(cn):
+            r, base = divmod(k, 8 if cn <= 8 else TRIS_PER_LEAF_ROW)
+            if cn <= 8:
+                r, base = 0, k
+            else:
+                r, base = divmod(k, TRIS_PER_LEAF_ROW)
+            block[r, base*TRI_F:base*TRI_F+3] = v0[st+k]
+            block[r, base*TRI_F+3:base*TRI_F+6] = e1[st+k]
+            block[r, base*TRI_F+6:base*TRI_F+9] = e2[st+k]
+            block[r, base*TRI_F+9] = float(st+k)
+        rows_list.append(block)
+    blocks = np.concatenate(rows_list, 0) if rows_list else np.zeros((1, LANES), np.float32)
+
+    wmeta = []; wbounds = []
+    def leaf_enc(i):
+        return int(start_row[i]) << cnt_bits | int(count[i])
+    def expand(i, levels):
+        if levels == 0 or count[i] > 0:
+            return [int(i)]
+        return expand(int(i)+1, levels-1) + expand(int(right[i]), levels-1)
+    def make_wide(b):
+        wid = len(wmeta)
+        wmeta.append([-1]*4 + [0])
+        wbounds.append(np.zeros(24, np.float32))
+        slots = [b] if count[b] > 0 else (expand(int(b)+1, 1) + expand(int(right[b]), 1))
+        for k, si in enumerate(slots):
+            wbounds[wid][6*k:6*k+3] = lo[si]
+            wbounds[wid][6*k+3:6*k+6] = hi[si]
+            wmeta[wid][k] = leaf_enc(si) if count[si] > 0 else make_wide(si) << cnt_bits
+        wmeta[wid][4] = int(axis[b])
+        return wid
+    import sys as _sys
+    old = _sys.getrecursionlimit(); _sys.setrecursionlimit(max(old, n+64))
+    try:
+        make_wide(0)
+    finally:
+        _sys.setrecursionlimit(old)
+    meta = np.asarray(wmeta, np.int32).T.copy()
+    nbs = np.ascontiguousarray(np.asarray(wbounds, np.float32).T)
+    return meta, nbs, blocks
+
+
 def _row8(row_1x, nrows=ROWS):
     v = row_1x
     while v.shape[0] < nrows:
@@ -205,7 +272,47 @@ def _kernel(meta_ref, nbs_ref, tri_ref, ox_ref, oy_ref, oz_ref,
             return jnp.any(enter), tn_min
         return jnp.any(enter), 0.0
 
+    def _leaf_rows(start_row, cnt, bt, bi, n_tri, per_row):
+        nrows = (n_tri + per_row - 1) // per_row
+        rows2 = tri_ref[pl.ds(start_row, nrows), :]
+        r8 = [_row8(rows2[r:r + 1, :], shape[0]) for r in range(nrows)]
+
+        def fld(k, f):
+            r = k // per_row
+            base = (k % per_row) * TRI_F
+            return _lane_bcast(r8[r], base + f, shape)
+
+        for k in range(n_tri):
+            v0x = fld(k, 0); v0y = fld(k, 1); v0z = fld(k, 2)
+            e1x = fld(k, 3); e1y = fld(k, 4); e1z = fld(k, 5)
+            e2x = fld(k, 6); e2y = fld(k, 7); e2z = fld(k, 8)
+            idx_f = fld(k, 9)
+            px = dy * e2z - dz * e2y
+            py = dz * e2x - dx * e2z
+            pz = dx * e2y - dy * e2x
+            det = e1x * px + e1y * py + e1z * pz
+            inv_det = jnp.where(jnp.abs(det) > 1e-12, 1.0 / det, 0.0)
+            rx = ox - v0x; ry = oy - v0y; rz = oz - v0z
+            u = (rx * px + ry * py + rz * pz) * inv_det
+            qx = ry * e1z - rz * e1y
+            qy = rz * e1x - rx * e1z
+            qz = rx * e1y - ry * e1x
+            v = (dx * qx + dy * qy + dz * qz) * inv_det
+            t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+            hit = ((k < cnt) & (jnp.abs(det) > 1e-12) & (u >= 0.0)
+                   & (v >= 0.0) & (u + v <= 1.0) & (t > 1e-4) & (t < bt))
+            bt = jnp.where(hit, t, bt)
+            bi = jnp.where(hit, idx_f.astype(jnp.int32), bi)
+        return bt, bi
+
     def _leaf(block, cnt, bt, bi):
+        if variant == 5:
+            return jax.lax.cond(
+                cnt <= 8,
+                lambda c2: _leaf_rows(block, cnt, c2[0], c2[1], 8, 8),
+                lambda c2: _leaf_rows(block, cnt, c2[0], c2[1], 16,
+                                      TRIS_PER_LEAF_ROW),
+                (bt, bi))
         rows2 = tri_ref[pl.ds(block * block_rows, block_rows), :]
         if variant >= 2:
             r8 = [_row8(rows2[r:r + 1, :], shape[0])

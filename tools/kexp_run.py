@@ -200,6 +200,59 @@ def exp_count(z, variant):
     return out
 
 
+def exp_dual(z, rows=16, interpret=False):
+    import jax
+    import jax.numpy as jnp
+    if interpret:
+        jax.config.update("jax_platforms", "cpu")
+
+    import tools.kexp_kernels as kk
+    meta, nbs, tris = kk.pack_dual_leaf(
+        z["lo"], z["hi"], z["right"], z["count"], z["axis"],
+        z["v0"], z["v1"], z["v2"])
+    pp = tuple(sorted(dict(wide=4, leaf_max=16, cnt_bits=5, block_rows=2,
+                           tris_per_row=12).items()))
+    dev = jax.devices()[0]
+    meta, nbs_d, tri = [jax.device_put(jnp.asarray(x), dev)
+                        for x in (meta, nbs, tris)]
+    out = {"exp_kind": "dual", "rows": rows, "tri_rows": int(tris.shape[0])}
+    n = len(z["t_x"])
+    tm = jax.device_put(jnp.asarray(z["tmax"][:n]), dev)
+    fk = jax.jit(lambda o, d: kk.traverse(
+        meta, nbs_d, tri, o, d, tm, any_hit=False, variant=5,
+        rows=rows, pp=pp, interpret=interpret))
+    t_k, i_k = fk(jax.device_put(jnp.asarray(z["o_mix"]), dev),
+                  jax.device_put(jnp.asarray(z["d_mix"]), dev))
+    out.update(agreement(t_k, i_k, z["t_x"], z["i_x"]))
+    if interpret:
+        return out
+    tmax = jax.device_put(jnp.asarray(z["tmax"]), dev)
+    R = len(z["tmax"])
+    for name, ok, dk in (("primary", "o_p", "d_p"), ("random", "o_r", "d_r"),
+                         ("sorted", "o_rs", "d_rs")):
+        o = jax.device_put(jnp.asarray(z[ok]), dev)
+        d = jax.device_put(jnp.asarray(z[dk]), dev)
+
+        def make_loop(reps, o=o, d=d):
+            import jax as _jax
+
+            @_jax.jit
+            def f():
+                def step(j, acc):
+                    t, _ = kk.traverse(
+                        meta, nbs_d, tri, o, d,
+                        tmax * (1.0 + j.astype(jnp.float32) * 1e-7),
+                        any_hit=False, variant=5, rows=rows, pp=pp)
+                    return acc + t
+                return _jax.lax.fori_loop(0, reps, step,
+                                          jnp.zeros(R, jnp.float32))
+            return f
+
+        dt, _ = slope_timer(make_loop)
+        out[name + "_mrays"] = round(R / dt / 1e6, 2)
+    return out
+
+
 def exp_pack(z, wide, leaf_max, rows=16, interpret=False):
     import jax
     import jax.numpy as jnp
@@ -263,6 +316,9 @@ def main():
         out = exp_baseline(z)
     elif exp == "smem_probe":
         out = exp_smem_probe(z, sys.argv[2])
+    elif exp == "dual":
+        out = exp_dual(z, rows=int(sys.argv[2]) if len(sys.argv) > 2 else 16,
+                       interpret=bool(os.environ.get("KEXP_INTERP")))
     elif exp == "pack":
         out = exp_pack(z, wide=int(sys.argv[2]), leaf_max=int(sys.argv[3]),
                        rows=int(sys.argv[4]) if len(sys.argv) > 4 else 16,
