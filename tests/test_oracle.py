@@ -228,3 +228,25 @@ def test_mlt_matches_reference_binary():
     assert np.isfinite(img).all()
     md = _mean_delta(img, ref)
     assert md < 0.05, f"mlt mean delta {md:.4f} vs reference binary"
+
+
+def test_delta_lights_match_reference_binary():
+    """Point + spot + distant lights together vs the reference binary
+    (tests/oracle/deltalights_oracle.pbrt, 256 spp) — pins the absolute
+    units and the spot cone falloff of all three delta-light types, by
+    BOTH path and bdpt (r4: BDPT delta-light subpaths were new; the
+    self-A/B alone could hide a shared units bug). Measured md 0.0003
+    (path @ 32 spp) / 0.0018 (bdpt @ 16 spp)."""
+    ref = _load_ref("deltalights_ref.pfm")
+    from pbrt_tpu.frontend import load_pbrt
+    from pbrt_tpu.integrators.render import render
+
+    scene, cam, opts = load_pbrt(
+        os.path.join(ORACLE, "deltalights_oracle.pbrt"))
+    for integ, spp, tol in (("path", 32, 0.01), ("bdpt", 16, 0.02)):
+        img = np.asarray(render(scene, cam, spp=spp, integrator=integ,
+                                max_depth=opts["max_depth"], seed=2))
+        md = _mean_delta(img, ref)
+        bl = _block_rel_l1(img, ref, k=16)
+        assert md < tol, f"{integ} mean delta {md:.4f}"
+        assert bl < 0.03, f"{integ} block rel-L1 {bl:.4f}"
