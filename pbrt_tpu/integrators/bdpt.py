@@ -219,7 +219,12 @@ def generate_light_subpath(scene, max_v, pid, sidx, sfn, seed):
     pdf_pos = jnp.where(ap.is_sph, ip_sph,
                         jnp.where(ap.is_pln, ip_pln, ip_tri))
     is_area = g.ltype == lights_mod.AREA
-    is_point = g.ltype == lights_mod.POINT
+    # goniometric/projection lights emit like point lights with a
+    # direction-dependent scale (their Sample_Le is uniform-sphere here;
+    # lights_mod.emission_scale applies the map/window/falloff)
+    is_point = (g.ltype == lights_mod.POINT) \
+        | (g.ltype == lights_mod.GONIO) \
+        | (g.ltype == lights_mod.PROJECTION)
     is_spot = g.ltype == lights_mod.SPOT
     is_dist = g.ltype == lights_mod.DISTANT
 
@@ -246,13 +251,6 @@ def generate_light_subpath(scene, max_v, pid, sidx, sfn, seed):
         + (jnp.sin(phic) * sc)[..., None] * ts2 + zc[..., None] * g.dir
     pdf_cone = 1.0 / jnp.maximum(
         2.0 * jnp.pi * (1.0 - g.cos_total), 1e-9)
-    # spot falloff along the sampled emission direction (spot.cpp)
-    cos_sp = dot(d_cone, g.dir)
-    dcos = jnp.maximum(g.cos_falloff - g.cos_total, 1e-6)
-    tf = jnp.clip((cos_sp - g.cos_total) / dcos, 0.0, 1.0)
-    fall = jnp.where(cos_sp < g.cos_total, 0.0,
-                     jnp.where(cos_sp > g.cos_falloff, 1.0,
-                               (tf * tf) * (tf * tf)))
     # distant (distant.cpp Sample_Le): point on a world-radius disk
     # outside the scene, delta direction g.dir
     wr = scene.world_radius()
@@ -289,12 +287,12 @@ def generate_light_subpath(scene, max_v, pid, sidx, sfn, seed):
                                             pdf_dir)))
 
     # the WALK throughput carries the emitted radiance along the sampled
-    # direction (spot: incl. its cone falloff); the VERTEX beta must NOT
-    # bake a direction-dependent factor in — s=1 connections evaluate the
-    # emission toward THEIR own direction (the falloff would otherwise be
-    # double-counted: caught as a 0.66x spot deficit in the r4 A/B)
-    Le_walk = jnp.where(is_spot[..., None],
-                        g.emit * fall[..., None], g.emit)
+    # direction (spot falloff / gonio map / projection window); the
+    # VERTEX beta must NOT bake a direction-dependent factor in — s=1
+    # connections evaluate the emission toward THEIR own direction (the
+    # falloff would otherwise be double-counted: caught as a 0.66x spot
+    # deficit in the r4 A/B)
+    Le_walk = g.emit * lights_mod.emission_scale(scene.lights, g, d_l)
     cos_term = jnp.where(is_area, absdot(d_l, n_l), 1.0)
     beta0 = Le_walk * (cos_term
                        / jnp.maximum(sel_pmf * pdf_pos * pdf_dir,
@@ -351,19 +349,14 @@ def connect_bdpt(scene, cam_sp: Subpath, light_sp: Subpath, s: int, t: int):
         g0 = lights_mod.gather_lights(
             scene.lights, jnp.maximum(light_sp.light_id[:, 0], 0))
         is_del0 = (g0.ltype == lights_mod.POINT) \
-            | (g0.ltype == lights_mod.SPOT)
+            | (g0.ltype == lights_mod.SPOT) \
+            | (g0.ltype == lights_mod.GONIO) \
+            | (g0.ltype == lights_mod.PROJECTION)
         emit_ok = (jnp.sum(light_sp.ng[:, 0] * -w, -1) > 0) \
             | g0.two_sided | is_del0
-        cos_e = dot(-w, g0.dir)
-        dcos0 = jnp.maximum(g0.cos_falloff - g0.cos_total, 1e-6)
-        tf0 = jnp.clip((cos_e - g0.cos_total) / dcos0, 0.0, 1.0)
-        fall0 = jnp.where(cos_e < g0.cos_total, 0.0,
-                          jnp.where(cos_e > g0.cos_falloff, 1.0,
-                                    (tf0 * tf0) * (tf0 * tf0)))
-        spot_term = jnp.where((g0.ltype == lights_mod.SPOT), fall0, 1.0)
+        scale0 = lights_mod.emission_scale(scene.lights, g0, -w)
         f_light_term = jnp.where(emit_ok[..., None],
-                                 spot_term[..., None]
-                                 * jnp.ones_like(f_c), 0.0)
+                                 scale0 * jnp.ones_like(f_c), 0.0)
         # delta lights have no surface: drop their cosine in G
         cos_l = jnp.where(is_del0, 1.0, absdot(light_sp.ns[:, 0], w))
 
@@ -433,7 +426,9 @@ def _light_origin_pdfs(scene, light_id, ng, w_out):
     pdf_pos = 1.0 / jnp.maximum(area, 1e-20) / scene.lights.n
     from pbrt_tpu.core.sampling import INV_PI
     pdf_dir = jnp.maximum(absdot(ng, w_out), 1e-6) * INV_PI
-    is_point = g.ltype == lights_mod.POINT
+    is_point = (g.ltype == lights_mod.POINT) \
+        | (g.ltype == lights_mod.GONIO) \
+        | (g.ltype == lights_mod.PROJECTION)
     is_spot = g.ltype == lights_mod.SPOT
     is_dist = g.ltype == lights_mod.DISTANT
     cos_o = dot(w_out, g.dir)
@@ -565,7 +560,9 @@ def mis_weight(scene, cam_sp: Subpath, light_sp: Subpath, s: int, t: int,
             g_l0 = lights_mod.gather_lights(
                 scene.lights, jnp.maximum(light_sp.light_id[:, 0], 0))
             delta_light = ((g_l0.ltype == lights_mod.POINT)
-                           | (g_l0.ltype == lights_mod.SPOT)) \
+                           | (g_l0.ltype == lights_mod.SPOT)
+                           | (g_l0.ltype == lights_mod.GONIO)
+                           | (g_l0.ltype == lights_mod.PROJECTION)) \
                 & (light_sp.light_id[:, 0] >= 0)
             not_delta = ~light_sp.delta[:, i] & (
                 ~light_sp.delta[:, i - 1] if i - 1 >= 0 else ~delta_light)
@@ -766,19 +763,14 @@ def light_splat_pass(scene, cam, n_paths: int, chunk_it: int, seed: int,
             g0 = lights_mod.gather_lights(
                 scene.lights, jnp.maximum(light_sp.light_id[:, 0], 0))
             is_del0 = (g0.ltype == lights_mod.POINT) \
-                | (g0.ltype == lights_mod.SPOT)
+                | (g0.ltype == lights_mod.SPOT) \
+                | (g0.ltype == lights_mod.GONIO) \
+                | (g0.ltype == lights_mod.PROJECTION)
             emit_ok = (jnp.sum(light_sp.ng[:, 0] * -w, -1) > 0) \
                 | g0.two_sided | is_del0
-            cos_e = jnp.sum(-w * g0.dir, -1)
-            dcos0 = jnp.maximum(g0.cos_falloff - g0.cos_total, 1e-6)
-            tf0 = jnp.clip((cos_e - g0.cos_total) / dcos0, 0.0, 1.0)
-            fall0 = jnp.where(cos_e < g0.cos_total, 0.0,
-                              jnp.where(cos_e > g0.cos_falloff, 1.0,
-                                        (tf0 * tf0) * (tf0 * tf0)))
-            spot_t = jnp.where(g0.ltype == lights_mod.SPOT, fall0, 1.0)
+            scale0 = lights_mod.emission_scale(scene.lights, g0, -w)
             f_term = jnp.where(emit_ok[..., None],
-                               spot_t[..., None]
-                               * jnp.ones((n_paths, C)), 0.0)
+                               scale0 * jnp.ones((n_paths, C)), 0.0)
             not_spec = jnp.ones(n_paths, bool)
         else:
             f_term, _ = _vertex_f(scene, light_sp, lv, -w)

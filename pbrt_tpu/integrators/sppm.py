@@ -208,7 +208,9 @@ def _photon_pass(scene, vps, radius, n_photons, it, seed, max_depth,
     pdf_pos = jnp.where(ap.is_sph, ip_sph,
                         jnp.where(ap.is_pln, ip_pln, ip_tri))
     is_area = g.ltype == lights_mod.AREA
-    is_point = g.ltype == lights_mod.POINT
+    is_point = (g.ltype == lights_mod.POINT) \
+        | (g.ltype == lights_mod.GONIO) \
+        | (g.ltype == lights_mod.PROJECTION)
     is_spot = g.ltype == lights_mod.SPOT
     is_dist = g.ltype == lights_mod.DISTANT
     is_inf = g.ltype == lights_mod.INFINITE
@@ -232,12 +234,6 @@ def _photon_pass(scene, vps, radius, n_photons, it, seed, max_depth,
         + (jnp.sin(phic) * sc_)[..., None] * ts2 + zc[..., None] * g.dir
     pdf_cone = 1.0 / jnp.maximum(
         2.0 * jnp.pi * (1.0 - g.cos_total), 1e-9)
-    cos_sp = jnp.sum(d_cone * g.dir, -1)
-    dcos = jnp.maximum(g.cos_falloff - g.cos_total, 1e-6)
-    tf = jnp.clip((cos_sp - g.cos_total) / dcos, 0.0, 1.0)
-    fall = jnp.where(cos_sp < g.cos_total, 0.0,
-                     jnp.where(cos_sp > g.cos_falloff, 1.0,
-                               (tf * tf) * (tf * tf)))
     wr = scene.world_radius()
     wc = 0.5 * (scene.world_lo + scene.world_hi)
     dk = concentric_sample_disk(u_pos)
@@ -289,8 +285,8 @@ def _photon_pass(scene, vps, radius, n_photons, it, seed, max_depth,
                                             jnp.where(is_point,
                                                       1.0 / (4 * jnp.pi),
                                                       pdf_dir))))
-    Le = jnp.where(is_spot[..., None], g.emit * fall[..., None],
-                   jnp.where(is_inf[..., None], le_env, g.emit))
+    Le = g.emit * lights_mod.emission_scale(scene.lights, g, d_l)
+    Le = jnp.where(is_inf[..., None], le_env, Le)
     cos_term = jnp.where(is_area, absdot(d_l, n_l), 1.0)
     beta = Le * (cos_term / jnp.maximum(
         sel_pmf * pdf_pos * pdf_dir, 1e-20))[..., None]

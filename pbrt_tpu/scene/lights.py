@@ -590,3 +590,56 @@ def power_distribution(lt: LightTable):
     from pbrt_tpu.core.sampling import make_distribution_1d
     p = jnp.sum(lt.power, axis=-1)
     return make_distribution_1d(jnp.maximum(p, 0.0))
+
+
+def emission_scale(lt, g, d_emit):
+    """Direction-dependent emission modulation of a DELTA-position light
+    along emission direction ``d_emit`` (R,3): spot quartic cone falloff
+    (spot.cpp Falloff), goniometric lat-long map (goniometric.cpp Scale),
+    projection window (projection.cpp Projection). 1.0 for other types.
+    Returns (R, C). Shared by BDPT light subpaths / s=1 connections and
+    SPPM photon emission (r4)."""
+    import jax.numpy as jnp
+
+    from pbrt_tpu.core import vecmath
+    from pbrt_tpu.core.vecmath import dot
+
+    R = d_emit.shape[0]
+    C = lt.emit.shape[-1]
+    out = jnp.ones((R, C))
+    if _lt_present(lt, SPOT):
+        cos_t = dot(d_emit, g.dir)
+        dcos = jnp.maximum(g.cos_falloff - g.cos_total, 1e-6)
+        t = jnp.clip((cos_t - g.cos_total) / dcos, 0.0, 1.0)
+        fall = jnp.where(cos_t < g.cos_total, 0.0,
+                         jnp.where(cos_t > g.cos_falloff, 1.0,
+                                   (t * t) * (t * t)))
+        out = jnp.where((g.ltype == SPOT)[..., None], fall[..., None],
+                        out)
+    Hg, Wg = lt.gonio_map.shape[0], lt.gonio_map.shape[1]
+    if _lt_present(lt, GONIO):
+        theta_g = jnp.arccos(jnp.clip(d_emit[..., 1], -1.0, 1.0))
+        phi_g = jnp.arctan2(d_emit[..., 2], d_emit[..., 0])
+        phi_g = jnp.where(phi_g < 0, phi_g + 2 * jnp.pi, phi_g)
+        gx = jnp.clip((phi_g / (2 * jnp.pi) * Wg).astype(jnp.int32), 0,
+                      Wg - 1)
+        gy = jnp.clip((theta_g / jnp.pi * Hg).astype(jnp.int32), 0,
+                      Hg - 1)
+        out = jnp.where((g.ltype == GONIO)[..., None],
+                        lt.gonio_map[gy, gx], out)
+    if _lt_present(lt, PROJECTION):
+        cos_p = dot(d_emit, g.dir)
+        tan_half = jnp.tan(jnp.radians(g.proj_fov) / 2.0)
+        t1p, t2p = vecmath.coordinate_system(g.dir)
+        x_p = dot(d_emit, t1p) / jnp.maximum(cos_p, 1e-6)
+        y_p = dot(d_emit, t2p) / jnp.maximum(cos_p, 1e-6)
+        inside = (cos_p > 0) & (jnp.abs(x_p) < tan_half) \
+            & (jnp.abs(y_p) < tan_half)
+        px_ = jnp.clip(((x_p / tan_half * 0.5 + 0.5) * Wg)
+                       .astype(jnp.int32), 0, Wg - 1)
+        py_ = jnp.clip(((y_p / tan_half * 0.5 + 0.5) * Hg)
+                       .astype(jnp.int32), 0, Hg - 1)
+        out = jnp.where((g.ltype == PROJECTION)[..., None],
+                        lt.gonio_map[py_, px_]
+                        * jnp.where(inside, 1.0, 0.0)[..., None], out)
+    return out
