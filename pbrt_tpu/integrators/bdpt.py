@@ -650,6 +650,11 @@ def _li_bdpt_impl(scene, o, d, pid, sidx, sfn, cfg, power_distr,
             w_esc = jnp.where(p_bsdf > 0,
                               p_bsdf / jnp.maximum(p_bsdf + p_nee, 1e-20),
                               1.0)
+            if t == 2:
+                # camera ray escaped DIRECTLY: the prefix endpoint is the
+                # camera, where no env-NEE strategy exists → sole
+                # strategy, weight 1 (was down-weighted by a phantom NEE)
+                w_esc = jnp.ones_like(w_esc)
             L = L + jnp.where(esc[..., None],
                               cam_sp.esc_beta[:, cv] * le
                               * w_esc[..., None], 0.0)

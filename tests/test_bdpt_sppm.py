@@ -243,3 +243,28 @@ class TestGonioProjectionEmission:
         assert ip > 1e-3
         assert abs(ib - ip) / ip < 0.06
         assert abs(isp - ip) / ip < 0.15
+
+
+def test_bdpt_directly_visible_environment():
+    """Camera rays escaping straight to the environment must carry MIS
+    weight 1 (no env-NEE strategy exists at the camera vertex — r4 fix:
+    the phantom NEE pdf down-weighted visible-background pixels)."""
+    from pbrt_tpu.core import transform
+    from pbrt_tpu.core.spectrum import RGB
+    from pbrt_tpu.integrators.render import render
+    from pbrt_tpu.scene import camera as cam_mod
+    from pbrt_tpu.scene.types import SceneBuilder
+    b = SceneBuilder(RGB)
+    m = b.add_material(type=0, kd=0.5)
+    b.add_sphere((0, 0, 3), 0.6, mat=m)
+    b.add_light(type="infinite", L=1.0,
+                env_map=np.ones((1, 1, 3), np.float32))
+    scene = b.build()
+    cam = cam_mod.make_perspective(
+        transform.look_at((0, 0, 0), (0, 0, 3), (0, 1, 0)), 45.0,
+        (12, 12))
+    ip = np.asarray(render(scene, cam, spp=96, integrator="path",
+                           max_depth=3, seed=1)).mean()
+    ib = np.asarray(render(scene, cam, spp=96, integrator="bdpt",
+                           max_depth=3, seed=2)).mean()
+    assert abs(ib - ip) / ip < 0.03
