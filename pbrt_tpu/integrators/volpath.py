@@ -157,7 +157,61 @@ def li_volpath(scene, o, d, pid, sidx, sfn, cfg, power_distr):
                       power_heuristic(1.0, ls["pdf"] * sel_pmf, 1.0, sp))
         ld = f * ls["li"] * tr * (
             w / jnp.maximum(ls["pdf"] * sel_pmf, 1e-20))[..., None]
-        return jnp.where((~blocked & (ls["pdf"] > 0))[..., None], ld, 0.0)
+        ld = jnp.where((~blocked & (ls["pdf"] > 0))[..., None], ld, 0.0)
+
+        # ---- scattering-strategy half of the two-sample MIS
+        # (EstimateDirect's second half with handleMedia,
+        # integrator.cpp:128-186): sample the BSDF (surface) or the
+        # phase function (medium), trace toward it, and count THIS
+        # light's radiance with transmittance and the complementary
+        # power-heuristic weight. r4: this half was missing while the
+        # light half was already MIS-down-weighted — non-delta lights
+        # lost their scatter-sampled share in volumetric scenes.
+        sseed = jnp.uint32(cfg.seed) ^ jnp.uint32(0x777)
+        u_bl = sfn(pid, sidx, dims["mis_lobe"], sseed)
+        u_bu = _sample2(sfn, pid, sidx, dims["mis_u"], sseed)
+        wi_b_loc, f_b, pdf_b, flags_b = mat_mod.bsdf_sample(
+            mp, wo_loc, u_bl, u_bu, h=h_hair, fourier=scene.fourier)
+        wi_b_surf = common.to_world(t1, t2, ns_or_wo, wi_b_loc)
+        g_l2 = media_mod.phase_g_set(media, cur_med)
+        wi_b_med, ph_b = media_mod.sample_hg(wo_world, u_bu, g_l2)
+        wi_b = jnp.where(is_medium[..., None], wi_b_med, wi_b_surf)
+        f_b = jnp.where(is_medium[..., None],
+                        jnp.broadcast_to(ph_b[..., None], f_b.shape), f_b)
+        pdf_b2 = jnp.where(is_medium, ph_b, pdf_b)
+        cos_b = jnp.where(is_medium, 1.0, absdot(wi_b, ns_or_wo))
+        is_spec_b = ~is_medium & ((flags_b & mat_mod.FLAG_SPECULAR) > 0)
+
+        o_b = jnp.where(is_medium[..., None], p,
+                        vecmath.offset_ray_origin(p, ns_or_wo, wi_b))
+        hit_b = isect_mod.intersect(scene, o_b, wi_b,
+                                    jnp.full(p.shape[0], vecmath.INF))
+        hit_b_light = jnp.where(hit_b.valid,
+                                scene.light_at(hit_b.prim_id), -1)
+        gb = lights_mod.gather_lights(scene.lights,
+                                      jnp.maximum(light_idx, 0))
+        li_b = lights_mod.area_light_L(gb.emit, gb.two_sided, hit_b.ng,
+                                       -wi_b)
+        li_b = jnp.where((hit_b_light == light_idx)[..., None], li_b, 0.0)
+        is_inf_b = gb.ltype == lights_mod.INFINITE
+        li_b = jnp.where((is_inf_b & ~hit_b.valid)[..., None],
+                         lights_mod.escaped_radiance(scene, wi_b), li_b)
+        # transmittance along the scatter ray up to (just short of) the
+        # light surface / world edge
+        end_b = jnp.where(hit_b.valid[..., None],
+                          o_b + (hit_b.t * (1.0 - 1e-3))[..., None] * wi_b,
+                          o_b + (2.0 * scene.world_radius()) * wi_b)
+        tr_b, blocked_b = tr_segmented(
+            scene, media, cur_med, o_b, end_b,
+            pid * jnp.uint32(0x85ebca6b) + jnp.uint32(b))
+        light_pdf_b = lights_mod.pdf_li(scene, light_idx, p, wi_b) \
+            * sel_pmf
+        w_b = power_heuristic(1.0, pdf_b2, 1.0, light_pdf_b)
+        ld_b = f_b * li_b * tr_b * (
+            cos_b * w_b / jnp.maximum(pdf_b2, 1e-20))[..., None]
+        good_b = (~ls["is_delta"]) & (pdf_b2 > 0) & ~is_spec_b \
+            & ~blocked_b
+        return ld + jnp.where(good_b[..., None], ld_b, 0.0)
 
     def body(b, state):
         L, beta, active, specular, o_cur, d_cur, cur_med = state
@@ -253,9 +307,15 @@ def li_volpath(scene, o, d, pid, sidx, sfn, cfg, power_distr):
         beta = jnp.where(alive[..., None], beta_new, beta)
         o_cur = jnp.where(alive[..., None], o_next, o_cur)
         d_cur = jnp.where(alive[..., None], wi, d_cur)
-        # null boundaries stay "specular" so the next emission hit counts
-        specular = jnp.where(alive, (is_spec | is_null) & ~in_medium,
-                             specular)
+        # null boundaries PRESERVE the incoming specular state (pbrt:
+        # `if (!isect.bsdf) { ray = SpawnRay; bounces--; continue; }`
+        # touches neither bounces nor specularBounce). r4 fix: forcing
+        # specular=True here made every emitter seen THROUGH a null
+        # boundary count at weight 1 on top of the previous vertex's
+        # MIS-weighted NEE (+16% on the volpath oracle's fog sphere)
+        specular = jnp.where(
+            alive, jnp.where(is_null & ~in_medium, specular,
+                             is_spec & ~in_medium), specular)
         active = alive
         return (L, beta, active, specular, o_cur, d_cur, cur_med)
 

@@ -250,3 +250,27 @@ def test_delta_lights_match_reference_binary():
         bl = _block_rel_l1(img, ref, k=16)
         assert md < tol, f"{integ} mean delta {md:.4f}"
         assert bl < 0.03, f"{integ} block rel-L1 {bl:.4f}"
+
+
+def test_volpath_matches_reference_binary():
+    """Homogeneous fog sphere (null-material MediumInterface) + area
+    light vs the reference binary's volpath at 256 spp
+    (tests/oracle/volpath_oracle.pbrt) — the first MEDIA oracle (media
+    were previously self-tested only). Creating it exposed two real
+    transport bugs (r4): null-boundary crossings overwrote the specular
+    flag (emitters seen through the fog boundary double-counted, +16%)
+    and NEE's scattering-strategy MIS half was missing in volpath while
+    the light half was already down-weighted. Measured md 0.002 @ 48 spp
+    (and 0.001 on vacuum / absorption-only variants of the same scene)."""
+    ref = _load_ref("volpath_ref.pfm")
+    from pbrt_tpu.frontend import load_pbrt
+    from pbrt_tpu.integrators.render import render
+
+    scene, cam, opts = load_pbrt(
+        os.path.join(ORACLE, "volpath_oracle.pbrt"))
+    img = np.asarray(render(scene, cam, spp=48, integrator="volpath",
+                            max_depth=opts["max_depth"], seed=2))
+    md = _mean_delta(img, ref)
+    bl = _block_rel_l1(img, ref, k=16)
+    assert md < 0.02, f"volpath mean delta {md:.4f}"
+    assert bl < 0.06, f"volpath block rel-L1 {bl:.4f}"
