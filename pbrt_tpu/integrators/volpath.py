@@ -132,7 +132,8 @@ def li_volpath(scene, o, d, pid, sidx, sfn, cfg, power_distr):
             vecmath.offset_ray_origin(p, ns_or_wo, ls["wi"]))
         tr, blocked = tr_segmented(
             scene, media, cur_med, p_from, ls["p_light"],
-            pid * jnp.uint32(2654435761) + jnp.uint32(b))
+            pid * jnp.uint32(2654435761)
+            ^ sidx * jnp.uint32(0xb5297a4d) + jnp.uint32(b))
         # scattering term
         t1, t2 = common.shading_frame(hit, mp)
         t1 = jnp.where(is_medium[..., None],
@@ -203,7 +204,8 @@ def li_volpath(scene, o, d, pid, sidx, sfn, cfg, power_distr):
                           o_b + (2.0 * scene.world_radius()) * wi_b)
         tr_b, blocked_b = tr_segmented(
             scene, media, cur_med, o_b, end_b,
-            pid * jnp.uint32(0x85ebca6b) + jnp.uint32(b))
+            pid * jnp.uint32(0x85ebca6b)
+            ^ sidx * jnp.uint32(0x68e31da4) + jnp.uint32(b))
         light_pdf_b = lights_mod.pdf_li(scene, light_idx, p, wi_b) \
             * sel_pmf
         w_b = power_heuristic(1.0, pdf_b2, 1.0, light_pdf_b)
@@ -223,7 +225,12 @@ def li_volpath(scene, o, d, pid, sidx, sfn, cfg, power_distr):
         # ---- medium event sampling in the lane's current medium
         # (volpath.cpp:55-66)
         u_med = sfn(pid, sidx, dims["mis_lobe"], cfg.seed)
-        seed = pid * jnp.uint32(0x9e3779b9) + jnp.uint32(b)
+        # r4: the tracking seeds must mix the SAMPLE index too — with
+        # (pixel, bounce) only, every spp sample reused ONE delta-tracking
+        # realization per pixel (no averaging over medium randomness;
+        # surfaced as block-scale noise on the grid-medium oracle)
+        seed = pid * jnp.uint32(0x9e3779b9) \
+            ^ sidx * jnp.uint32(0x1b873593) + jnp.uint32(b)
         t_m, in_medium, w_med, w_surf = media_mod.sample_distance_set(
             media, cur_med, o_cur, d_cur, t_max, u_med, seed)
         beta = jnp.where(active[..., None],

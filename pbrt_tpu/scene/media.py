@@ -77,10 +77,18 @@ def density_at(med: Medium, p: Array) -> Array:
     f = g - gi
 
     def tap(dx, dy, dz):
-        x = jnp.clip(gi[..., 0] + dx, 0, W - 1)
-        y = jnp.clip(gi[..., 1] + dy, 0, H - 1)
-        z = jnp.clip(gi[..., 2] + dz, 0, D - 1)
-        return med.density[z, y, x]
+        # pbrt's D() returns 0 OUTSIDE the sample lattice (grid.h:61-69
+        # InsideExclusive) — clamping instead extends edge density half a
+        # cell beyond the samples and measurably over-brightens a lit
+        # grid's boundary shell (r4 grid-medium oracle, +8% in-fog)
+        x = gi[..., 0] + dx
+        y = gi[..., 1] + dy
+        z = gi[..., 2] + dz
+        ok = ((x >= 0) & (x < W) & (y >= 0) & (y < H)
+              & (z >= 0) & (z < D))
+        val = med.density[jnp.clip(z, 0, D - 1), jnp.clip(y, 0, H - 1),
+                          jnp.clip(x, 0, W - 1)]
+        return jnp.where(ok, val, 0.0)
 
     d00 = tap(0, 0, 0) * (1 - f[..., 0]) + tap(1, 0, 0) * f[..., 0]
     d10 = tap(0, 1, 0) * (1 - f[..., 0]) + tap(1, 1, 0) * f[..., 0]

@@ -274,3 +274,29 @@ def test_volpath_matches_reference_binary():
     bl = _block_rel_l1(img, ref, k=16)
     assert md < 0.02, f"volpath mean delta {md:.4f}"
     assert bl < 0.06, f"volpath block rel-L1 {bl:.4f}"
+
+
+def test_grid_medium_matches_reference_binary():
+    """Heterogeneous (GridDensityMedium) cloud vs the reference binary's
+    volpath at 256 spp (tests/oracle/gridvol_oracle.pbrt). The density
+    field itself is validated BIT-level against a probe compiled from
+    grid.h (max diff 4e-3 = text-dump rounding; r4 session). Transport:
+    mean delta 0.024 @ 48 spp with an ~+8% in-fog residual (open item,
+    NOTES_ROUND4) — tolerance set accordingly. Note pbrt REQUIRES
+    spectrally uniform sigma for grid media (grid.h:71 errors out) —
+    the scene honors that. Two real bugs found while building this
+    oracle: tracking seeds ignored the sample index (one delta-tracking
+    realization per pixel across all spp) and density taps clamped at
+    the lattice edge where pbrt zero-pads."""
+    ref = _load_ref("gridvol_ref.pfm")
+    from pbrt_tpu.frontend import load_pbrt
+    from pbrt_tpu.integrators.render import render
+
+    scene, cam, opts = load_pbrt(
+        os.path.join(ORACLE, "gridvol_oracle.pbrt"))
+    img = np.asarray(render(scene, cam, spp=48, integrator="volpath",
+                            max_depth=opts["max_depth"], seed=2))
+    md = _mean_delta(img, ref)
+    bl = _block_rel_l1(img, ref, k=16)
+    assert md < 0.05, f"grid volpath mean delta {md:.4f}"
+    assert bl < 0.08, f"grid volpath block rel-L1 {bl:.4f}"
