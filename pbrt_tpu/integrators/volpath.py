@@ -185,8 +185,49 @@ def li_volpath(scene, o, d, pid, sidx, sfn, cfg, power_distr):
 
         o_b = jnp.where(is_medium[..., None], p,
                         vecmath.offset_ray_origin(p, ns_or_wo, wi_b))
-        hit_b = isect_mod.intersect(scene, o_b, wi_b,
-                                    jnp.full(p.shape[0], vecmath.INF))
+        # IntersectTr semantics (scene.cpp:59-83, used by EstimateDirect's
+        # handleMedia BSDF half): walk THROUGH null-material boundaries,
+        # accumulating each segment's Tr and switching media, until a
+        # REAL surface or escape — a plain closest-hit would stop at the
+        # fog boundary and never find the light behind it
+        seed_b = pid * jnp.uint32(0x85ebca6b) \
+            ^ sidx * jnp.uint32(0x68e31da4) + jnp.uint32(b)
+        R_ = p.shape[0]
+        o_walk = o_b
+        med_walk = cur_med
+        tr_b = jnp.ones((R_, C))
+        found = jnp.zeros(R_, bool)
+        hit_b = isect_mod.intersect(scene, o_walk, wi_b,
+                                    jnp.full(R_, vecmath.INF))
+        for k in range(_TR_SEGMENTS):
+            seg_end = jnp.where(
+                hit_b.valid[..., None], hit_b.p,
+                o_walk + (2.0 * scene.world_radius()) * wi_b)
+            tr_k = media_mod.transmittance_set(
+                media, med_walk, o_walk, seg_end,
+                seed_b + jnp.uint32(k * 104729))
+            tr_b = jnp.where(found[..., None], tr_b, tr_b * tr_k)
+            g_k = mat_mod.gather_materials(
+                scene.materials, scene.mat_at(hit_b.prim_id))
+            is_null_k = hit_b.valid & (g_k.mtype == mat_mod.NONE)
+            found = found | ~is_null_k        # real hit or escape
+            if k == _TR_SEGMENTS - 1:
+                break
+            entering_k = vecmath.dot(wi_b, hit_b.ng) < 0
+            med_nk = _crossing_medium(scene, hit_b.prim_id, entering_k)
+            med_walk = jnp.where(~found & is_null_k, med_nk, med_walk)
+            o_nk = vecmath.offset_ray_origin(hit_b.p, hit_b.ng, wi_b)
+            o_walk = jnp.where((~found)[..., None], o_nk, o_walk)
+            hit_nk = isect_mod.intersect(scene, o_walk, wi_b,
+                                         jnp.full(R_, vecmath.INF))
+            import dataclasses as _dc
+            hit_b = _dc.replace(
+                hit_nk, **{f: jnp.where(
+                    found if getattr(hit_b, f).ndim == 1
+                    else found[..., None], getattr(hit_b, f),
+                    getattr(hit_nk, f))
+                    for f in ("valid", "t", "p", "ng", "ns", "prim_id")})
+        blocked_b = jnp.zeros(R_, bool)
         hit_b_light = jnp.where(hit_b.valid,
                                 scene.light_at(hit_b.prim_id), -1)
         gb = lights_mod.gather_lights(scene.lights,
@@ -197,15 +238,6 @@ def li_volpath(scene, o, d, pid, sidx, sfn, cfg, power_distr):
         is_inf_b = gb.ltype == lights_mod.INFINITE
         li_b = jnp.where((is_inf_b & ~hit_b.valid)[..., None],
                          lights_mod.escaped_radiance(scene, wi_b), li_b)
-        # transmittance along the scatter ray up to (just short of) the
-        # light surface / world edge
-        end_b = jnp.where(hit_b.valid[..., None],
-                          o_b + (hit_b.t * (1.0 - 1e-3))[..., None] * wi_b,
-                          o_b + (2.0 * scene.world_radius()) * wi_b)
-        tr_b, blocked_b = tr_segmented(
-            scene, media, cur_med, o_b, end_b,
-            pid * jnp.uint32(0x85ebca6b)
-            ^ sidx * jnp.uint32(0x68e31da4) + jnp.uint32(b))
         light_pdf_b = lights_mod.pdf_li(scene, light_idx, p, wi_b) \
             * sel_pmf
         w_b = power_heuristic(1.0, pdf_b2, 1.0, light_pdf_b)
