@@ -118,15 +118,23 @@ def li_ao(scene, o, d, pid, sidx, sfn, cfg: RenderConfig, power_distr,
     u = _sample2(sfn, pid, sidx, dims["light_u"], cfg.seed)
     from pbrt_tpu.core.sampling import (cosine_sample_hemisphere,
                                         uniform_sample_hemisphere, INV_PI)
-    t1, t2 = common.make_frame(hit.ns)
+    # frame on the geometry FACING THE RAY (ao.cpp:77 Faceforward(n,
+    # -ray.d)) — without it, back-facing windings send the AO hemisphere
+    # through the surface (r4: the floor rendered unoccluded)
+    n_ao = vecmath.face_forward(hit.ns, -d)
+    t1, t2 = common.make_frame(n_ao)
+    # pbrt's estimator is Dot(wi,n)/pdf with NO albedo normalization
+    # (ao.cpp:97-98): cosine sampling contributes π per unoccluded ray,
+    # uniform contributes 2π·cosθ (r4 fix — we previously divided by π,
+    # rendering 1/π of the reference's AO values)
     if cfg.ao_cos_sample:
         w_loc = cosine_sample_hemisphere(u)
-        ratio = jnp.ones(R)  # cos/pi / (cos/pi)
+        ratio = jnp.full(R, jnp.pi)
     else:
         w_loc = uniform_sample_hemisphere(u)
-        ratio = 2.0 * w_loc[..., 2]  # cos/(pi) / (1/2pi)
-    w = common.to_world(t1, t2, hit.ns, w_loc)
-    o2 = vecmath.offset_ray_origin(hit.p, hit.ns, w)
+        ratio = 2.0 * jnp.pi * w_loc[..., 2]
+    w = common.to_world(t1, t2, n_ao, w_loc)
+    o2 = vecmath.offset_ray_origin(hit.p, n_ao, w)
     occ = isect_mod.intersect_p(scene, o2, w,
                                 jnp.full(R, cfg.ao_radius), time=time)
     vis = jnp.where(hit.valid, (~occ).astype(jnp.float32) * ratio, 0.0)
