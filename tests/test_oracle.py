@@ -352,3 +352,41 @@ def test_mitchell_filter_matches_reference_binary():
     bl = _block_rel_l1(img, ref, k=16)
     assert md < 0.025, f"mitchell mean delta {md:.4f}"
     assert bl < 0.04, f"mitchell block rel-L1 {bl:.4f}"
+
+
+def test_texture_and_instancing_match_reference_binary():
+    """Imagemap-textured floor (uv orientation + PNG decode + uscale)
+    and two ObjectInstance copies of a mesh under
+    translate/rotate/scale, vs the reference binary — md 0.0003 @ 64
+    spp (r4; previously only self-tested)."""
+    ref = _load_ref("texinst_ref.pfm")
+    from pbrt_tpu.frontend import load_pbrt
+    from pbrt_tpu.integrators.render import render
+
+    scene, cam, opts = load_pbrt(
+        os.path.join(ORACLE, "texinst_oracle.pbrt"))
+    img = np.asarray(render(scene, cam, spp=64, integrator="path",
+                            max_depth=opts["max_depth"], seed=2))
+    md = _mean_delta(img, ref)
+    bl = _block_rel_l1(img, ref, k=16)
+    assert md < 0.01, f"texinst mean delta {md:.4f}"
+    assert bl < 0.03, f"texinst block rel-L1 {bl:.4f}"
+
+
+def test_dof_and_motion_blur_match_reference_binary():
+    """Thin-lens depth of field (lensradius/focaldistance) + a
+    shutter-interpolated AnimatedTransform box (ActiveTransform
+    Start/EndTime), vs the reference binary — md 0.0005 @ 64 spp
+    (pins the lens sampling and transform-interp conventions)."""
+    ref = _load_ref("dofmotion_ref.pfm")
+    from pbrt_tpu.frontend import load_pbrt
+    from pbrt_tpu.integrators.render import render
+
+    scene, cam, opts = load_pbrt(
+        os.path.join(ORACLE, "dofmotion_oracle.pbrt"))
+    img = np.asarray(render(scene, cam, spp=64, integrator="path",
+                            max_depth=opts["max_depth"], seed=2))
+    md = _mean_delta(img, ref)
+    bl = _block_rel_l1(img, ref, k=16)
+    assert md < 0.01, f"dof+motion mean delta {md:.4f}"
+    assert bl < 0.03, f"dof+motion block rel-L1 {bl:.4f}"
