@@ -413,3 +413,21 @@ def test_curves_match_reference_binary():
     bl = _block_rel_l1(img, ref, k=16)
     assert md < 0.08, f"curves mean delta {md:.4f}"
     assert bl < 0.08, f"curves block rel-L1 {bl:.4f}"
+
+
+def test_environment_camera_matches_reference_binary():
+    """Environment (lat-long panorama) camera vs the reference binary —
+    the last un-oracled camera model; pins the spherical ray mapping and
+    orientation (quadrant means match; md 0.0016 @ 32 spp)."""
+    ref = _load_ref("envcam_ref.pfm")
+    from pbrt_tpu.frontend import load_pbrt
+    from pbrt_tpu.integrators.render import render
+
+    scene, cam, opts = load_pbrt(
+        os.path.join(ORACLE, "envcam_oracle.pbrt"))
+    img = np.asarray(render(scene, cam, spp=32, integrator="path",
+                            max_depth=opts["max_depth"], seed=2))
+    md = _mean_delta(img, ref)
+    bl = _block_rel_l1(img, ref, k=16)
+    assert md < 0.02, f"envcam mean delta {md:.4f}"
+    assert bl < 0.04, f"envcam block rel-L1 {bl:.4f}"
