@@ -773,6 +773,12 @@ class PbrtParser:
             # "mfp" is a SPECTRUM texture param (kdsubsurface.cpp:104-105)
             # — pbrt silently ignores a "float mfp"; accept both here but
             # warn on the float form since the reference drops it
+            if "mfp" in p and p["mfp"][0] == "float":
+                import sys as _sys
+                print("pbrt_tpu: warning: \"float mfp\" is honored "
+                      "here, but pbrt IGNORES it (mfp is a spectrum "
+                      "texture param) — use \"rgb mfp\" for parity",
+                      file=_sys.stderr)
             mfp = np.asarray(p.spectrum_rgb("mfp", p.one("mfp", 1.0))) \
                 * p.one("scale", 1.0)
             g_p = p.one("g", 0.0)
