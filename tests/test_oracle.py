@@ -431,3 +431,24 @@ def test_environment_camera_matches_reference_binary():
     bl = _block_rel_l1(img, ref, k=16)
     assert md < 0.02, f"envcam mean delta {md:.4f}"
     assert bl < 0.04, f"envcam block rel-L1 {bl:.4f}"
+
+
+def test_hero_path_nonmis_matches_reference_binary():
+    """The fork's plain hero_path (no MIS — integrators/hero.cpp) on the
+    cornell_dielectric spectral oracle: same expectation as hero_path_mis
+    at higher variance. md 0.006 @ 48 spp (r4 — previously only the MIS
+    variant was oracled)."""
+    ref = _load_ref("cornell_dielectric_ref.pfm")
+    from pbrt_tpu.core import spectrum as spec_mod
+    from pbrt_tpu.core.spectrum import spectrum_to_rgb
+    from pbrt_tpu.frontend import load_pbrt
+    from pbrt_tpu.integrators.render import render
+
+    scene, cam, opts = load_pbrt(
+        os.path.join(ORACLE, "cornell_dielectric_oracle.pbrt"),
+        spectrum_cfg=spec_mod.SAMPLED)
+    img = np.asarray(spectrum_to_rgb(np.asarray(render(
+        scene, cam, spp=48, integrator="hero_path", sampler="halton",
+        max_depth=min(opts["max_depth"], 8)))))
+    md = _mean_delta(img, ref)
+    assert md < 0.05, f"hero_path mean delta {md:.4f}"
