@@ -43,6 +43,8 @@ def load() -> "ctypes.CDLL | None":
         try:
             lib = ctypes.CDLL(_LIB_PATH)
             lib.bvh_build_sah.restype = ctypes.c_int
+            if hasattr(lib, "bvh_build_sbvh"):
+                lib.bvh_build_sbvh.restype = ctypes.c_int
             _lib = lib
         except OSError:
             _lib = None

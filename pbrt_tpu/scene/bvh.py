@@ -99,7 +99,10 @@ def build_bvh(builder, scene, split_method: str = "sah") -> FlatBVH:
         hi_p = np.maximum(hi_p, np.maximum(np.maximum(e0, e1), e2))
     cent = 0.5 * (lo_p + hi_p)
 
-    native = _build_native(lo_p, hi_p) if split_method == "sah" else None
+    native = _build_native(lo_p, hi_p, v0, v1, v2,
+                           allow_sbvh=(split_method == "sah"
+                                       and not scene.has_motion)) \
+        if split_method == "sah" else None
     if native is not None:
         lo_a, hi_a, right_a, count_a, axis_a, order = native
         return _finish_flat(lo_a, hi_a, right_a, count_a, axis_a, order,
@@ -251,9 +254,19 @@ def _finish_flat(lo_a, hi_a, right_a, count_a, axis_a, order, v0, v1, v2,
         pk_tri=jnp.asarray(pk_tri))
 
 
-def _build_native(lo_p: np.ndarray, hi_p: np.ndarray):
-    """Call the C++ SAH builder; None if the native lib is unavailable."""
+def _build_native(lo_p: np.ndarray, hi_p: np.ndarray, v0=None, v1=None,
+                  v2=None, allow_sbvh=True):
+    """Call the C++ builder; None if the native lib is unavailable.
+
+    Prefers the SBVH build (spatial splits with clipped-reference
+    duplication — Stich et al. 2009; cuts packet-traversal node entries
+    on overlap-heavy meshes) when triangle vertices are supplied; the
+    emitted prim order may contain DUPLICATE references, which every
+    downstream consumer indexes through (leaf tables are built from
+    v0[order]). PBRT_TPU_NO_SBVH=1 or motion blur (refit semantics need
+    1:1 refs) falls back to plain binned SAH."""
     import ctypes
+    import os
 
     from pbrt_tpu import native
 
@@ -261,6 +274,38 @@ def _build_native(lo_p: np.ndarray, hi_p: np.ndarray):
     if lib is None:
         return None
     n = lo_p.shape[0]
+    fp = ctypes.POINTER(ctypes.c_float)
+    ip = ctypes.POINTER(ctypes.c_int)
+
+    use_sbvh = (allow_sbvh and v0 is not None
+                and hasattr(lib, "bvh_build_sbvh")
+                and not os.environ.get("PBRT_TPU_NO_SBVH"))
+    if use_sbvh:
+        order_cap = 2 * max(n, 1)
+        cap = 2 * order_cap
+        v0c = np.ascontiguousarray(v0, np.float32)
+        v1c = np.ascontiguousarray(v1, np.float32)
+        v2c = np.ascontiguousarray(v2, np.float32)
+        node_lo = np.empty((cap, 3), np.float32)
+        node_hi = np.empty((cap, 3), np.float32)
+        right = np.empty(cap, np.int32)
+        count = np.empty(cap, np.int32)
+        axis = np.empty(cap, np.int32)
+        order = np.empty(order_cap, np.int32)
+        n_refs = ctypes.c_int(0)
+        nn = lib.bvh_build_sbvh(
+            v0c.ctypes.data_as(fp), v1c.ctypes.data_as(fp),
+            v2c.ctypes.data_as(fp), ctypes.c_int(n),
+            ctypes.c_int(LEAF_MAX),
+            node_lo.ctypes.data_as(fp), node_hi.ctypes.data_as(fp),
+            right.ctypes.data_as(ip), count.ctypes.data_as(ip),
+            axis.ctypes.data_as(ip), order.ctypes.data_as(ip),
+            ctypes.c_int(order_cap), ctypes.byref(n_refs))
+        if nn > 0:
+            return (node_lo[:nn], node_hi[:nn], right[:nn], count[:nn],
+                    axis[:nn], order[:n_refs.value])
+        # capacity exceeded (pathological duplication) → SAH fallback
+
     cap = 2 * max(n, 1)
     lo_c = np.ascontiguousarray(lo_p, np.float32)
     hi_c = np.ascontiguousarray(hi_p, np.float32)
@@ -270,8 +315,6 @@ def _build_native(lo_p: np.ndarray, hi_p: np.ndarray):
     count = np.empty(cap, np.int32)
     axis = np.empty(cap, np.int32)
     order = np.empty(n, np.int32)
-    fp = ctypes.POINTER(ctypes.c_float)
-    ip = ctypes.POINTER(ctypes.c_int)
     nn = lib.bvh_build_sah(
         lo_c.ctypes.data_as(fp), hi_c.ctypes.data_as(fp),
         ctypes.c_int(n), ctypes.c_int(LEAF_MAX),

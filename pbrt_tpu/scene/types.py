@@ -121,6 +121,11 @@ class Scene:
     # Deliberately outside MaterialTable so gather_materials never
     # gathers (R,C,64) profile blocks
     sss: Optional[Any] = None
+    # fused-path kernel profile (ops/fused_path.py): static
+    # (axis, plane_facing, portal_facing, n_materials) when the scene is
+    # in the all-matte single-portal-light class; None otherwise
+    fused_profile: Optional[tuple] = dataclasses.field(
+        metadata=dict(static=True), default=None)
 
     @property
     def n_base_prims(self) -> int:
@@ -552,4 +557,56 @@ class SceneBuilder:
             scene = dataclasses.replace(
                 scene, bvh=bvh_mod.build_bvh(self, scene,
                                              split_method=self.bvh_split))
+        prof = self._fused_profile(scene)
+        if prof is not None:
+            scene = dataclasses.replace(scene, fused_profile=prof)
         return scene
+
+    def _fused_profile(self, scene):
+        """Static profile for the fused path-bounce kernel
+        (ops/fused_path.py): all-matte triangles + ONE aaplane that is
+        the scene's single one-sided projection-strategy portal area
+        light (one portal, parallel to the light plane). Returns
+        (axis, plane_facing, portal_facing, n_materials) or None."""
+        if (scene.bvh is not None or scene.n_sph or scene.n_dsk
+                or scene.n_crv or scene.n_vprims or scene.inst is not None):
+            return None
+        if scene.n_pln != 1 or scene.n_tri < 1 or scene.n_tri > 255:
+            return None
+        if (scene.has_motion or scene.has_sss or scene.media
+                or scene.textures is not None or scene.fourier
+                or scene.camera_med != -1):
+            return None
+        if scene.n_channels != 3 or len(self.materials) > 8:
+            return None
+        for m in self.materials:
+            if set(m) - {"type", "kd", "sigma"}:
+                return None
+            if int(m.get("type", 0)) != 0:
+                return None
+            if float(np.max(np.asarray(m.get("sigma", 0.0)))) != 0.0:
+                return None
+        if len(self.light_rows) != 1:
+            return None
+        lr = self.light_rows[0]
+        if lr.get("type") != "area" or lr.get("two_sided", False):
+            return None
+        if lr.get("strategy") != "projection":
+            return None
+        portals = lr.get("portals") or ()
+        if len(portals) != 1:
+            return None
+        pax = int(portals[0][2])
+        pfac = bool(portals[0][3])
+        pl = self.planes[0]
+        if int(pl["ax"]) != pax:       # SampleProj assumes parallel rects
+            return None
+        if int(pl.get("med_in", -1)) != -1 or int(pl.get("med_out", -1)) \
+                != -1:
+            return None
+        if any(t["light"] != -1 or t.get("med_in", -1) != -1
+               or t.get("med_out", -1) != -1 for t in self.tris):
+            return None
+        if int(np.asarray(scene.lights.prim_id)[0]) != scene.n_tri:
+            return None
+        return (pax, bool(pl["facing"]), pfac, len(self.materials))
