@@ -367,18 +367,67 @@ def render_pass(scene, cam, filt, cfg: RenderConfig, width: int, height: int,
     return img
 
 
+def _iparam(ip, name, default):
+    """Read one integrator parameter from either a frontend Params bag
+    (has .one) or a plain dict (programmatic callers)."""
+    if ip is None:
+        return default
+    if hasattr(ip, "one"):
+        return ip.one(name, default)
+    return ip.get(name, default)
+
+
 def render(scene, cam, spp: int = 16, integrator: str = "path",
            sampler: str = "independent", filter_name: str = "box",
            filter_kwargs: dict = None, max_depth: int = 5, seed: int = 0,
            chunk_spp: int = None, light_strategy: str = "uniform",
-           rr_threshold: float = 1.0, crop_window=None) -> jnp.ndarray:
+           rr_threshold: float = 1.0, crop_window=None,
+           integrator_params=None) -> jnp.ndarray:
     """Full render → (H, W, C) radiance image. Host loop over spp chunks.
 
     ``crop_window`` = (x0, x1, y0, y1) NDC fractions (Options::cropWindow /
     Film "float cropwindow", core/film.cpp:58-66); the returned image is the
-    cropped region only."""
+    cropped region only.
+
+    Like the reference's MakeIntegrator switch (core/api.cpp:1789-1812),
+    every scene-file integrator keyword dispatches from here — the
+    non-tile-based algorithms (bdpt with its t=1 light-tracing splats, mlt,
+    sppm — bdpt.cpp:302 / mlt.cpp:165 / sppm.cpp:63 override Render
+    entirely) route to their dedicated drivers, parameterized by
+    ``integrator_params`` (the scene file's Integrator ParamSet)."""
     res = np.asarray(cam.resolution)
     width, height = int(res[0]), int(res[1])
+    ip = integrator_params
+    if integrator == "bdpt":
+        from pbrt_tpu.integrators.bdpt import render_bdpt
+        return render_bdpt(scene, cam, spp=spp, max_depth=max_depth,
+                           seed=seed)
+    if integrator == "mlt":
+        from pbrt_tpu.integrators.mlt import render_mlt
+        # pbrt ignores the sampler's pixelsamples for MLT
+        # (mlt.cpp:270-276: everything comes from the integrator ParamSet)
+        return render_mlt(
+            scene, cam,
+            mutations_per_pixel=int(_iparam(ip, "mutationsperpixel", spp)),
+            n_chains=int(_iparam(ip, "chains", 4096)),
+            n_bootstrap=int(_iparam(ip, "bootstrapsamples", 16384)),
+            max_depth=max_depth, seed=seed)
+    if integrator == "sppm":
+        from pbrt_tpu.integrators.sppm import render_sppm
+        ppi = int(_iparam(ip, "photonsperiteration", -1))
+        if ppi <= 0:
+            ppi = width * height   # pbrt: -1 → film pixel count (sppm.cpp)
+        # pbrt's default initial search radius is 1.0 world units
+        # (sppm.cpp:514); callers not going through a scene file can ask
+        # for the resolution-adaptive heuristic via render_sppm directly
+        radius = float(_iparam(ip, "radius", 1.0))
+        return render_sppm(
+            scene, cam,
+            n_iterations=int(_iparam(ip, "iterations",
+                                     _iparam(ip, "numiterations", 64))),
+            photons_per_iter=ppi,
+            initial_radius=radius,
+            max_depth=max_depth, seed=seed)
     crop = None
     if crop_window is not None:
         x0, x1, y0, y1 = [float(v) for v in crop_window]

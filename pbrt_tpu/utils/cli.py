@@ -86,7 +86,8 @@ def main(argv=None):
         img = render(scene, cam, spp=spp, integrator=integrator,
                      sampler=opts["sampler"], max_depth=opts["max_depth"],
                      filter_name=filt_name, filter_kwargs=filt_kwargs,
-                     crop_window=crop)
+                     crop_window=crop,
+                     integrator_params=opts.get("integrator_params"))
         img = np.asarray(img)
     if img.shape[-1] != 3:
         img = np.asarray(spec_mod.spectrum_to_rgb(img))
