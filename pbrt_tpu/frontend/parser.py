@@ -798,9 +798,24 @@ class PbrtParser:
                              ("sheentint", "sheen_tint"),
                              ("clearcoat", "clearcoat"),
                              ("clearcoatgloss", "clearcoat_gloss"),
-                             ("eta", "eta")):
+                             ("eta", "eta"),
+                             ("anisotropic", "anisotropic"),
+                             ("spectrans", "spec_trans"),
+                             ("difftrans", "diff_trans"),
+                             ("flatness", "flatness")):
                 if p.one(pn) is not None:
                     kw[slot] = p.one(pn)
+            if p.one("thin"):
+                kw["thin"] = 1.0
+            sd = p.spectrum_rgb("scatterdistance")
+            if sd is not None and float(np.max(np.asarray(sd))) > 0:
+                import sys as _sys
+                # disney.cpp:519-527 swaps the diffuse lobe for a
+                # DisneyBSSRDF when scatterdistance is non-black;
+                # unimplemented here (documented delta, PARITY.md)
+                print("pbrt_tpu: warning: disney 'scatterdistance' "
+                      "(DisneyBSSRDF) is not implemented; rendering with "
+                      "the diffuse lobe instead", file=_sys.stderr)
         if name == "hair":
             # materials/hair.cpp CreateHairMaterial: absorption from
             # sigma_a | color | eumelanin/pheomelanin, in that priority

@@ -83,6 +83,12 @@ class MaterialTable:
     sheen_tint: Array      # (M,)
     clearcoat: Array       # (M,)
     clearcoat_gloss: Array  # (M,)
+    # disney transmission / thin-surface family (disney.cpp:488-616)
+    anisotropic: Array     # (M,) 0..1, aspect = sqrt(1 - 0.9·aniso)
+    spec_trans: Array      # (M,) specular transmission weight
+    diff_trans: Array      # (M,) raw difftrans (halved at eval, :490-491)
+    flatness: Array        # (M,) thin-surface fake-subsurface blend
+    thin: Array            # (M,) 0/1 thin-surface flag
     # hair fiber parameters (materials/hair.cpp; absorption rides in
     # sss_sigma_a)
     beta_m: Array          # (M,) longitudinal roughness
@@ -103,6 +109,10 @@ class MaterialTable:
     # static: any Beckmann-NDF row? (guards tracing the Beckmann math)
     has_beckmann: bool = dataclasses.field(metadata=dict(static=True),
                                            default=False)
+    # static: any Disney row with spectrans>0 or thin? (guards tracing the
+    # Disney transmission lobes — disney.cpp:566-589 only builds them then)
+    has_disney_trans: bool = dataclasses.field(metadata=dict(static=True),
+                                               default=False)
     # sorted tuple of material types present in the table. pbrt's virtual
     # dispatch only executes the BxDF subclasses a scene instantiates; the
     # branchless equivalent is to only *trace* the present families —
@@ -146,6 +156,11 @@ def make_material_table(rows: list[dict], n_channels: int) -> MaterialTable:
         sheen_tint=jnp.asarray(f("sheen_tint", 0.5)),
         clearcoat=jnp.asarray(f("clearcoat", 0.0)),
         clearcoat_gloss=jnp.asarray(f("clearcoat_gloss", 1.0)),
+        anisotropic=jnp.asarray(f("anisotropic", 0.0)),
+        spec_trans=jnp.asarray(f("spec_trans", 0.0)),
+        diff_trans=jnp.asarray(f("diff_trans", 1.0)),
+        flatness=jnp.asarray(f("flatness", 0.0)),
+        thin=jnp.asarray(f("thin", 0.0)),
         beta_m=jnp.asarray(f("beta_m", 0.3)),
         beta_n=jnp.asarray(f("beta_n", 0.3)),
         hair_alpha=jnp.asarray(f("hair_alpha", 2.0)),
@@ -155,6 +170,10 @@ def make_material_table(rows: list[dict], n_channels: int) -> MaterialTable:
         bump_tex=jnp.asarray(i32("bump_tex", -1)),
         has_hair=any(r.get("type") == HAIR for r in rows),
         has_beckmann=any(r.get("ndf") == NDF_BECKMANN for r in rows),
+        has_disney_trans=any(
+            r.get("type") == DISNEY
+            and (r.get("spec_trans", 0.0) > 0 or r.get("thin", 0.0))
+            for r in rows),
         has_fourier=any(r.get("type") == FOURIER for r in rows),
         present=_close_present({int(r.get("type", MATTE)) for r in rows}
                                or {MATTE}),
@@ -315,6 +334,74 @@ def tr_sample_wh(wo: Array, u: Array, alpha: Array) -> Array:
 def tr_pdf_wh(wo: Array, wh: Array, alpha: Array) -> Array:
     """VNDF pdf: D(wh) G1(wo) |wo·wh| / |cos wo| (microfacet.h:157)."""
     return (tr_d(wh, alpha) * tr_g1(wo, alpha)
+            * jnp.abs(vecmath.dot(wo, wh))
+            / jnp.maximum(abs_cos_theta(wo), 1e-6))
+
+
+# --- anisotropic TR (TrowbridgeReitzDistribution with alphax != alphay,
+# microfacet.cpp:115-133; needed by the Disney BSDF's "anisotropic"
+# parameter, materials/disney.cpp:541-545)
+
+def tr_d_aniso(wh: Array, ax: Array, ay: Array) -> Array:
+    """Anisotropic TR NDF, the ((x/ax)²+(y/ay)²+z²)⁻² form of
+    TrowbridgeReitzDistribution::D (microfacet.cpp:115)."""
+    e = (wh[..., 0] / ax) ** 2 + (wh[..., 1] / ay) ** 2 + wh[..., 2] ** 2
+    denom = jnp.pi * ax * ay * e * e
+    return jnp.where(wh[..., 2] > 0, 1.0 / jnp.maximum(denom, 1e-12), 0.0)
+
+
+def tr_lambda_aniso(w: Array, ax: Array, ay: Array) -> Array:
+    """TrowbridgeReitzDistribution::Lambda (microfacet.cpp:123-133) with
+    the direction-dependent interpolated alpha."""
+    c = jnp.clip(jnp.abs(w[..., 2]), 1e-6, 1.0)
+    s2 = jnp.maximum(0.0, 1.0 - c * c)
+    # alpha²(φ) = cos²φ·ax² + sin²φ·ay², with cos²φ = x²/sin²θ
+    x2 = w[..., 0] ** 2
+    y2 = w[..., 1] ** 2
+    a2 = jnp.where(s2 > 1e-12,
+                   (x2 * ax * ax + y2 * ay * ay)
+                   / jnp.maximum(x2 + y2, 1e-12),
+                   ax * ax)
+    tan2 = s2 / (c * c)
+    return 0.5 * (-1.0 + jnp.sqrt(1.0 + a2 * tan2))
+
+
+def tr_g1_aniso(w: Array, ax: Array, ay: Array) -> Array:
+    return 1.0 / (1.0 + tr_lambda_aniso(w, ax, ay))
+
+
+def tr_sample_wh_aniso(wo: Array, u: Array, ax: Array, ay: Array) -> Array:
+    """Anisotropic visible-normal sampling (Heitz 2018, the
+    sampleVisibleArea path of TrowbridgeReitz::Sample_wh)."""
+    sign = jnp.sign(wo[..., 2:3] + 1e-20)
+    v = sign * wo
+    vh = vecmath.normalize(
+        jnp.stack([ax * v[..., 0], ay * v[..., 1], v[..., 2]], axis=-1))
+    lensq = vh[..., 0] ** 2 + vh[..., 1] ** 2
+    t1 = jnp.where(
+        (lensq > 1e-9)[..., None],
+        jnp.stack([-vh[..., 1], vh[..., 0], jnp.zeros_like(lensq)], axis=-1)
+        / jnp.sqrt(jnp.maximum(lensq, 1e-12))[..., None],
+        jnp.broadcast_to(jnp.array([1.0, 0.0, 0.0]), vh.shape))
+    t2 = jnp.cross(vh, t1)
+    d = concentric_sample_disk(u)
+    p1 = d[..., 0]
+    p2_ = d[..., 1]
+    s = 0.5 * (1.0 + vh[..., 2])
+    p2 = (1.0 - s) * jnp.sqrt(jnp.maximum(0.0, 1.0 - p1 * p1)) + s * p2_
+    nh = (p1[..., None] * t1 + p2[..., None] * t2
+          + jnp.sqrt(jnp.maximum(0.0, 1.0 - p1 * p1 - p2 * p2))[..., None]
+          * vh)
+    wh = vecmath.normalize(
+        jnp.stack([ax * nh[..., 0], ay * nh[..., 1],
+                   jnp.maximum(1e-6, nh[..., 2])], axis=-1))
+    return sign * wh
+
+
+def tr_pdf_wh_aniso(wo: Array, wh: Array, ax: Array, ay: Array) -> Array:
+    """VNDF pdf, anisotropic: D(wh) G1(wo) |wo·wh| / |cos wo|."""
+    whu = wh * jnp.sign(wh[..., 2:3] + 1e-20)
+    return (tr_d_aniso(whu, ax, ay) * tr_g1_aniso(wo, ax, ay)
             * jnp.abs(vecmath.dot(wo, wh))
             / jnp.maximum(abs_cos_theta(wo), 1e-6))
 
@@ -596,59 +683,160 @@ def _pow5(x):
     return x * x * x * x * x
 
 
-def _disney_f(mp: MaterialTable, kd, wo, wi):
-    """Disney principled BRDF, reflection lobes (materials/disney.cpp):
-    diffuse + retro-reflection + sheen + GGX specular with
-    metallic/specTint fresnel + GTR1 clearcoat. specTrans/anisotropy in a
-    later round."""
+def _disney_lum(c):
+    """Spectrum::y() used for the Disney tint normalization
+    (disney.cpp:494: `Float lum = c.y()`)."""
+    from pbrt_tpu.core import spectrum as spec_mod
+    if c.shape[-1] == 3:
+        return spec_mod.luminance(c, spec_mod.RGB)
+    if c.shape[-1] == spec_mod.SAMPLED.n_channels:
+        return spec_mod.luminance(c, spec_mod.SAMPLED)
+    return jnp.mean(c, axis=-1)
+
+
+def _disney_alphas(mp: MaterialTable):
+    """Disney microfacet alphas (disney.cpp:541-545): alpha = roughness²
+    (NOT the RoughnessToAlpha log remap), split by the anisotropy aspect."""
+    aspect = jnp.sqrt(1.0 - mp.anisotropic * 0.9)
+    r2 = mp.roughness * mp.roughness
+    ax = jnp.maximum(0.001, r2 / aspect)
+    ay = jnp.maximum(0.001, r2 * aspect)
+    return ax, ay
+
+
+def _disney_trans_alphas(mp: MaterialTable):
+    """Alphas of the transmission distribution: the shared (ax, ay) for
+    solid surfaces; for thin, roughness is IOR-scaled first
+    (disney.cpp:573-578, Burley 2015 fig. 15)."""
+    ax, ay = _disney_alphas(mp)
+    aspect = jnp.sqrt(1.0 - mp.anisotropic * 0.9)
+    rscaled = (0.65 * mp.eta - 0.35) * mp.roughness
+    r2 = rscaled * rscaled
+    axs = jnp.maximum(0.001, r2 / aspect)
+    ays = jnp.maximum(0.001, r2 * aspect)
+    thin = mp.thin > 0.5
+    return jnp.where(thin, axs, ax), jnp.where(thin, ays, ay)
+
+
+def _gtr1(cos_h, alpha):
+    """GTR1 NDF (disney.cpp:252-256)."""
+    a2 = alpha * alpha
+    return (a2 - 1.0) / jnp.maximum(
+        jnp.pi * jnp.log(jnp.maximum(a2, 1e-9))
+        * (1.0 + (a2 - 1.0) * cos_h * cos_h), 1e-9)
+
+
+def _smith_g_ggx(cos_t, alpha):
+    """smithG_GGX (disney.cpp:259-264): 1/(cosθ + √(α²+cos²θ−α²cos²θ)) —
+    the cosines of the standard G1 are folded in, so clearcoat f is
+    weight·Gr·Fr·Dr/4 with no extra 1/(4 cosθo cosθi)."""
+    a2 = alpha * alpha
+    c2 = cos_t * cos_t
+    return 1.0 / jnp.maximum(cos_t + jnp.sqrt(a2 + c2 - a2 * c2), 1e-6)
+
+
+def _disney_cc_gloss(mp: MaterialTable):
+    return (1.0 - mp.clearcoat_gloss) * 0.1 + mp.clearcoat_gloss * 0.001
+
+
+def _disney_lobe_counts(mp: MaterialTable):
+    """Per-row lobe census matching DisneyMaterial::
+    ComputeScatteringFunctions (disney.cpp:504-589). pbrt's BSDF::Sample_f
+    picks uniformly among the added lobes and BSDF::Pdf averages their
+    pdfs; the four diffuse-family lobes (DisneyDiffuse, FakeSS, Retro,
+    Sheen) all cosine-sample, so they fold into one cosine lobe with
+    multiplicity k_diff.
+
+    Returns (k_diff, n_cc, n_mt, n_lt, n_total), all (R,) float."""
+    thin = mp.thin > 0.5
+    dw = (1.0 - mp.metallic) * (1.0 - mp.spec_trans)
+    has_diff = dw > 0
+    k_diff = jnp.where(
+        has_diff,
+        jnp.where(thin, 3.0, 2.0) + (mp.sheen > 0).astype(jnp.float32),
+        0.0)
+    n_cc = (mp.clearcoat > 0).astype(jnp.float32)
+    n_mt = (mp.spec_trans > 0).astype(jnp.float32)
+    n_lt = thin.astype(jnp.float32)       # LambertianTransmission (:585-589)
+    n = k_diff + 1.0 + n_cc + n_mt + n_lt  # +1 = MicrofacetReflection
+    return k_diff, n_cc, n_mt, n_lt, n
+
+
+def _disney_f_refl(mp: MaterialTable, kd, wo, wi):
+    """Reflection-side Disney lobes (disney.cpp:92-363 lobe classes, wired
+    per :504-564): Burley diffuse + fake-subsurface + retro + sheen +
+    anisotropic-GGX specular with DisneyFresnel + GTR1 clearcoat."""
     C = kd.shape[-1]
+    c = jnp.maximum(kd, 0.0)
     co = abs_cos_theta(wo)
     ci = abs_cos_theta(wi)
     wh = wo + wi
     wh_ok = vecmath.length_squared(wh) > 1e-12
+    wh = jnp.where(wh_ok[..., None],
+                   wh, jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0]),
+                                        wh.shape))
     wh = vecmath.normalize(wh)
     cos_d = vecmath.dot(wi, wh)
 
-    lum = jnp.sum(kd, axis=-1) / C
-    tint = kd / jnp.maximum(lum, 1e-6)[..., None]
+    lum = _disney_lum(c)
+    tint = jnp.where((lum > 0)[..., None],
+                     c / jnp.maximum(lum, 1e-6)[..., None], 1.0)
+
+    strans = mp.spec_trans
+    dw = (1.0 - mp.metallic) * (1.0 - strans)   # diffuseWeight (:489)
+    dt = mp.diff_trans * 0.5                     # (:490-491)
+    thin = mp.thin > 0.5
+    rough = mp.roughness
 
     fo = _pow5(1.0 - co)
     fi = _pow5(1.0 - ci)
-    base_diff = kd * (INV_PI * (1.0 - 0.5 * fo) * (1.0 - 0.5 * fi)
-                      )[..., None]
-    rr = 2.0 * mp.roughness * cos_d * cos_d
-    retro = kd * (INV_PI * rr * (fo + fi + fo * fi * (rr - 1.0))
-                  )[..., None]
+    # DisneyDiffuse (:105-112); thin blends it against FakeSS by flatness
+    # and scales by (1-dt) (:508-512)
+    base_diff = c * (INV_PI * (1.0 - 0.5 * fo) * (1.0 - 0.5 * fi)
+                     )[..., None]
+    # DisneyFakeSS — Hanrahan–Krueger approximation (:139-156)
+    fss90 = cos_d * cos_d * rough
+    fss = (1.0 + fo * (fss90 - 1.0)) * (1.0 + fi * (fss90 - 1.0))
+    ss = 1.25 * (fss * (1.0 / jnp.maximum(co + ci, 1e-6) - 0.5) + 0.5)
+    fake_ss = c * (INV_PI * ss)[..., None]
+    w_base = jnp.where(thin, (1.0 - mp.flatness) * (1.0 - dt), 1.0)
+    w_fake = jnp.where(thin, mp.flatness * (1.0 - dt), 0.0)
+    # DisneyRetro (:182-197)
+    rr = 2.0 * rough * cos_d * cos_d
+    retro = c * (INV_PI * rr * (fo + fi + fo * fi * (rr - 1.0)))[..., None]
+    # DisneySheen (:216-224)
     csheen = (1.0 - mp.sheen_tint)[..., None] + mp.sheen_tint[..., None] \
         * tint
     sheen = mp.sheen[..., None] * csheen * _pow5(1.0 - jnp.abs(cos_d)
                                                  )[..., None]
-    diffuse_part = ((1.0 - mp.metallic)[..., None]
-                    * (base_diff + retro + sheen))
+    diffuse_part = dw[..., None] * (w_base[..., None] * base_diff
+                                    + w_fake[..., None] * fake_ss
+                                    + retro + sheen)
 
-    # specular: GGX with disney fresnel
-    alpha = _mat_alpha(mp)
+    # MicrofacetReflection with DisneyMicrofacetDistribution (separable
+    # G1·G1, :347-363) and DisneyFresnel (:326-344):
+    # lerp(metallic, FrDielectric, FrSchlick(Cspec0))
+    ax, ay = _disney_alphas(mp)
     r0 = ((mp.eta - 1.0) / (mp.eta + 1.0)) ** 2
     cspec0 = ((1.0 - mp.metallic)[..., None]
               * r0[..., None] * ((1.0 - mp.spec_tint)[..., None]
                                  + mp.spec_tint[..., None] * tint)
-              + mp.metallic[..., None] * kd)
-    f_spec_fres = cspec0 + (1.0 - cspec0) * _pow5(
+              + mp.metallic[..., None] * c)
+    fr_d = fr_dielectric(cos_d, jnp.ones_like(mp.eta), mp.eta)
+    fr_schlick = cspec0 + (1.0 - cspec0) * _pow5(
         1.0 - jnp.abs(cos_d))[..., None]
-    spec = (tr_d(wh, alpha) * tr_g(wo, wi, alpha)
+    f_spec_fres = ((1.0 - mp.metallic)[..., None] * fr_d[..., None]
+                   + mp.metallic[..., None] * fr_schlick)
+    g_sep = tr_g1_aniso(wo, ax, ay) * tr_g1_aniso(wi, ax, ay)
+    spec = (tr_d_aniso(wh, ax, ay) * g_sep
             / jnp.maximum(4.0 * ci * co, 1e-6))[..., None] * f_spec_fres
 
-    # clearcoat: GTR1 + fixed schlick(0.04) + smith G(0.25)
-    a_cc = (1.0 - mp.clearcoat_gloss) * 0.1 + mp.clearcoat_gloss * 0.001
-    a2 = a_cc * a_cc
-    c2 = wh[..., 2] ** 2
-    d_cc = (a2 - 1.0) / jnp.maximum(
-        jnp.pi * jnp.log(jnp.maximum(a2, 1e-9)) * (1.0 + (a2 - 1.0) * c2),
-        1e-9)
-    f_cc = 0.04 + 0.96 * _pow5(1.0 - jnp.abs(cos_d))
-    g_cc = tr_g(wo, wi, jnp.full_like(a_cc, 0.25))
-    cc = (0.25 * mp.clearcoat * d_cc * f_cc * g_cc
-          / jnp.maximum(4.0 * ci * co, 1e-6))[..., None] \
+    # DisneyClearcoat (:266-283): weight·Gr·Fr·Dr/4, Gr = smithG_GGX(.25)²
+    gloss = _disney_cc_gloss(mp)
+    d_cc = _gtr1(jnp.abs(wh[..., 2]), gloss)
+    f_cc = 0.04 + 0.96 * _pow5(1.0 - jnp.abs(vecmath.dot(wo, wh)))
+    g_cc = _smith_g_ggx(co, 0.25) * _smith_g_ggx(ci, 0.25)
+    cc = (0.25 * mp.clearcoat * d_cc * f_cc * g_cc)[..., None] \
         * jnp.ones((1, C))
 
     out = diffuse_part + spec + cc
@@ -656,14 +844,124 @@ def _disney_f(mp: MaterialTable, kd, wo, wi):
     return jnp.where(ok[..., None], out, 0.0)
 
 
+def _disney_f_trans(mp: MaterialTable, kd, wo, wi):
+    """Transmission-side Disney lobes (disney.cpp:566-589):
+    MicrofacetTransmission with T = strans·√c (+ thin roughness scaling)
+    and, for thin surfaces, LambertianTransmission dt·c."""
+    c = jnp.maximum(kd, 0.0)
+    T = mp.spec_trans[..., None] * jnp.sqrt(c)
+    axt, ayt = _disney_trans_alphas(mp)
+    # thin surfaces use the plain TR distribution (correlated G,
+    # microfacet.h:113); solid uses DisneyMicrofacet (separable G1·G1)
+    sep_g = ~(mp.thin > 0.5)
+    mt = _mt_f_aniso(T, axt, ayt, mp.eta, wo, wi, sep_g=sep_g)
+    dt = mp.diff_trans * 0.5
+    lt = (dt[..., None] * c) * INV_PI
+    lt = jnp.where((mp.thin > 0.5)[..., None], lt, 0.0)
+    return jnp.where(same_hemisphere(wo, wi)[..., None], 0.0, mt + lt)
+
+
+def _disney_f(mp: MaterialTable, kd, wo, wi):
+    """Full Disney BSDF f(wo, wi) — reflection + (when the table has
+    spectrans/thin rows) transmission lobes."""
+    out = _disney_f_refl(mp, kd, wo, wi)
+    if mp.has_disney_trans:
+        out = out + _disney_f_trans(mp, kd, wo, wi)
+    return out
+
+
+def _mt_f_aniso(T, ax, ay, eta, wo, wi, sep_g):
+    """Anisotropic MicrofacetTransmission::f (reflection.cpp:279-304),
+    radiance mode; `sep_g` (R,) bool selects Disney's separable G1·G1 over
+    the correlated Smith G."""
+    cos_o = cos_theta(wo)
+    cos_i = cos_theta(wi)
+    eta_p = jnp.where(cos_o > 0.0, eta, 1.0 / eta)
+    wh = wo + wi * eta_p[..., None]
+    degenerate = (vecmath.length_squared(wh) < 1e-12) \
+        | (jnp.abs(cos_i * cos_o) < 1e-7)
+    wh = jnp.where(degenerate[..., None],
+                   jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0]), wh.shape),
+                   wh)
+    wh = vecmath.normalize(wh)
+    wh = wh * jnp.sign(wh[..., 2:3] + 1e-20)
+    dot_o = vecmath.dot(wo, wh)
+    dot_i = vecmath.dot(wi, wh)
+    valid = (dot_o * dot_i < 0.0) & ~same_hemisphere(wo, wi) & ~degenerate
+    F = fr_dielectric(dot_o, jnp.ones_like(eta), eta)
+    sqrt_denom = dot_o + eta_p * dot_i
+    factor = 1.0 / eta_p
+    g_corr = 1.0 / (1.0 + tr_lambda_aniso(wo, ax, ay)
+                    + tr_lambda_aniso(wi, ax, ay))
+    g_sep = tr_g1_aniso(wo, ax, ay) * tr_g1_aniso(wi, ax, ay)
+    G = jnp.where(sep_g, g_sep, g_corr)
+    val = ((1.0 - F) * jnp.abs(
+        tr_d_aniso(wh, ax, ay) * G * eta_p * eta_p
+        * jnp.abs(dot_i) * jnp.abs(dot_o) * factor * factor
+        / jnp.maximum(jnp.abs(cos_i * cos_o * sqrt_denom * sqrt_denom),
+                      1e-10)))
+    return jnp.where(valid[..., None], T * val[..., None], 0.0)
+
+
+def _mt_pdf_aniso(ax, ay, eta, wo, wi):
+    """Anisotropic MicrofacetTransmission::Pdf (reflection.cpp:477-494):
+    VNDF pdf(wh) · |dwh/dwi|."""
+    cos_o = cos_theta(wo)
+    eta_p = jnp.where(cos_o > 0.0, eta, 1.0 / eta)
+    wh = wo + wi * eta_p[..., None]
+    degenerate = vecmath.length_squared(wh) < 1e-12
+    wh = jnp.where(degenerate[..., None],
+                   jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0]), wh.shape),
+                   wh)
+    wh = vecmath.normalize(wh)
+    dot_o = vecmath.dot(wo, wh)
+    dot_i = vecmath.dot(wi, wh)
+    valid = (dot_o * dot_i < 0.0) & ~same_hemisphere(wo, wi) & ~degenerate
+    whu = wh * jnp.sign(wh[..., 2:3] + 1e-20)
+    sqrt_denom = dot_o + eta_p * dot_i
+    dwh_dwi = jnp.abs((eta_p * eta_p * dot_i)
+                      / jnp.maximum(sqrt_denom * sqrt_denom, 1e-10))
+    return jnp.where(valid,
+                     tr_pdf_wh_aniso(wo, whu, ax, ay) * dwh_dwi, 0.0)
+
+
+def _disney_cc_pdf(mp: MaterialTable, wo, wi):
+    """DisneyClearcoat::Pdf (disney.cpp:307-320): GTR1 D(wh)·|cosθh| /
+    (4·(wo·wh))."""
+    wh = wo + wi
+    wh_ok = vecmath.length_squared(wh) > 1e-12
+    wh = jnp.where(wh_ok[..., None],
+                   wh, jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0]),
+                                        wh.shape))
+    wh = vecmath.normalize(wh)
+    gloss = _disney_cc_gloss(mp)
+    d_cc = _gtr1(jnp.abs(wh[..., 2]), gloss)
+    pdf = d_cc * jnp.abs(wh[..., 2]) \
+        / jnp.maximum(4.0 * jnp.abs(vecmath.dot(wo, wh)), 1e-6)
+    return jnp.where(same_hemisphere(wo, wi) & wh_ok, pdf, 0.0)
+
+
 def _disney_pdf(mp: MaterialTable, wo, wi):
-    """pdf matching _disney_sample's lobe mixture."""
-    p_diff = 0.5 * (1.0 - mp.metallic)
-    alpha = _mat_alpha(mp)
-    cos_pdf = jnp.where(same_hemisphere(wo, wi),
-                        abs_cos_theta(wi) * INV_PI, 0.0)
-    mf_pdf = _microfacet_reflection_pdf(alpha, wo, wi)
-    return p_diff * cos_pdf + (1.0 - p_diff) * mf_pdf
+    """BSDF::Pdf over the Disney lobe set: the average of per-lobe pdfs
+    (reflection.cpp:637-650 with the uniform lobe weighting), with the
+    cosine-sampled diffuse family folded to multiplicity k_diff."""
+    k_diff, n_cc, n_mt, n_lt, n = _disney_lobe_counts(mp)
+    refl = same_hemisphere(wo, wi)
+    cos_pdf = abs_cos_theta(wi) * INV_PI
+    ax, ay = _disney_alphas(mp)
+    mf_pdf = jnp.where(refl, tr_pdf_wh_aniso(
+        wo, vecmath.normalize(wo + wi), ax, ay)
+        / jnp.maximum(4.0 * jnp.abs(vecmath.dot(
+            wo, vecmath.normalize(wo + wi))), 1e-6), 0.0)
+    wh_sum = wo + wi
+    mf_pdf = jnp.where(vecmath.length_squared(wh_sum) > 1e-12, mf_pdf, 0.0)
+    pdf = k_diff * jnp.where(refl, cos_pdf, 0.0) + mf_pdf
+    pdf = pdf + n_cc * _disney_cc_pdf(mp, wo, wi)
+    if mp.has_disney_trans:
+        axt, ayt = _disney_trans_alphas(mp)
+        pdf = pdf + n_mt * _mt_pdf_aniso(axt, ayt, mp.eta, wo, wi)
+        pdf = pdf + n_lt * jnp.where(refl, 0.0, cos_pdf)
+    return pdf / jnp.maximum(n, 1.0)
 
 
 @dataclasses.dataclass
@@ -851,7 +1149,7 @@ def bsdf_sample(mp: MaterialTable, wo: Array, u_lobe: Array, u: Array,
     kd = mp.kd if kd_override is None else kd_override
     alpha = _mat_alpha(mp)
     ndf = mp.ndf if mp.has_beckmann else None
-    need_mf = _present(mp, PLASTIC, UBER, SUBSTRATE, METAL, DISNEY, GLASS)
+    need_mf = _present(mp, PLASTIC, UBER, SUBSTRATE, METAL, GLASS)
     need_glass = _present(mp, GLASS, DISPERSIVE_GLASS)
 
     # --- cosine lobe (matte & the diffuse half of plastic/uber/substrate)
@@ -933,16 +1231,51 @@ def bsdf_sample(mp: MaterialTable, wo: Array, u_lobe: Array, u: Array,
         f_tr = bsdf_f(mp, wo, wi_tr, kd_override=kd)
         pdf_tr = 0.5 * abs_cos_theta(wi_tr) * INV_PI
 
-    # DISNEY: lobe choice metallic-weighted (diffuse vs GGX specular)
+    # DISNEY: uniform choice among the built lobes (BSDF::Sample_f
+    # semantics over disney.cpp:504-589's lobe set): cosine family
+    # (multiplicity k_diff) | aniso-GGX specular | GTR1 clearcoat |
+    # microfacet transmission | lambertian transmission
     if _present(mp, DISNEY):
-        p_diff_dis = 0.5 * (1.0 - mp.metallic)
-        pick_spec_dis = u_lobe >= p_diff_dis
-        wi_dis = jnp.where(pick_spec_dis[..., None], wi_mf, wi_cos)
-        dis_ok = same_hemisphere(wo, wi_dis)
+        k_diff_d, n_cc_d, n_mt_d, n_lt_d, n_d = _disney_lobe_counts(mp)
+        ax_d, ay_d = _disney_alphas(mp)
+        wh_d = tr_sample_wh_aniso(wo, u, ax_d, ay_d)
+        wi_spec_d = vecmath.reflect(wo, wh_d)
+        # clearcoat: exact GTR1 wh inversion (disney.cpp:285-305)
+        gloss_d = _disney_cc_gloss(mp)
+        a2g = gloss_d * gloss_d
+        ct_cc = jnp.sqrt(jnp.maximum(
+            0.0, (1.0 - a2g ** (1.0 - u[..., 0])) / (1.0 - a2g)))
+        st_cc = jnp.sqrt(jnp.maximum(0.0, 1.0 - ct_cc * ct_cc))
+        phi_cc = 2.0 * jnp.pi * u[..., 1]
+        wh_cc = jnp.stack([st_cc * jnp.cos(phi_cc),
+                           st_cc * jnp.sin(phi_cc), ct_cc], axis=-1)
+        wh_cc = wh_cc * jnp.sign(wo[..., 2:3] + 1e-20)
+        wi_cc = vecmath.reflect(wo, wh_cc)
+        c1_d = k_diff_d / n_d
+        c2_d = c1_d + 1.0 / n_d
+        c3_d = c2_d + n_cc_d / n_d
+        c4_d = c3_d + n_mt_d / n_d
+        wi_dis = jnp.where((u_lobe < c1_d)[..., None], wi_cos, wi_spec_d)
+        wi_dis = jnp.where(((u_lobe >= c2_d) & (u_lobe < c3_d))[..., None],
+                           wi_cc, wi_dis)
+        bad_mt_d = jnp.zeros(R, bool)
+        if mp.has_disney_trans:
+            axt_d, ayt_d = _disney_trans_alphas(mp)
+            wh_mt = tr_sample_wh_aniso(wo, u, axt_d, ayt_d)
+            wh_mt_o = wh_mt * jnp.sign(vecmath.dot(wh_mt, wo))[..., None]
+            eta_r_d = jnp.where(cos_theta(wo) > 0.0, 1.0 / mp.eta, mp.eta)
+            wi_mt_d, mt_ok_d = vecmath.refract(wo, wh_mt_o, eta_r_d)
+            pick_mt = (u_lobe >= c3_d) & (u_lobe < c4_d)
+            wi_dis = jnp.where(pick_mt[..., None], wi_mt_d, wi_dis)
+            wi_dis = jnp.where((u_lobe >= c4_d)[..., None], -wi_cos,
+                               wi_dis)
+            # total internal reflection → failed sample (Sample_f returns
+            # 0 when Refract fails, reflection.cpp:470-471)
+            bad_mt_d = pick_mt & ~mt_ok_d
         f_dis = _disney_f(mp, kd, wo, wi_dis)
         pdf_dis = _disney_pdf(mp, wo, wi_dis)
-        f_dis = jnp.where(dis_ok[..., None], f_dis, 0.0)
-        pdf_dis = jnp.where(dis_ok, pdf_dis, 0.0)
+        f_dis = jnp.where(bad_mt_d[..., None], 0.0, f_dis)
+        pdf_dis = jnp.where(bad_mt_d, 0.0, pdf_dis)
 
     # rough glass: pick microfacet reflection or transmission lobe with
     # probability 1/2 each (BSDF::Sample_f uniform lobe choice); refract

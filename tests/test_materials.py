@@ -55,6 +55,13 @@ class TestBsdfConsistency:
          "substrate"),
         (dict(type=mat.DISNEY, kd=0.6, metallic=0.3, roughness=0.3,
               sheen=0.5, clearcoat=0.5), "disney"),
+        (dict(type=mat.DISNEY, kd=0.6, roughness=0.4, spec_trans=0.8,
+              eta=1.5), "disney-spectrans"),
+        (dict(type=mat.DISNEY, kd=0.6, roughness=0.4, thin=1.0,
+              flatness=0.5, diff_trans=0.7, spec_trans=0.3, eta=1.5),
+         "disney-thin"),
+        (dict(type=mat.DISNEY, kd=0.6, roughness=0.3, anisotropic=0.8,
+              metallic=0.5), "disney-aniso"),
         (dict(type=mat.GLASS, kr=1.0, kt=1.0, eta=1.5, roughness=0.2),
          "rough-glass"),
     ])
@@ -101,6 +108,89 @@ class TestBsdfConsistency:
         k = jnp.asarray([[3.9, 2.45, 2.14]])  # ~gold
         f = mat.fr_conductor(jnp.asarray([1.0]), eta, k)
         assert float(f[0, 0]) > 0.9  # red highly reflective for gold
+
+    def test_disney_spectrans_estimator_agreement(self):
+        """Transmissive Disney (disney.cpp:566-583): importance-sampled
+        ∫f·|cosθ|dω over the FULL sphere agrees with uniform-sphere
+        quadrature — validates the microfacet-transmission lobe's
+        f/pdf/sample mutual consistency."""
+        from pbrt_tpu.core.sampling import uniform_sample_hemisphere
+        n = 200_000
+        mp = make_mp(n, type=mat.DISNEY, kd=0.6, roughness=0.5,
+                     spec_trans=0.9, eta=1.5)
+        rngs = np.random.RandomState(3)
+        wo = jnp.tile(jnp.asarray([[0.3, 0.1, 0.95]])
+                      / np.linalg.norm([0.3, 0.1, 0.95]), (n, 1))
+        ul = jnp.asarray(rngs.rand(n), jnp.float32)
+        u = jnp.asarray(rngs.rand(n, 2), jnp.float32)
+        wi, f, pdf, _ = mat.bsdf_sample(mp, wo, ul, u)
+        ok = np.asarray(pdf) > 1e-9
+        est_is = np.asarray(f).mean(-1) * np.abs(np.asarray(wi)[:, 2])
+        est_is = np.where(ok, est_is / np.maximum(np.asarray(pdf), 1e-9),
+                          0.0).mean()
+        # uniform full-sphere quadrature
+        u2 = jnp.asarray(rngs.rand(n, 2), jnp.float32)
+        wi_u = uniform_sample_hemisphere(u2)
+        flip = jnp.asarray(rngs.rand(n) < 0.5)
+        wi_u = jnp.where(flip[:, None],
+                         wi_u * jnp.asarray([1.0, 1.0, -1.0]), wi_u)
+        f_u = mat.bsdf_f(mp, wo, wi_u)
+        est_un = (np.asarray(f_u).mean(-1) * np.abs(np.asarray(wi_u)[:, 2])
+                  * (4.0 * np.pi)).mean()
+        assert est_un > 0.05      # transmission actually contributes
+        np.testing.assert_allclose(est_is, est_un, rtol=0.05)
+
+    def test_disney_thin_difftrans_splits_energy(self):
+        """Thin surface: diff_trans=2 sends the diffuse energy to the
+        transmitted side, diff_trans=0 keeps it reflected
+        (disney.cpp:490-491, 508-512, 585-589)."""
+        n = 8
+        wo = jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]]), (n, 1))
+        wi_t = jnp.tile(jnp.asarray([[0.3, 0.0, -0.954]])
+                        / np.linalg.norm([0.3, 0.0, -0.954]), (n, 1))
+        wi_r = jnp.tile(jnp.asarray([[0.3, 0.0, 0.954]])
+                        / np.linalg.norm([0.3, 0.0, 0.954]), (n, 1))
+        mp_all_t = make_mp(n, type=mat.DISNEY, kd=0.8, roughness=0.3,
+                           thin=1.0, diff_trans=2.0)
+        mp_all_r = make_mp(n, type=mat.DISNEY, kd=0.8, roughness=0.3,
+                           thin=1.0, diff_trans=0.0)
+        f_t_allt = float(np.asarray(mat.bsdf_f(mp_all_t, wo, wi_t)).mean())
+        f_t_allr = float(np.asarray(mat.bsdf_f(mp_all_r, wo, wi_t)).mean())
+        f_r_allt = float(np.asarray(mat.bsdf_f(mp_all_t, wo, wi_r)).mean())
+        f_r_allr = float(np.asarray(mat.bsdf_f(mp_all_r, wo, wi_r)).mean())
+        assert f_t_allt > 0.1 and f_t_allr == 0.0
+        assert f_r_allr > f_r_allt          # diffuse stays on refl side
+
+    def test_disney_anisotropic_azimuth_dependence(self):
+        """anisotropic>0 makes the specular highlight azimuth-dependent
+        (ax≠ay, disney.cpp:541-545); anisotropic=0 stays rotationally
+        symmetric."""
+        n = 4
+        th = 0.6
+        wo = jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]]), (n, 1))
+        # off-specular wi: the half-vector tilts along x vs along y
+        wi_x = jnp.tile(jnp.asarray([[np.sin(th), 0.0, np.cos(th)]]),
+                        (n, 1))
+        wi_y = jnp.tile(jnp.asarray([[0.0, np.sin(th), np.cos(th)]]),
+                        (n, 1))
+        mp_a = make_mp(n, type=mat.DISNEY, kd=0.5, metallic=1.0,
+                       roughness=0.4, anisotropic=0.9)
+        mp_i = make_mp(n, type=mat.DISNEY, kd=0.5, metallic=1.0,
+                       roughness=0.4, anisotropic=0.0)
+        fa_x = float(np.asarray(mat.bsdf_f(mp_a, wo, wi_x)).mean())
+        fa_y = float(np.asarray(mat.bsdf_f(mp_a, wo, wi_y)).mean())
+        fi_x = float(np.asarray(mat.bsdf_f(mp_i, wo, wi_x)).mean())
+        fi_y = float(np.asarray(mat.bsdf_f(mp_i, wo, wi_y)).mean())
+        assert abs(fa_x - fa_y) / max(fa_x, fa_y) > 0.2
+        np.testing.assert_allclose(fi_x, fi_y, rtol=1e-4)
+
+    def test_disney_roughness_alpha_is_squared(self):
+        """Disney maps roughness→alpha as rough² (disney.cpp:542-543),
+        not the RoughnessToAlpha log remap the other materials use."""
+        ax, ay = mat._disney_alphas(
+            make_mp(1, type=mat.DISNEY, roughness=0.5))
+        np.testing.assert_allclose(float(ax[0]), 0.25, rtol=1e-5)
+        np.testing.assert_allclose(float(ay[0]), 0.25, rtol=1e-5)
 
     def test_disney_metallic_kills_diffuse(self):
         mp_d = make_mp(4, type=mat.DISNEY, kd=0.8, metallic=0.0,
