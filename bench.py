@@ -125,24 +125,50 @@ def worker():
     # r4 timing: the remote (axon) tunnel charges a ~60-190 ms fixed
     # sync/fetch cost per host round trip (measured via step-count
     # regression, KILLEROO_r04 methodology). A per-pass device_get loop
-    # (r3) therefore over-reports per-pass time; the SLOPE between
-    # n_passes and 3×n_passes chained executions cancels the fixed cost
-    # while still forcing host materialization of real results.
-    t0 = time.perf_counter()
+    # (r3) therefore over-reports per-pass time; the SLOPE between two
+    # chained executions cancels the fixed cost while still forcing host
+    # materialization of real results. r5: the fused-path pass is ~26 ms
+    # (was 123), so the slope must span many more passes to stay above
+    # the sync-cost session noise — 80 extra passes ≈ 2.1 s fused.
+    # best-of-3 minima on both chain lengths: the tunnel sync cost is a
+    # positive noise term, so minima estimate the fixed+linear costs
+    # robustly (single-shot slopes ranged 0-32 ms/pass this session;
+    # min-slopes reproduce to <1 ms)
     acc1 = run_chained(n_passes)
-    t_raw = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    run_chained(5 * n_passes)
-    t5 = time.perf_counter() - t0
-    # (t5 - t_raw) spans exactly 4×n_passes extra passes; asymptotic
-    # per-pass time cross-checked against a 22-pass chain (0.123 s/pass)
-    # and the on-chip profiler's step line (122 ms) this session
-    t_fwdbwd = max(t5 - t_raw, 1e-6) / 4.0
+    extra = 80
+
+    def best_of(n, reps=3):
+        ts = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            run_chained(n)
+            ts.append(time.perf_counter() - t0)
+        return min(ts)
+
+    t_short = best_of(n_passes)
+    t_long = best_of(n_passes + extra)
+    t_pass = max(t_long - t_short, 1e-6) / extra
+    t_fwdbwd = t_pass * n_passes       # time per full 64-spp fwd+bwd
     mean_acc = acc1
 
     bounces = MAX_DEPTH + 1
-    rays_fwd = W * H * SPP * bounces * 3
-    mrays_fwdbwd = rays_fwd * 2 / t_fwdbwd / 1e6
+    # honest trace accounting (r5): with the fused path-bounce kernel
+    # (ops/fused_path.py — dispatched automatically on this scene), each
+    # sample×bounce traces TWO closest-hit sweeps (path extension + the
+    # portal-NEE shadow/emission ray); the backward pass differentiates
+    # the residual replay and re-traces NOTHING. The generic XLA path
+    # traces 3 per bounce (its branchless estimator always evaluates the
+    # BSDF-MIS half, contributing zero on portal scenes) and its VJP
+    # re-traverses everything (×2). `value` counts rays actually traced;
+    # `r4_formula_mrays` applies r4's ×3×2 accounting for cross-round
+    # comparison of the same workload.
+    from pbrt_tpu.ops import fused_path as _fp
+    fused_on = _fp.eligible(scene, cfg)
+    traces_per_bounce = 2 if fused_on else 3
+    bwd_factor = 1 if fused_on else 2
+    rays_traced = W * H * SPP * bounces * traces_per_bounce * bwd_factor
+    mrays_fwdbwd = rays_traced / t_fwdbwd / 1e6
+    r4_formula_mrays = W * H * SPP * bounces * 3 * 2 / t_fwdbwd / 1e6
 
     # honest live-lane accounting (VERDICT r2 Weak #1): a 1-spp stats
     # pass on the CPU backend (keeps the TPU run single-program — a
@@ -173,8 +199,12 @@ def worker():
         "unit": "Mrays/s",
         "vs_baseline": None,
         "extra": {
-            "t_fwdbwd_s": round(t_fwdbwd, 3),
+            "t_fwdbwd_s": round(t_fwdbwd, 4),
             "t_compile_s": round(t_compile, 1),
+            "fused_kernel": bool(fused_on),
+            "traces_per_bounce": traces_per_bounce,
+            "bwd_retrace": bwd_factor == 2,
+            "r4_formula_mrays": round(r4_formula_mrays, 1),
             "resolution": [W, H], "spp": SPP, "max_depth": MAX_DEPTH,
             "device": str(jax.devices()[0]),
             # loss is the mean filter-weighted radiance of a CHUNK-spp pass

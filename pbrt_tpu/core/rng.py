@@ -61,9 +61,16 @@ def hash_u32(a, b=0, c=0, d=0):
 
 
 def u32_to_uniform(u) -> jnp.ndarray:
-    """Map uint32 → float32 in [0, 1)."""
-    f = u.astype(jnp.float32) * jnp.float32(_INV_U32)
-    return jnp.minimum(f, ONE_MINUS_EPS)
+    """Map uint32 → float32 in [0, 1): top 24 bits / 2²⁴.
+
+    The floor-of-top-24-bits form (rather than round(u)·2⁻³²) is chosen
+    because it is exactly expressible on every backend — the (u>>8)
+    value fits float32's mantissa, and Mosaic/TPU kernels lack a
+    uint32→float32 cast, so the fused path kernel (ops/fused_path.py)
+    reproduces THIS function bit-for-bit via an int32 cast. Max output is
+    (2²⁴−1)/2²⁴ < 1, so no OneMinusEpsilon clamp is needed."""
+    return (u >> jnp.uint32(8)).astype(jnp.int32).astype(jnp.float32) \
+        * jnp.float32(1.0 / 16777216.0)
 
 
 def uniform(pixel_id, sample_idx, dim, seed=0) -> jnp.ndarray:

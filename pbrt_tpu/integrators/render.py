@@ -85,7 +85,16 @@ def li_direct(scene, o, d, pid, sidx, sfn, cfg: RenderConfig, power_distr,
 def li_path(scene, o, d, pid, sidx, sfn, cfg: RenderConfig, power_distr,
             time=None):
     """`path` (integrators/path.cpp): NEE every bounce + BSDF continuation,
-    emission collected on camera/specular vertices only, Russian roulette."""
+    emission collected on camera/specular vertices only, Russian roulette.
+
+    On TPU, scenes matching the fused profile (Scene.fused_profile — the
+    cornell-portal class: all-matte + one projection-strategy portal
+    light) run the monolithic Pallas bounce kernel instead of the
+    wavefront loop; the two paths produce matching pixels (identical
+    sample streams — tests/test_fused_path.py)."""
+    from pbrt_tpu.ops import fused_path
+    if fused_path.eligible(scene, cfg, power_distr, time):
+        return fused_path.li_path_fused(scene, o, d, pid, sidx, cfg)
     return _li_loop(scene, o, d, pid, sidx, sfn, cfg, power_distr,
                     nee=True, indirect=True, time=time)
 

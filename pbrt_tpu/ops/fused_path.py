@@ -134,8 +134,10 @@ def _kernel(tri_ref, msc_ref, kd_ref, ox_ref, oy_ref, oz_ref, dx_ref,
         v2 = v2 ^ (v2 >> 16)
         v3 = v3 ^ (v3 >> 16)
         v0 = v0 + v1 * v3
-        return jnp.minimum(v0.astype(f32) * f32(1.0 / 4294967296.0),
-                           f32(ONE_MINUS_EPS))
+        # floor-top-24-bits form of rng.u32_to_uniform — bit-exact with
+        # the XLA path and Mosaic-expressible (no u32→f32 cast on TPU)
+        return (v0 >> jnp.uint32(8)).astype(jnp.int32).astype(f32) \
+            * f32(1.0 / 16777216.0)
 
     # scene scalars (SMEM)
     pl_lo = [msc_ref[0, k] for k in range(3)]
@@ -292,9 +294,10 @@ def _kernel(tri_ref, msc_ref, kd_ref, ox_ref, oy_ref, oz_ref, dx_ref,
         # portal in-front half-space test (aaportal.cpp:101 / plane.cpp
         # InFront): forward side of the portal plane
         p_axv = (px, py, pz)[ax]
-        in_front = jnp.where(jnp.full(zero.shape, portal_facing),
-                             p_axv > po_lo[ax] + zero,
-                             p_axv < po_lo[ax] + zero)
+        if portal_facing:        # static: avoids a bool-vector broadcast
+            in_front = p_axv > po_lo[ax] + zero
+        else:
+            in_front = p_axv < po_lo[ax] + zero
 
         # projection sampling (aaportal.cpp SampleProj via
         # scene/portals.py sample_projection): project the light rect's
@@ -358,8 +361,10 @@ def _kernel(tri_ref, msc_ref, kd_ref, ox_ref, oy_ref, oz_ref, dx_ref,
         bt2, bp2 = sweep(o2x, o2y, o2z, wix, wiy, wiz, False)
         # emission of whatever was hit, toward -wi (portal estimator
         # uses le2 = Le of the hit emitter; only the aaplane emits)
+        # emission toward the shading point travels along -wi: one-sided
+        # L requires dot(n_light, -wi) > 0 (lights.py area_light_L)
         wi_axc = (wix, wiy, wiz)[ax]
-        le_front = (sgn_pl * wi_axc) > 0.0
+        le_front = (sgn_pl * (-wi_axc)) > 0.0
         le_hit = (bp2 == n_tri) & le_front
 
         # f = kd/π·|cos|·refl; ld = f·li/pdf (portal single-sample
@@ -447,7 +452,9 @@ def _kernel(tri_ref, msc_ref, kd_ref, ox_ref, oy_ref, oz_ref, dx_ref,
         cdx = jnp.where(alive, wwx, cdx)
         cdy = jnp.where(alive, wwy, cdy)
         cdz = jnp.where(alive, wwz, cdz)
-        spec = jnp.where(alive, zero > 1.0, spec)   # matte: never specular
+        # matte: never specular → where(alive, False, spec); written as a
+        # mask AND because Mosaic cannot select over i1 vectors
+        spec = spec & ~alive
         active = alive
 
 
