@@ -52,7 +52,9 @@ from jax.experimental.pallas import tpu as pltpu
 Array = Any
 
 LANES = 128
-ROWS = 16           # rays per block = 2048
+ROWS = 32           # rays per block = 4096 (r5 scan: 8/16/32/64/128 →
+                    # 27.1/18.3/16.1/16.1/16.1 ms/pass on-chip; 32 is the
+                    # plateau knee)
 BIG = 1e30
 INV_PI = 1.0 / np.pi
 ONE_MINUS_EPS = float(np.nextafter(np.float32(1.0), np.float32(0.0)))
