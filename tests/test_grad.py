@@ -29,6 +29,23 @@ def simple_scene(kd=0.5, Le=10.0):
     return b.build()
 
 
+def _portal_grad_scene(kd=0.6, Le=10.0, plo=(-0.5, 0.5), phi=(0.5, 1.5)):
+    """Floor + vertical portal (z=2 plane) in front of a vertical area
+    light (z=3): the projection strategy's test scene for geometry
+    gradients."""
+    b = SceneBuilder(RGB)
+    m = b.add_material(type=0, kd=kd)
+    b.add_mesh([(-4, 0, -4), (4, 0, -4), (4, 0, 4), (-4, 0, 4)],
+               [(0, 1, 2), (0, 2, 3)], mat=m)
+    li = b.add_light(type="area", L=Le, prim=-1, strategy="projection",
+                     portals=[((plo[0], plo[1], 2.0),
+                               (phi[0], phi[1], 2.0), 2, False)])
+    pid = b.add_aaplane((-1, 0.2, 3), (1, 2.2, 3), axis=2,
+                        facing_fw=False, mat=m, light=li)
+    b.light_rows[li]["prim"] = b.prim_index("pln", pid)
+    return b.build()
+
+
 def render_small(scene, spp=16, seed=0):
     cam = cam_mod.make_perspective(
         transform.look_at((0, 2, -4), (0, 0.5, 0), (0, 1, 0)), 30.0,
@@ -96,27 +113,104 @@ class TestGradients:
         recovered = float(kd[0].mean())
         assert abs(recovered - 0.7) < 0.08, recovered
 
-    def test_portal_geometry_grad(self):
-        """Gradients flow to portal extents (projection-strategy pdf is a
-        smooth function of the portal rect)."""
-        b = SceneBuilder(RGB)
-        m = b.add_material(type=0, kd=0.6)
-        b.add_mesh([(-4, 0, -4), (4, 0, -4), (4, 0, 4), (-4, 0, 4)],
-                   [(0, 1, 2), (0, 2, 3)], mat=m)
-        li = b.add_light(type="area", L=10.0, prim=-1,
-                         strategy="projection",
-                         portals=[((-0.5, 0.5, 2.0), (0.5, 1.5, 2.0), 2,
-                                   False)])
-        pid = b.add_aaplane((-1, 0.2, 3), (1, 2.2, 3), axis=2,
-                            facing_fw=False, mat=m, light=li)
-        b.light_rows[li]["prim"] = b.prim_index("pln", pid)
-        scene = b.build()
+    def test_portal_extent_grad_matches_finite_difference(self):
+        """FD-verify d mean(image) / d portal_lo and d portal_hi on the
+        projection strategy (all four in-plane extent components). The
+        sampled point is an affine function of the clipped projection
+        rect and the pdf carries the rect area, so the fixed-u estimator
+        differentiates like the change-of-variables integral — the
+        boundary term is included automatically. Measured agreement
+        0.1-0.5% at 64 spp."""
+        scene = _portal_grad_scene()
 
-        def mean_img(plo):
+        def mean_lo(plo):
             s = dc.replace(scene, lights=dc.replace(scene.lights,
                                                     portal_lo=plo))
-            return jnp.mean(render_small(s, spp=16))
+            return jnp.mean(render_small(s, spp=64))
 
-        g = jax.grad(mean_img)(scene.lights.portal_lo)
-        assert np.isfinite(np.asarray(g)).all()
-        assert float(jnp.abs(g).sum()) > 0
+        def mean_hi(phi):
+            s = dc.replace(scene, lights=dc.replace(scene.lights,
+                                                    portal_hi=phi))
+            return jnp.mean(render_small(s, spp=64))
+
+        plo0 = scene.lights.portal_lo
+        phi0 = scene.lights.portal_hi
+        g_lo = jax.grad(mean_lo)(plo0)
+        g_hi = jax.grad(mean_hi)(phi0)
+        eps = 0.04
+        for comp in (0, 1):           # the two in-plane extent axes
+            for g, f, p0, nm in [(g_lo, mean_lo, plo0, "lo"),
+                                 (g_hi, mean_hi, phi0, "hi")]:
+                dv = jnp.zeros_like(p0).at[0, 0, comp].set(eps)
+                fd = (f(p0 + dv) - f(p0 - dv)) / (2 * eps)
+                ad = float(g[0, 0, comp])
+                assert abs(ad) > 1e-3, (nm, comp, ad)
+                np.testing.assert_allclose(
+                    ad, float(fd), rtol=0.05,
+                    err_msg=f"portal_{nm}[{comp}] autodiff vs FD")
+
+    def test_joint_recovery_emitter_portal_albedo(self):
+        """BASELINE.json config 4: jointly recover emitter radiance,
+        portal extent, and albedo by gradient descent against a target
+        render (identical sample streams → the truth is the exact global
+        minimum). Portal parametrized center ± softplus(size)/2 so the
+        rect cannot degenerate mid-descent."""
+        import optax
+        from pbrt_tpu.core import transform as tr_mod
+        from pbrt_tpu.scene import camera as c_mod
+
+        def render16(scene, spp=16, seed=3):
+            cam = c_mod.make_perspective(
+                tr_mod.look_at((0, 2, -4), (0, 0.5, 0), (0, 1, 0)), 30.0,
+                (16, 16))
+            filt = film_mod.make_filter("box")
+            cfg = RenderConfig(integrator="path", max_depth=3, seed=seed)
+            return render_pass(scene, cam, filt, cfg, 16, 16, spp,
+                               jnp.uint32(0)) / spp
+
+        target = render16(_portal_grad_scene())
+        scene0 = _portal_grad_scene(kd=0.35, Le=6.0)
+
+        def softplus(x):
+            return jnp.logaddexp(x, 0.0)
+
+        def portal_arrays(c, s):
+            e = softplus(s)
+            lo = jnp.asarray([c[0] - e[0] / 2, c[1] - e[1] / 2, 2.0])
+            hi = jnp.asarray([c[0] + e[0] / 2, c[1] + e[1] / 2, 2.0])
+            return lo[None, None, :], hi[None, None, :]
+
+        def loss_fn(params):
+            plo, phi = portal_arrays(params["c"], params["s"])
+            s = dc.replace(
+                scene0,
+                materials=dc.replace(scene0.materials, kd=params["kd"]),
+                lights=dc.replace(scene0.lights, emit=params["emit"],
+                                  portal_lo=plo, portal_hi=phi))
+            return jnp.mean((render16(s) - target) ** 2)
+
+        inv_sp = lambda y: float(np.log(np.expm1(y)))
+        params = {"kd": scene0.materials.kd, "emit": scene0.lights.emit,
+                  "c": jnp.asarray([0.02, 0.97]),
+                  "s": jnp.asarray([inv_sp(0.55), inv_sp(0.45)])}
+        opt = optax.adam(0.03)
+        state = opt.init(params)
+        vg = jax.jit(jax.value_and_grad(loss_fn))
+        for _ in range(400):
+            _, g = vg(params)
+            upd, state = opt.update(g, state)
+            params = optax.apply_updates(params, upd)
+        loss = float(vg(params)[0])
+        plo, phi = portal_arrays(params["c"], params["s"])
+        kd_err = abs(float(params["kd"][0].mean()) - 0.6)
+        le_err = abs(float(params["emit"][0].mean()) - 10.0)
+        lo_err = np.abs(np.asarray(plo).ravel()[:2]
+                        - np.asarray([-0.5, 0.5])).max()
+        hi_err = np.abs(np.asarray(phi).ravel()[:2]
+                        - np.asarray([0.5, 1.5])).max()
+        # measured at 500 iters: loss 2.5e-4, kd err 0.005, Le err 0.002,
+        # portal extent err ≤ 0.19 (still descending)
+        assert loss < 2e-3, loss
+        assert kd_err < 0.05, kd_err
+        assert le_err < 0.1, le_err
+        assert lo_err < 0.3 and hi_err < 0.3, (lo_err, hi_err)
