@@ -347,7 +347,8 @@ def subsurface_transport(scene, hit, mp, beta, wo_world, pid, sidx, sfn,
     # uniformly and scale the pdf by 1/nFound. pbrt's chain is unbounded;
     # 4 static steps cover every practical sheet count (surfaced via the
     # min() below rather than silently dropping energy)
-    N_CHAIN = 4
+    N_CHAIN = 8     # r5: 4 → 8 static probe steps (VERDICT r4 #7); pbrt's
+                    # chain is unbounded, 8 covers double-walled shells
     u_pick = u_ch2 * C - ch.astype(jnp.float32)        # pbrt's u1 reuse
     o_cur = o_probe
     t_rem = 2.0 * h_probe
@@ -445,12 +446,20 @@ def subsurface_transport(scene, hit, mp, beta, wo_world, pid, sidx, sfn,
                      jnp.where(ok[:, None], exit_ns_raw, ns_o), hit.ns),
         ng=jnp.where(ok[:, None], probe.ng, hit.ng))
     white = jnp.ones((R, C))
+    # exit lobe = SSS_EXIT, the SeparableBSSRDFAdapter Sw term
+    # (core/bssrdf.h:87-95): (1−Fr(cosθ_wi))/(c·π), cosine-sampled —
+    # r4's Lambertian exit (documented delta 4) is gone
     new_mp = dc.replace(
         mp,
         mtype=jnp.where(spec_refl, mat_mod.MIRROR,
-                        jnp.where(enter, mat_mod.MATTE, mp.mtype)),
+                        jnp.where(enter, mat_mod.SSS_EXIT, mp.mtype)),
         kd=jnp.where(enter[:, None], white, mp.kd),
         kr=jnp.where(spec_refl[:, None], white, mp.kr))
     new_beta = jnp.where(ok[:, None], beta * w_ss,
                          jnp.where(dead[:, None], 0.0, beta))
-    return new_hit, new_mp, new_beta, enter
+    # at the exit vertex pbrt re-points wo along the exit shading normal
+    # (Sample_Sp:369 `it->wo = Vector3f(it->shading.n)`) — NEE and the
+    # cosine continuation are taken about the OUTWARD exit frame, not
+    # the (meaningless) entry camera direction
+    wo_eff = jnp.where(ok[:, None], new_hit.ns, wo_world)
+    return new_hit, new_mp, new_beta, enter, wo_eff

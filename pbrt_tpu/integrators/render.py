@@ -198,9 +198,11 @@ def _li_loop(scene, o, d, pid, sidx, sfn, cfg: RenderConfig, power_distr,
 
         # subsurface: relocate SUBSURFACE-material hits to their
         # profile-sampled exit points (or specular-reflect at the
-        # interface); NEE + continuation then run at the exit vertex
+        # interface); NEE + continuation then run at the exit vertex,
+        # about the exit frame (wo := exit normal, Sample_Sp:369)
+        wo_w = -d_cur
         if scene.has_sss and indirect:
-            hit, mp, beta, _ = common.subsurface_transport(
+            hit, mp, beta, _, wo_w = common.subsurface_transport(
                 scene, hit, mp, beta, -d_cur, pid, sidx, sfn, cfg.seed,
                 dims, time=time)
 
@@ -211,14 +213,14 @@ def _li_loop(scene, o, d, pid, sidx, sfn, cfg: RenderConfig, power_distr,
             u_ml = sfn(pid, sidx, dims["mis_lobe"], cfg.seed)
             u_mu = _sample2(sfn, pid, sidx, dims["mis_u"], cfg.seed)
             ld = common.estimate_direct(
-                scene, hit, mp, -d_cur, u_sel, u_l, u_mu, u_ml,
+                scene, hit, mp, wo_w, u_sel, u_l, u_mu, u_ml,
                 power_distr=power_distr, with_bsdf_half=bsdf_half,
                 time=time)
             L = L + jnp.where(active[..., None], beta * ld, 0.0)
 
         # continuation (path.cpp:320-360)
         t1, t2 = common.shading_frame(hit, mp)
-        wo = common.to_local(t1, t2, hit.ns, -d_cur)
+        wo = common.to_local(t1, t2, hit.ns, wo_w)
         u_cl = sfn(pid, sidx, dims["cont_lobe"], cfg.seed)
         u_cu = _sample2(sfn, pid, sidx, dims["cont_u"], cfg.seed)
         from pbrt_tpu.scene import textures as tex_mod

@@ -48,6 +48,8 @@ DISNEY = 10
 SUBSURFACE = 11
 HAIR = 12         # materials/hair.cpp — Marschner/Chiang fiber BSDF
 FOURIER = 13      # materials/fourier.cpp — measured FourierBSDF tables
+SSS_EXIT = 14     # SeparableBSSRDFAdapter (core/bssrdf.h:153-168): the
+                  # Fresnel-weighted Sw exit lobe at a BSSRDF exit vertex
 
 # sampled-lobe flags (BxDFType analogue, reflection.h:70-80)
 FLAG_SPECULAR = 1
@@ -183,9 +185,9 @@ def make_material_table(rows: list[dict], n_channels: int) -> MaterialTable:
 def _close_present(types: set) -> tuple:
     """Close the present-type set under runtime row rewrites:
     subsurface_transport (integrators/common.py) turns SUBSURFACE rows into
-    MATTE (exit diffuse) or MIRROR (interface reflection)."""
+    SSS_EXIT (Sw exit lobe) or MIRROR (interface reflection)."""
     if SUBSURFACE in types:
-        types = types | {MATTE, MIRROR}
+        types = types | {MATTE, MIRROR, SSS_EXIT}
     return tuple(sorted(types))
 
 
@@ -683,6 +685,37 @@ def _pow5(x):
     return x * x * x * x * x
 
 
+def _fresnel_moment1(eta):
+    """First Fresnel reflectance moment (bssrdf.cpp:43-53), jnp form for
+    per-ray eta. Both fit branches traced; selected by eta<1."""
+    e = eta
+    e2 = e * e
+    e3 = e2 * e
+    e4 = e3 * e
+    e5 = e4 * e
+    lo = (0.45966 - 1.73965 * e + 3.37668 * e2 - 3.904945 * e3
+          + 2.49277 * e4 - 0.68441 * e5)
+    hi = (-4.61686 + 11.1136 * e - 10.4646 * e2 + 5.11455 * e3
+          - 1.27198 * e4 + 0.12746 * e5)
+    return jnp.where(e < 1.0, lo, hi)
+
+
+def _sss_exit_sw(mp: MaterialTable, wi):
+    """SeparableBSSRDF::Sw (core/bssrdf.h:89-92): the Fresnel-weighted
+    exit lobe at a BSSRDF exit vertex — (1 − Fr(cosθ_wi)) / (c·π) with
+    c = 1 − 2·FresnelMoment1(1/η).
+
+    No η² adjoint factor (SeparableBSSRDFAdapter::f:159-163): pbrt pairs
+    it with the 1/η² of the entry SpecularTransmission in radiance mode;
+    our entry is a probability branch with no η factor, so both are
+    omitted — the product matches."""
+    C = mp.kd.shape[-1]
+    c_norm = 1.0 - 2.0 * _fresnel_moment1(1.0 / jnp.maximum(mp.eta, 1e-3))
+    fr = fr_dielectric(cos_theta(wi), jnp.ones_like(mp.eta), mp.eta)
+    sw = (1.0 - fr) / jnp.maximum(c_norm * jnp.pi, 1e-6)
+    return sw[..., None] * jnp.ones((1, C))
+
+
 def _disney_lum(c):
     """Spectrum::y() used for the Disney tint normalization
     (disney.cpp:494: `Float lum = c.y()`)."""
@@ -1009,6 +1042,11 @@ def bsdf_f(mp: MaterialTable, wo: Array, wi: Array, kd_override=None,
         if _present(mp, MATTE):
             out = jnp.where((t == MATTE)[..., None], matte_f, out)
 
+    if _present(mp, SSS_EXIT):
+        sw = _sss_exit_sw(mp, wi)
+        sw = jnp.where(refl[..., None], sw, zero)
+        out = jnp.where((t == SSS_EXIT)[..., None], sw, out)
+
     if _present(mp, PLASTIC, UBER):
         # plastic: lambert + TR microfacet with dielectric fresnel; uber's
         # non-specular lobes coincide (materials/{plastic,uber}.cpp)
@@ -1099,6 +1137,8 @@ def bsdf_pdf(mp: MaterialTable, wo: Array, wi: Array, h=None,
 
     if _present(mp, MATTE):
         out = jnp.where(t == MATTE, cos_pdf, out)
+    if _present(mp, SSS_EXIT):
+        out = jnp.where(t == SSS_EXIT, cos_pdf, out)
     if _present(mp, PLASTIC, UBER, SUBSTRATE):
         plastic_pdf = 0.5 * (cos_pdf + mf_pdf)
         out = jnp.where((t == PLASTIC) | (t == UBER) | (t == SUBSTRATE),
@@ -1354,6 +1394,10 @@ def bsdf_sample(mp: MaterialTable, wo: Array, u_lobe: Array, u: Array,
 
     if _present(mp, MATTE):
         add((t == MATTE), wi_cos, f_matte, pdf_matte[..., None])
+    if _present(mp, SSS_EXIT):
+        f_sw_s = jnp.where(same_hemisphere(wo, wi_cos)[..., None],
+                           _sss_exit_sw(mp, wi_cos), 0.0)
+        add((t == SSS_EXIT), wi_cos, f_sw_s, pdf_matte[..., None])
     if _present(mp, PLASTIC, UBER, SUBSTRATE):
         add((t == PLASTIC) | (t == UBER) | (t == SUBSTRATE), wi_pl, f_pl,
             pdf_pl[..., None])

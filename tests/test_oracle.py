@@ -164,8 +164,10 @@ def test_subsurface_matches_reference_binary_energy():
     itself (scene/bssrdf.py — table build verified against the
     reference's ComputeBeamDiffusionBSSRDF to 6 decimals, estimator
     verified against sphere quadrature), so this is pixel-level parity:
-    measured md 0.028 @ 32 spp / 0.016 @ 64 spp. Residual = MC noise +
-    the Sw-vs-Lambert exit lobe + first-4 chain truncation (PARITY.md).
+    measured md 0.028 @ 32 spp / 0.016 @ 64 spp with r4's Lambertian
+    exit; r5 replaced it with the true Sw Fresnel exit lobe
+    ((1−Fr)/(cπ), bssrdf.h:87-95) + 8-step probe chain + exit-frame wo
+    repointing → md 0.0029 / bl16 0.024 at this exact configuration.
     NOTE the oracle scene uses "rgb mfp" — pbrt silently IGNORES a
     "float mfp" (kdsubsurface's mfp is a spectrum texture param,
     kdsubsurface.cpp:104-105), which round-3's scene got wrong."""
@@ -178,8 +180,8 @@ def test_subsurface_matches_reference_binary_energy():
                             max_depth=opts["max_depth"], seed=2))
     md = _mean_delta(img, ref)
     bl = _block_rel_l1(img, ref, k=16)
-    assert md < 0.045, f"sss mean delta {md:.4f}"
-    assert bl < 0.15, f"sss block rel-L1 {bl:.4f}"
+    assert md < 0.008, f"sss mean delta {md:.4f}"
+    assert bl < 0.05, f"sss block rel-L1 {bl:.4f}"
 
 
 def test_caustic_sppm_matches_reference_binary():

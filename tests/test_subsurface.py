@@ -19,11 +19,14 @@ def slab_scene(sss=True, albedo=0.8, mfp=0.05):
                            sss_sigma_a=(1 - albedo) / mfp, eta=1.33)
     else:
         m = b.add_material(type=mat_mod.MATTE, kd=albedo)
-    # thick slab (top at y=0)
+    # thick slab (top at y=0); windings give OUTWARD authored normals
+    # (+y top, −y bottom) — the Sw exit lobe (r5) evaluates in the
+    # authored exit frame exactly like pbrt's SeparableBSSRDFAdapter, so
+    # inward-wound geometry would (correctly, like pbrt) go black
     b.add_mesh([(-5, 0, -5), (5, 0, -5), (5, 0, 5), (-5, 0, 5)],
-               [(0, 1, 2), (0, 2, 3)], mat=m)
-    b.add_mesh([(-5, -1, -5), (5, -1, -5), (5, -1, 5), (-5, -1, 5)],
                [(0, 2, 1), (0, 3, 2)], mat=m)
+    b.add_mesh([(-5, -1, -5), (5, -1, -5), (5, -1, 5), (-5, -1, 5)],
+               [(0, 1, 2), (0, 2, 3)], mat=m)
     b.add_light(type="point", I=20.0, pos=(0, 3, 0))
     scene = b.build()
     assert scene.has_sss == sss
