@@ -169,18 +169,28 @@ def _random_walk(scene, sp, o, d, beta0, pdf_dir0, start_i, n_steps,
 
 
 def generate_camera_subpath(scene, cam_rays_o, cam_rays_d, max_v,
-                            pid, sidx, sfn, seed):
-    """bdpt.cpp:69-88. Vertex 0 = camera."""
+                            pid, sidx, sfn, seed, cam=None):
+    """bdpt.cpp:69-88. Vertex 0 = camera.
+
+    ``cam`` supplies the camera's directional density (Pdf_We) for the
+    first walk segment — REQUIRED for exact MIS whenever the t'=1
+    light-tracing strategy is in play (include_t1 drivers): pdf_fwd of
+    the first surface vertex enters every strategy's weight through the
+    t'=1 hypothetical term. Without a camera (legacy callers that never
+    enable t=1, e.g. MLT's target eval) a unit placeholder is exact."""
     R = cam_rays_o.shape[0]
     C = scene.n_channels
     sp = _empty_subpath(R, max_v, C)
     sp = _set_v(sp, 0, vtype=jnp.full(R, VT_CAMERA, jnp.int32),
                 p=cam_rays_o, ns=cam_rays_d, ng=cam_rays_d,
                 beta=jnp.ones((R, C)), pdf_fwd=jnp.ones(R))
-    # camera direction pdf only enters the (excluded) t'=1 light-tracing
-    # strategy's MIS term, so a unit placeholder is exact here
+    if cam is not None:
+        from pbrt_tpu.scene import camera as cam_mod
+        pdf_dir0 = cam_mod.camera_pdf_dir(cam, cam_rays_d)
+    else:
+        pdf_dir0 = jnp.ones(R)
     sp = _random_walk(scene, sp, cam_rays_o, cam_rays_d,
-                      jnp.ones((R, C)), jnp.ones(R), 1, max_v - 1,
+                      jnp.ones((R, C)), pdf_dir0, 1, max_v - 1,
                       pid, sidx, sfn, seed, 100, False)
     return sp
 
@@ -268,6 +278,29 @@ def generate_light_subpath(scene, max_v, pid, sidx, sfn, seed):
     # with weight 1 — a far-disk walk would sample the SAME families
     # again and double count (measured +4% before this exclusion)
     emits = is_area | is_point | is_spot
+
+    # infinite lights DO start subpaths (r5; bdpt.cpp:95-141 with the
+    # infinite-light corrections of :123-133): direction d_in from the
+    # env importance map (InfiniteAreaLight::Sample_Le, infinite.cpp),
+    # origin on a world-radius disk beyond the scene, ray = −d_in. The
+    # walk's first-vertex density is fixed to area form pdfPos·|cosθ|
+    # after the walk, and vertex 0 carries the SOLID-ANGLE
+    # InfiniteLightDensity (bdpt.h:105-123 ConvertDensity keeps env
+    # endpoint densities in solid angle).
+    is_inf = g.ltype == lights_mod.INFINITE
+    has_inf = lights_mod._lt_present(scene.lights, lights_mod.INFINITE)
+    if has_inf:
+        ls_env = lights_mod.sample_li(scene, light_idx,
+                                      jnp.broadcast_to(wc, (R, 3)), u_dir)
+        d_toward = ls_env["wi"]            # toward the env map
+        pdf_dir_env = ls_env["pdf"]        # map solid-angle pdf
+        le_env = ls_env["li"]
+        te1, te2 = common.make_frame(d_toward)
+        dk_e = concentric_sample_disk(u_pos)
+        p_env = wc[None, :] + d_toward * (2.0 * wr) \
+            + (dk_e[..., 0:1] * te1 + dk_e[..., 1:2] * te2) * wr
+        pdf_pos_env = 1.0 / jnp.maximum(jnp.pi * wr * wr, 1e-20)
+        emits = emits | (is_inf & (pdf_dir_env > 0))
     p_l = jnp.where(is_dist[..., None], p_disk,
                     jnp.where((is_point | is_spot)[..., None], g.pos,
                               p_l))
@@ -293,22 +326,48 @@ def generate_light_subpath(scene, max_v, pid, sidx, sfn, seed):
     # falloff would otherwise be double-counted: caught as a 0.66x spot
     # deficit in the r4 A/B)
     Le_walk = g.emit * lights_mod.emission_scale(scene.lights, g, d_l)
+    v0_emit = g.emit
+    if has_inf:
+        p_l = jnp.where(is_inf[..., None], p_env, p_l)
+        d_l = jnp.where(is_inf[..., None], -d_toward, d_l)
+        n_l = jnp.where(is_inf[..., None], -d_toward, n_l)
+        pdf_pos = jnp.where(is_inf, pdf_pos_env, pdf_pos)
+        pdf_dir = jnp.where(is_inf, pdf_dir_env, pdf_dir)
+        Le_walk = jnp.where(is_inf[..., None], le_env, Le_walk)
+        v0_emit = jnp.where(is_inf[..., None], le_env, v0_emit)
     cos_term = jnp.where(is_area, absdot(d_l, n_l), 1.0)
     beta0 = Le_walk * (cos_term
                        / jnp.maximum(sel_pmf * pdf_pos * pdf_dir,
                                      1e-20))[..., None]
     beta0 = jnp.where(emits[..., None], beta0, 0.0)
+    # vertex-0 forward density: area lights = selPmf·1/area; env = the
+    # SOLID-ANGLE InfiniteLightDensity (bdpt.cpp:131-133)
+    pdf_fwd0 = sel_pmf * pdf_pos
+    if has_inf:
+        pdf_fwd0 = jnp.where(
+            is_inf, sel_pmf * lights_mod.pdf_li(
+                scene, light_idx, jnp.broadcast_to(wc, (R, 3)), d_toward),
+            pdf_fwd0)
     sp = _set_v(sp, 0, vtype=jnp.where(emits, VT_LIGHT, VT_NONE),
                 p=p_l, ns=n_l, ng=n_l,
                 beta=jnp.where(emits[..., None],
-                               g.emit / jnp.maximum(
+                               v0_emit / jnp.maximum(
                                    sel_pmf * pdf_pos, 1e-20)[..., None],
                                0.0),
-                pdf_fwd=sel_pmf * pdf_pos, light_id=light_idx)
+                pdf_fwd=pdf_fwd0, light_id=light_idx)
     o0 = jnp.where((is_point | is_spot)[..., None], p_l,
                    vecmath.offset_ray_origin(p_l, n_l, d_l))
     sp = _random_walk(scene, sp, o0, d_l, beta0, pdf_dir, 1, max_v - 1,
                       pid, sidx, sfn, seed, 220, True)
+    if has_inf:
+        # infinite-light density correction for the FIRST walk vertex
+        # (bdpt.cpp:124-129): spatial density = pdfPos·|cosθ| in area
+        # measure, replacing the walk's dir→area conversion
+        v1ok = is_inf & (sp.vtype[:, 1] == VT_SURFACE)
+        fix1 = pdf_pos_env * absdot(d_l, sp.ng[:, 1])
+        sp = dataclasses.replace(
+            sp, pdf_fwd=sp.pdf_fwd.at[:, 1].set(
+                jnp.where(v1ok, fix1, sp.pdf_fwd[:, 1])))
     return sp
 
 
@@ -366,6 +425,10 @@ def connect_bdpt(scene, cam_sp: Subpath, light_sp: Subpath, s: int, t: int):
         # exactly like DistantLight::Sample_Li — wi = −dir, pdf 1, the
         # shadow ray must leave the scene. MIS weight is overridden to 1
         # by the caller (the only strategy for this path family).
+        # infinite lights are excluded from the s=1 connection: the env
+        # NEE family (li_bdpt's 300-series) IS this strategy for env
+        # paths (pbrt reaches it through Sample_Li resampling instead)
+        valid = valid & (g0.ltype != lights_mod.INFINITE)
         is_dist0 = g0.ltype == lights_mod.DISTANT
         w_d = -g0.dir
         wr = scene.world_radius()
@@ -546,6 +609,10 @@ def mis_weight(scene, cam_sp: Subpath, light_sp: Subpath, s: int, t: int,
         weight_sum = weight_sum + jnp.where(not_delta, ri, 0.0)
     # light-side hypothetical strategies (:382-395)
     if s >= 1:
+        g_env = lights_mod.gather_lights(
+            scene.lights, jnp.maximum(light_sp.light_id[:, 0], 0))
+        is_env0 = (g_env.ltype == lights_mod.INFINITE) \
+            & (light_sp.light_id[:, 0] >= 0)
         ri = jnp.ones(R)
         for i in range(lv, -1, -1):
             rev = light_sp.pdf_rev[:, i]
@@ -553,7 +620,30 @@ def mis_weight(scene, cam_sp: Subpath, light_sp: Subpath, s: int, t: int,
                 rev = rev_lv
             elif i == lv - 1 and rev_lvm1 is not None:
                 rev = rev_lvm1
+            if i == 0 and lv >= 1:
+                # env endpoint densities stay in SOLID ANGLE
+                # (Vertex::ConvertDensity's infinite-light rule,
+                # bdpt.h:105-112), and must be evaluated toward the TRUE
+                # env direction (recovered exactly as -ns[0], the stored
+                # emission-ray direction) — a direction toward the
+                # far-disk vertex position carries up to ~26° of
+                # parallax, breaking the weight partition (measured as a
+                # 5% energy deficit on env-cavity scenes before this
+                # fix). pdf_fwd[0] (InfiniteLightDensity) is already
+                # solid angle, so the ratio is measure-consistent.
+                wo_1 = -w if lv == 1 else light_sp.wo[:, 1]
+                d_env_true = -light_sp.ns[:, 0]
+                rev_sa = _bsdf_pdf_dir(scene, light_sp, 1, wo_1,
+                                       d_env_true)
+                rev = jnp.where(is_env0, rev_sa, rev)
             ri = ri * remap(rev) / remap(light_sp.pdf_fwd[:, i])
+            if i == 0 and s + t == cam_sp.p.shape[1] + 1:
+                # s'=0 for a (max_v+1)-vertex path would need a camera
+                # subpath of max_v+1 slots — that strategy cannot
+                # execute at the cap, so its hypothetical must not
+                # enter the denominator (phantom → energy loss on the
+                # deepest path family; r5 fix)
+                continue
             # bdpt.cpp:391: the hypothetical below the LIGHT vertex is
             # suppressed when the light itself is a delta distribution
             # (point/spot cannot be hit or connected-to by position)
@@ -570,18 +660,108 @@ def mis_weight(scene, cam_sp: Subpath, light_sp: Subpath, s: int, t: int,
     return 1.0 / weight_sum
 
 
-def li_bdpt(scene, o, d, pid, sidx, sfn, cfg, power_distr):
+def _env_weight_common(scene, cam_sp, cv, rev_cv, fwd_cv, rev_cvm1,
+                       include_t1, cv_is_env):
+    """Camera-side hypothetical-strategy sum shared by the env escape
+    (s=0) and env-NEE (s=1) weights. rev_cv/fwd_cv override slot cv;
+    rev_cvm1 (or None) overrides slot cv−1. cv_is_env: slot cv is the
+    at-infinity endpoint (not delta, fwd in solid angle)."""
+    R = cam_sp.p.shape[0]
+
+    def remap(x):
+        return jnp.where(x != 0.0, x, 1.0)
+
+    weight_sum = jnp.ones(R)
+    ri = jnp.ones(R)
+    min_t = 1 if include_t1 else 2
+    for i in range(cv, 0, -1):
+        rev = cam_sp.pdf_rev[:, i]
+        fwd = cam_sp.pdf_fwd[:, i]
+        if i == cv:
+            rev, fwd = rev_cv, fwd_cv
+        elif i == cv - 1 and rev_cvm1 is not None:
+            rev = rev_cvm1
+        ri = ri * remap(rev) / remap(fwd)
+        if i < min_t:
+            continue
+        di = jnp.zeros(R, bool) if (cv_is_env and i == cv) \
+            else cam_sp.delta[:, i]
+        not_delta = ~di & ~cam_sp.delta[:, i - 1]
+        weight_sum = weight_sum + jnp.where(not_delta, ri, 0.0)
+    return weight_sum, remap
+
+
+def _mis_weight_env_escape(scene, cam_sp, t, env_idx, pmf_env,
+                           include_t1):
+    """MIS weight of the escaped-camera-path strategy — pbrt's s=0 with
+    an infinite-area-light endpoint (bdpt.cpp MISWeight with
+    Vertex::PdfLightOrigin = InfiniteLightDensity and Vertex::PdfLight =
+    1/(π·wr²)·|cos|; endpoint densities in solid angle per
+    ConvertDensity, bdpt.h:105-123)."""
+    R = cam_sp.p.shape[0]
+    cv = t - 1
+    d_esc = cam_sp.esc_d[:, cv]
+    wr = scene.world_radius()
+    rev_cv = pmf_env * lights_mod.pdf_li(scene, env_idx,
+                                         cam_sp.p[:, cv - 1], d_esc)
+    fwd_cv = cam_sp.esc_pdf[:, cv]
+    rev_cvm1 = None
+    if t >= 3:
+        rev_cvm1 = (1.0 / jnp.maximum(jnp.pi * wr * wr, 1e-20)) \
+            * absdot(cam_sp.ng[:, cv - 1], d_esc)
+    weight_sum, _ = _env_weight_common(scene, cam_sp, cv, rev_cv, fwd_cv,
+                                       rev_cvm1, include_t1,
+                                       cv_is_env=True)
+    return 1.0 / weight_sum
+
+
+def _mis_weight_env_nee(scene, cam_sp, t, wi_e, pdf_e_sa, include_t1):
+    """MIS weight of the env-NEE strategy at camera vertex cv — pbrt's
+    s=1 with a map-sampled infinite-light vertex: the light-side
+    hypothetical (s'=0, camera escape) uses the camera vertex's
+    UNCONVERTED solid-angle bsdf pdf toward the env against the
+    solid-angle NEE density pdf_e_sa."""
+    R = cam_sp.p.shape[0]
+    cv = t - 1
+    wr = scene.world_radius()
+    rev_cv = (1.0 / jnp.maximum(jnp.pi * wr * wr, 1e-20)) \
+        * absdot(cam_sp.ng[:, cv], wi_e)
+    fwd_cv = cam_sp.pdf_fwd[:, cv]
+    rev_cvm1 = None
+    if t >= 3:
+        pdf_dir_b = _bsdf_pdf_dir(
+            scene, cam_sp, cv, wi_e,
+            normalize(cam_sp.p[:, cv - 1] - cam_sp.p[:, cv]))
+        rev_cvm1 = _dir_pdf_to_area(pdf_dir_b, cam_sp.p[:, cv],
+                                    cam_sp.p[:, cv - 1],
+                                    cam_sp.ng[:, cv - 1])
+    weight_sum, remap = _env_weight_common(scene, cam_sp, cv, rev_cv,
+                                           fwd_cv, rev_cvm1, include_t1,
+                                           cv_is_env=False)
+    if t < cam_sp.p.shape[1]:
+        # the s'=0 (escape) hypothetical needs a camera subpath of t+1
+        # slots; at t == max_v it cannot execute — phantom excluded
+        rev_lv_sa = _bsdf_pdf_dir(scene, cam_sp, cv, cam_sp.wo[:, cv],
+                                  wi_e)
+        ri_l = remap(rev_lv_sa) / remap(pdf_e_sa)
+        weight_sum = weight_sum + jnp.where(~cam_sp.delta[:, cv], ri_l,
+                                            0.0)
+    return 1.0 / weight_sum
+
+
+def li_bdpt(scene, o, d, pid, sidx, sfn, cfg, power_distr, time=None,
+            cam=None):
     """BDPT estimator over (s,t) strategies with t>=2 (camera-connected);
     light-tracing t=1 splats live in render_bdpt below."""
     return _li_bdpt_impl(scene, o, d, pid, sidx, sfn, cfg, power_distr,
-                         include_t1=False)
+                         include_t1=False, cam=cam)
 
 
 def _li_bdpt_impl(scene, o, d, pid, sidx, sfn, cfg, power_distr,
-                  include_t1):
+                  include_t1, cam=None):
     max_v = min(cfg.max_depth + 2, 6)
     cam_sp = generate_camera_subpath(scene, o, d, max_v, pid, sidx, sfn,
-                                     cfg.seed)
+                                     cfg.seed, cam=cam)
     light_sp = generate_light_subpath(scene, max_v, pid, sidx, sfn,
                                       cfg.seed)
     R = o.shape[0]
@@ -620,15 +800,14 @@ def _li_bdpt_impl(scene, o, d, pid, sidx, sfn, cfg, power_distr,
                 w = jnp.where(g0.ltype == lights_mod.DISTANT, 1.0, w)
             L = L + contrib * w[..., None]
 
-    # --- infinite-light path family (r4; bdpt.cpp's at-infinity endpoint
-    # role). Env paths end at infinity, disjoint from the surface-emitter
-    # families above, and are sampled by exactly TWO strategies here —
-    # camera-path escape (s=0 analogue) and env NEE at the last camera
-    # vertex (s=1 analogue) — combined with the balance heuristic over
-    # those two. Light subpaths never start from infinite lights in this
-    # implementation (generate_light_subpath samples area emitters only),
-    # so s>=2 strategies neither sample these paths nor appear in their
-    # MIS denominator: unbiased, variance-only delta (PARITY.md).
+    # --- infinite-light path family (r4 escape + env NEE; r5 adds env
+    # light SUBPATHS — bdpt.cpp:95-141 — so env paths are now sampled by
+    # the full strategy set: camera escape (s=0), env NEE (s=1 via
+    # Sample_Li resampling, like pbrt's ConnectBDPT s==1), s>=2 surface
+    # connections from env-origin walks (in the generic loop above), and
+    # t=1 splats in render_bdpt. All weights share one MIS accounting
+    # with env-endpoint densities in solid angle (ConvertDensity's
+    # infinite-light rule).
     if lights_mod._lt_present(scene.lights, lights_mod.INFINITE):
         ltypes = scene.lights.ltype
         env_row = jnp.argmax(
@@ -643,25 +822,20 @@ def _li_bdpt_impl(scene, o, d, pid, sidx, sfn, cfg, power_distr,
             esc = cam_sp.esc[:, cv]
             d_esc = cam_sp.esc_d[:, cv]
             le = lights_mod.escaped_radiance(scene, d_esc)
-            p_bsdf = cam_sp.esc_pdf[:, cv]              # solid angle
-            p_nee = pmf_env * lights_mod.pdf_li(
-                scene, env_idx, cam_sp.p[:, cv - 1], d_esc)
-            # balance heuristic; specular bounce (pdf 0) → only strategy
-            w_esc = jnp.where(p_bsdf > 0,
-                              p_bsdf / jnp.maximum(p_bsdf + p_nee, 1e-20),
-                              1.0)
             if t == 2:
-                # camera ray escaped DIRECTLY: the prefix endpoint is the
-                # camera, where no env-NEE strategy exists → sole
-                # strategy, weight 1 (was down-weighted by a phantom NEE)
-                w_esc = jnp.ones_like(w_esc)
+                # camera ray escaped DIRECTLY: the only executed
+                # strategy for the zero-surface-vertex path (the env
+                # s=1 t=1 direct splat is excluded) → weight 1
+                w_esc = jnp.ones(R)
+            else:
+                w_esc = _mis_weight_env_escape(scene, cam_sp, t,
+                                               env_idx, pmf_env,
+                                               include_t1)
             L = L + jnp.where(esc[..., None],
                               cam_sp.esc_beta[:, cv] * le
                               * w_esc[..., None], 0.0)
 
             # env-NEE strategy at surface vertex cv
-            if t < 2:
-                continue
             vok = cam_sp.vtype[:, cv] == VT_SURFACE
             u_env = jnp.stack([sfn(pid, sidx, 300 + 2 * t, cfg.seed),
                                sfn(pid, sidx, 301 + 2 * t, cfg.seed)], -1)
@@ -670,14 +844,13 @@ def _li_bdpt_impl(scene, o, d, pid, sidx, sfn, cfg, power_distr,
             wi_e = ls["wi"]
             pdf_e = ls["pdf"] * pmf_env
             f_e, _ = _vertex_f(scene, cam_sp, cv, wi_e)
-            pdf_b_e = _bsdf_pdf_dir(scene, cam_sp, cv, cam_sp.wo[:, cv],
-                                    wi_e)
             hit_e = isect_mod.intersect(
                 scene, vecmath.offset_ray_origin(
                     cam_sp.p[:, cv], cam_sp.ng[:, cv], wi_e),
                 wi_e, jnp.full(R, vecmath.INF))
             unocc = ~hit_e.valid                    # must leave the scene
-            w_nee = pdf_e / jnp.maximum(pdf_e + pdf_b_e, 1e-20)
+            w_nee = _mis_weight_env_nee(scene, cam_sp, t, wi_e, pdf_e,
+                                        include_t1)
             cos_e = absdot(wi_e, cam_sp.ns[:, cv])
             good = vok & unocc & (pdf_e > 1e-12)
             L = L + jnp.where(
@@ -720,6 +893,10 @@ def _mis_weight_t1(scene, cam, light_sp: Subpath, s: int, p_cam):
     def remap(x):
         return jnp.where(x != 0.0, x, 1.0)   # remap0 (see mis_weight)
 
+    g_env = lights_mod.gather_lights(
+        scene.lights, jnp.maximum(light_sp.light_id[:, 0], 0))
+    is_env0 = (g_env.ltype == lights_mod.INFINITE) \
+        & (light_sp.light_id[:, 0] >= 0)
     weight_sum = jnp.ones(R)
     ri = jnp.ones(R)
     for i in range(lv, -1, -1):
@@ -728,7 +905,18 @@ def _mis_weight_t1(scene, cam, light_sp: Subpath, s: int, p_cam):
             rev = rev_lv
         elif i == lv - 1 and rev_lvm1 is not None:
             rev = rev_lvm1
+        if i == 0 and lv >= 1:
+            # env endpoint: solid angle toward the TRUE env direction
+            # (see mis_weight — far-disk parallax breaks the partition)
+            wo_1 = -w if lv == 1 else light_sp.wo[:, 1]
+            rev_sa = _bsdf_pdf_dir(scene, light_sp, 1, wo_1,
+                                   -light_sp.ns[:, 0])
+            rev = jnp.where(is_env0, rev_sa, rev)
         ri = ri * remap(rev) / remap(light_sp.pdf_fwd[:, i])
+        if i == 0 and s == light_sp.p.shape[1]:
+            # s'=0 (full camera walk, t' = s+1 slots) cannot execute at
+            # the cap — phantom excluded (see mis_weight)
+            continue
         not_delta = ~light_sp.delta[:, i] & (
             ~light_sp.delta[:, i - 1] if i - 1 >= 0
             else jnp.ones(R, bool))
@@ -777,6 +965,10 @@ def light_splat_pass(scene, cam, n_paths: int, chunk_it: int, seed: int,
             f_term = jnp.where(emit_ok[..., None],
                                scale0 * jnp.ones((n_paths, C)), 0.0)
             not_spec = jnp.ones(n_paths, bool)
+            # env far-disk vertices do NOT splat directly (s=1,t=1):
+            # the zero-surface-vertex env path is owned by the t=2
+            # camera escape at weight 1 (li_bdpt)
+            not_spec = not_spec & (g0.ltype != lights_mod.INFINITE)
         else:
             f_term, _ = _vertex_f(scene, light_sp, lv, -w)
             not_spec = ~light_sp.delta[:, lv]
@@ -838,8 +1030,9 @@ def render_bdpt(scene, cam, spp: int = 16, max_depth: int = 5,
     return img / spp
 
 
-def li_bdpt_t1(scene, o, d, pid, sidx, sfn, cfg, power_distr):
+def li_bdpt_t1(scene, o, d, pid, sidx, sfn, cfg, power_distr, time=None,
+               cam=None):
     """Camera-side BDPT strategies with t'=1 included in the MIS weights
     (for use with the light-splat pass in render_bdpt)."""
     return _li_bdpt_impl(scene, o, d, pid, sidx, sfn, cfg, power_distr,
-                         include_t1=True)
+                         include_t1=True, cam=cam)

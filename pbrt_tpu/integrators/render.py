@@ -74,7 +74,7 @@ def _sample2(sfn, pid, sidx, dims, seed):
 # ---------------------------------------------------------------------------
 
 def li_direct(scene, o, d, pid, sidx, sfn, cfg: RenderConfig, power_distr,
-              time=None):
+              time=None, cam=None):
     """`directlighting` with UniformSampleOne strategy
     (integrators/directlighting.cpp:49-101) + specular recursion up to
     max_depth via the wavefront loop."""
@@ -83,7 +83,7 @@ def li_direct(scene, o, d, pid, sidx, sfn, cfg: RenderConfig, power_distr,
 
 
 def li_path(scene, o, d, pid, sidx, sfn, cfg: RenderConfig, power_distr,
-            time=None):
+            time=None, cam=None):
     """`path` (integrators/path.cpp): NEE every bounce + BSDF continuation,
     emission collected on camera/specular vertices only, Russian roulette.
 
@@ -100,7 +100,7 @@ def li_path(scene, o, d, pid, sidx, sfn, cfg: RenderConfig, power_distr,
 
 
 def li_mypath(scene, o, d, pid, sidx, sfn, cfg: RenderConfig, power_distr,
-              time=None):
+              time=None, cam=None):
     """fork `mypath` (integrators/mypath.cpp:31-142): path tracing whose
     direct estimation is light-sampling only (no BSDF half) — portal
     dispatch intact."""
@@ -109,7 +109,7 @@ def li_mypath(scene, o, d, pid, sidx, sfn, cfg: RenderConfig, power_distr,
 
 
 def li_whitted(scene, o, d, pid, sidx, sfn, cfg: RenderConfig, power_distr,
-               time=None):
+               time=None, cam=None):
     """`whitted` (integrators/whitted.cpp): direct from all lights (delta
     semantics retained via the same NEE estimator) + specular recursion."""
     return _li_loop(scene, o, d, pid, sidx, sfn, cfg, power_distr,
@@ -117,7 +117,7 @@ def li_whitted(scene, o, d, pid, sidx, sfn, cfg: RenderConfig, power_distr,
 
 
 def li_ao(scene, o, d, pid, sidx, sfn, cfg: RenderConfig, power_distr,
-          time=None):
+          time=None, cam=None):
     """`ambientocclusion` (integrators/ao.cpp:57-103)."""
     R = o.shape[0]
     C = scene.n_channels
@@ -358,9 +358,10 @@ def render_pass(scene, cam, filt, cfg: RenderConfig, width: int, height: int,
         t_ray = cam.shutter_open + u_time * (cam.shutter_close
                                              - cam.shutter_open)
         L = li_fn(scene, rays.o, rays.d, pid, sidx, sfn, cfg, power_distr,
-                  time=t_ray)
+                  time=t_ray, cam=cam)
     else:
-        L = li_fn(scene, rays.o, rays.d, pid, sidx, sfn, cfg, power_distr)
+        L = li_fn(scene, rays.o, rays.d, pid, sidx, sfn, cfg, power_distr,
+                  cam=cam)
 
     live = None
     if cfg.collect_stats:

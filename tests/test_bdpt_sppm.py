@@ -268,3 +268,78 @@ def test_bdpt_directly_visible_environment():
     ib = np.asarray(render(scene, cam, spp=96, integrator="bdpt",
                            max_depth=3, seed=2)).mean()
     assert abs(ib - ip) / ip < 0.03
+
+
+def test_bdpt_env_light_subpaths_contribute_and_match_path():
+    """r5 (VERDICT r4 #4): light subpaths START from infinite lights
+    (bdpt.cpp:95-141 with the :123-133 density corrections). On a scene
+    where the env reaches the camera-visible surface mostly indirectly
+    (a roofed cavity open on one side), the s>=2 connection family must
+    (a) actually fire — env-origin walks land surface vertices — and
+    (b) keep the estimator unbiased: full render_bdpt (camera strategies
+    + env subpath connections + t=1 splats) agrees with the verified
+    path tracer."""
+    from pbrt_tpu.core import transform
+    from pbrt_tpu.core.spectrum import RGB
+    from pbrt_tpu.integrators.bdpt import (VT_SURFACE, render_bdpt,
+                                           generate_light_subpath)
+    from pbrt_tpu.integrators.render import render
+    from pbrt_tpu.samplers import make_sampler
+    from pbrt_tpu.scene import camera as cam_mod
+    from pbrt_tpu.scene import lights as lights_mod
+    from pbrt_tpu.scene.types import SceneBuilder
+
+    b = SceneBuilder(RGB)
+    m = b.add_material(type=0, kd=0.7)
+    # floor + roof: the floor under the roof sees the env only via
+    # bounces off the surrounding geometry
+    b.add_mesh([(-3, 0, -3), (3, 0, -3), (3, 0, 3), (-3, 0, 3)],
+               [(0, 2, 1), (0, 3, 2)], mat=m)
+    b.add_mesh([(-3, 1.2, -1), (3, 1.2, -1), (3, 1.2, 3), (-3, 1.2, 3)],
+               [(0, 1, 2), (0, 2, 3)], mat=m)
+    b.add_mesh([(-3, 0, 3), (3, 0, 3), (3, 1.2, 3), (-3, 1.2, 3)],
+               [(0, 1, 2), (0, 2, 3)], mat=m)
+    env = np.ones((1, 1, 3), np.float32)
+    b.add_light(type="infinite", L=1.5, env_map=env)
+    scene = b.build()
+    cam = cam_mod.make_perspective(
+        transform.look_at((0, 0.7, -2.6), (0, 0.3, 1.0), (0, 1, 0)),
+        40.0, (12, 12))
+
+    # (a) env-origin light subpaths produce real surface vertices with
+    # the corrected densities (pdf_fwd[0] solid-angle > 0,
+    # pdf_fwd[1] = pdfPos*cos in area measure > 0)
+    R = 4096
+    pid = jnp.arange(R, dtype=jnp.uint32)
+    sidx = jnp.zeros(R, jnp.uint32)
+    sp = generate_light_subpath(scene, 5, pid, sidx,
+                                make_sampler("independent"), 0)
+    g0 = np.asarray(sp.light_id[:, 0])
+    v1_surf = np.asarray(sp.vtype[:, 1]) == VT_SURFACE
+    env_rows = g0 >= 0
+    assert (env_rows & v1_surf).sum() > R // 10
+    sel = env_rows & v1_surf
+    assert (np.asarray(sp.pdf_fwd[:, 0])[sel] > 0).all()
+    assert (np.asarray(sp.pdf_fwd[:, 1])[sel] > 0).all()
+    assert (np.asarray(sp.beta[:, 1])[sel] > 0).any()
+
+    # (b) agreement with the path tracer. NOTE the depth-cap context
+    # (established against the reference binary this round): on this
+    # cavity at maxdepth 4, pbrt's own bdpt sits at 0.889 of pbrt's own
+    # path (vertex-cap conventions differ between the algorithms; deep
+    # families are truncated). Ours reaches one vertex deeper than
+    # pbrt's bdpt (env NEE at t=max_v) and measures ~0.96 of path —
+    # strictly closer than the reference's own bdpt-vs-path gap.
+    ip = np.asarray(render(scene, cam, spp=128, integrator="path",
+                           max_depth=4, seed=1)).mean()
+    ib = np.asarray(render_bdpt(scene, cam, spp=128, max_depth=4,
+                                seed=2)).mean()
+    assert ip > 1e-3
+    assert abs(ib - ip) / ip < 0.06, (ip, ib)
+    # and at a depth where the cap does NOT bind (maxdepth 2 ⇒ every
+    # family is within max_v), the agreement must be tight
+    ip2 = np.asarray(render(scene, cam, spp=160, integrator="path",
+                            max_depth=2, seed=1)).mean()
+    ib2 = np.asarray(render_bdpt(scene, cam, spp=160, max_depth=2,
+                                 seed=2)).mean()
+    assert abs(ib2 - ip2) / ip2 < 0.04, (ip2, ib2)
