@@ -209,17 +209,48 @@ def main():
         "f32_rows_exact": bool((fgot == ftab_np[idx_np]).all()),
     }
 
-    # ---- reference binary wall time (same machine, all cores)
+    # ---- reference binary wall time (same machine, all cores).
+    # r5 (VERDICT r4 Weak #2): BEST OF 3 runs, all recorded — the r3/r4
+    # committed artifacts carried single-shot timings that differed 2×
+    # between rounds (0.546 vs 1.032 s/spp), doubling the headline.
     ref_bin = "/tmp/pbrt_oracle/pbrt"
+    if os.path.exists(ref_bin) and not os.path.exists(
+            "/tmp/killeroo_ref/killeroo-simple.pbrt"):
+        # materialize the timed reference scene: killeroo-simple patched
+        # to 16 spp (the shipped file is 4) — geometry includes sit low
+        import re
+        import shutil
+        src = "/root/reference/scenes"
+        os.makedirs("/tmp/killeroo_ref", exist_ok=True)
+        try:
+            with open(os.path.join(src, "killeroo-simple.pbrt")) as f:
+                txt = f.read()
+            txt = re.sub(r'"integer pixelsamples" \[\d+\]',
+                         '"integer pixelsamples" [16]', txt)
+            with open("/tmp/killeroo_ref/killeroo-simple.pbrt", "w") as f:
+                f.write(txt)
+            for aux in ("killeroo.pbrt", "geometry"):
+                p = os.path.join(src, aux)
+                d = os.path.join("/tmp/killeroo_ref", aux)
+                if os.path.isdir(p) and not os.path.exists(d):
+                    shutil.copytree(p, d)
+                elif os.path.isfile(p) and not os.path.exists(d):
+                    shutil.copy(p, d)
+        except OSError:
+            pass
     if os.path.exists(ref_bin) and os.path.exists(
             "/tmp/killeroo_ref/killeroo-simple.pbrt"):
-        t0 = time.perf_counter()
-        subprocess.run([ref_bin, "killeroo-simple.pbrt"],
-                       cwd="/tmp/killeroo_ref", capture_output=True)
-        dt_ref = time.perf_counter() - t0
+        runs = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            subprocess.run([ref_bin, "killeroo-simple.pbrt"],
+                           cwd="/tmp/killeroo_ref", capture_output=True)
+            runs.append(time.perf_counter() - t0)
+        dt_ref = min(runs)
         # that scene file is patched to 16 spp at 500²
         out["reference_binary"] = {
-            "wall_s_500px_16spp": round(dt_ref, 1),
+            "wall_s_500px_16spp_best_of_3": round(dt_ref, 1),
+            "wall_s_runs": [round(t, 1) for t in runs],
             "t_per_spp_s": round(dt_ref / 16, 3),
             "cores": os.cpu_count(),
         }
@@ -227,7 +258,7 @@ def main():
             (dt_ref / 16) / out["t_per_spp_pass_512_s"]
             * (W * H) / (500 * 500), 2)
 
-    with open("KILLEROO_r04.json", "w") as fjson:
+    with open("KILLEROO_r05.json", "w") as fjson:
         json.dump(out, fjson, indent=1)
     print(json.dumps(out, indent=1))
 

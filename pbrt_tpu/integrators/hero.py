@@ -302,11 +302,13 @@ def _li_hero(scene, o, d, pid, sidx, sfn, cfg, power_distr, use_nee):
     return state[0]
 
 
-def li_hero_path(scene, o, d, pid, sidx, sfn, cfg, power_distr):
+def li_hero_path(scene, o, d, pid, sidx, sfn, cfg, power_distr, time=None,
+                 cam=None):
     return _li_hero(scene, o, d, pid, sidx, sfn, cfg, power_distr,
                     use_nee=False)
 
 
-def li_hero_path_mis(scene, o, d, pid, sidx, sfn, cfg, power_distr):
+def li_hero_path_mis(scene, o, d, pid, sidx, sfn, cfg, power_distr, time=None,
+                     cam=None):
     return _li_hero(scene, o, d, pid, sidx, sfn, cfg, power_distr,
                     use_nee=True)

@@ -101,7 +101,8 @@ def tr_segmented(scene, media, med0, p0, p1, seed):
     return jnp.where(blocked[..., None], 0.0, tr), blocked
 
 
-def li_volpath(scene, o, d, pid, sidx, sfn, cfg, power_distr):
+def li_volpath(scene, o, d, pid, sidx, sfn, cfg, power_distr, time=None,
+               cam=None):
     media, cam_med = _effective_media(scene)
     if not media:
         from pbrt_tpu.integrators.render import li_path

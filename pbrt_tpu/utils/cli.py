@@ -27,6 +27,14 @@ def main(argv=None):
                     help="use 60-bin sampled spectra (hero integrators)")
     ap.add_argument("--cpu", action="store_true",
                     help="force CPU backend")
+    ap.add_argument("--cat", action="store_true",
+                    help="print a reformatted version of the scene to "
+                         "stdout and exit (pbrt --cat)")
+    ap.add_argument("--toply", action="store_true",
+                    help="like --cat, but triangle meshes with >=500 "
+                         "indices are written as PLY sidecar files "
+                         "(pbrt --toply; PLY_PREFIX env overrides the "
+                         "'mesh' filename prefix)")
     ap.add_argument("--cropwindow", type=float, nargs=4, default=None,
                     metavar=("X0", "X1", "Y0", "Y1"),
                     help="render a sub-window (NDC fractions, pbrt "
@@ -39,6 +47,11 @@ def main(argv=None):
                          "radiance and counts it in --stats). Role of "
                          "pbrt's debug-build FP assertions.")
     args = ap.parse_args(argv)
+
+    if args.cat or args.toply:
+        from pbrt_tpu.frontend.catply import reformat
+        reformat(args.scene, to_ply=args.toply)
+        return 0
 
     if args.cpu:
         import jax
