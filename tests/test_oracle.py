@@ -152,7 +152,11 @@ def test_caustic_path_and_bdpt_match_reference_binary():
                               max_depth=opts["max_depth"], seed=2))
     md_b = _mean_delta(img_b, ref)
     bl_b = _block_rel_l1(img_b, ref, k=16)
-    assert md_b < 0.05, f"bdpt mean delta {md_b:.4f}"
+    # tolerance is seed-sweep-bounded at this 8-spp caustic budget:
+    # r5 measured md 0.015 (seed 2) / 0.041 (seed 5) — splat-noise
+    # variance, not an estimator floor
+    assert md_b < 0.05, (f"bdpt mean delta {md_b:.4f} "
+                         "(seed-sweep 0.015-0.041 at this budget)")
     assert bl_b < 0.30, f"bdpt block rel-L1 {bl_b:.4f}"
 
 
@@ -461,7 +465,8 @@ def test_hero_path_nonmis_matches_reference_binary():
         scene, cam, spp=48, integrator="hero_path", sampler="halton",
         max_depth=min(opts["max_depth"], 8)))))
     md = _mean_delta(img, ref)
-    assert md < 0.05, f"hero_path mean delta {md:.4f}"
+    # r5: tightened to 2x the re-measured floor (md 0.0060 this config)
+    assert md < 0.012, f"hero_path mean delta {md:.4f}"
 
 
 def test_disney_full_matches_reference_binary():
