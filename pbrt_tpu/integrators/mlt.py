@@ -17,6 +17,8 @@ from __future__ import annotations
 
 from typing import Any
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -89,43 +91,24 @@ def _mutate(X, step_key, chain_ids, p_large=P_LARGE):
     return jnp.where(is_large[:, None], u, X_small), is_large
 
 
-def render_mlt(scene, cam, mutations_per_pixel=4, n_chains=4096,
-               n_bootstrap=16384, max_depth=5, seed=0,
-               integrator="path"):
-    """MLTIntegrator::Render (mlt.cpp:165+)."""
-    res = np.asarray(cam.resolution)
-    width, height = int(res[0]), int(res[1])
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _eval_target_jit(scene, cam, X, cfg):
+    return _eval_target(scene, cam, X, cfg)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "n_steps", "width", "height"))
+def _mlt_chains(scene, cam, X, b, seed, cfg, n_steps, width, height):
+    """The whole Markov-chain phase as ONE cached program: n_steps
+    Metropolis mutations of all chains with per-step film splats
+    (mlt.cpp:212-249). `seed` and the bootstrap normalization `b` are
+    TRACED, so re-rendering with a new seed (or refined b) is a cache
+    hit — r5: per-seed wall time was ~33 s of recompile because the old
+    driver rebuilt per-call jit closures."""
+    R = X.shape[0]
     C = scene.n_channels
-    D = _n_dims(max_depth)
-    cfg = RenderConfig(integrator=integrator, max_depth=max_depth,
-                       seed=seed)
+    chain_ids = jnp.arange(R, dtype=jnp.uint32)
 
-    # --- bootstrap: b = E[I] over uniform primary samples (mlt.cpp:177-200)
-    boot_ids = jnp.arange(n_bootstrap, dtype=jnp.uint32)
-    Xb = rng_mod.u32_to_uniform(rng_mod.pcg4d(
-        jnp.broadcast_to(boot_ids[:, None], (n_bootstrap, D)),
-        jnp.broadcast_to(jnp.arange(D, dtype=jnp.uint32)[None, :],
-                         (n_bootstrap, D)),
-        jnp.full((n_bootstrap, D), seed, jnp.uint32),
-        jnp.full((n_bootstrap, D), 11, jnp.uint32))[0])
-    eval_jit = jax.jit(lambda X: _eval_target(scene, cam, X, cfg))
-    _, I_boot, _ = eval_jit(Xb)
-    b = float(jnp.mean(I_boot))
-    if b <= 0:
-        return jnp.zeros((height, width, C))
-
-    # initial chain states resampled from bootstrap ∝ I (mlt.cpp:204-210)
-    from pbrt_tpu.core.sampling import (make_distribution_1d,
-                                        sample_distribution_1d_discrete)
-    distr = make_distribution_1d(I_boot)
-    chain_ids = jnp.arange(n_chains, dtype=jnp.uint32)
-    u0 = rng_mod.uniform(chain_ids, 0, 9991, seed)
-    start_idx, _ = sample_distribution_1d_discrete(distr, u0)
-    X = Xb[start_idx]
-
-    n_steps = max(1, (width * height * mutations_per_pixel) // n_chains)
-
-    @jax.jit
     def chain_step(step, carry):
         X, L_cur, I_cur, p_cur, film = carry
         X_prop, is_large = _mutate(X, step, chain_ids)
@@ -148,11 +131,53 @@ def render_mlt(scene, cam, mutations_per_pixel=4, n_chains=4096,
         p_cur = jnp.where(accept[:, None], p_prop, p_cur)
         return X, L_cur, I_cur, p_cur, film
 
-    L0, I0, p0 = eval_jit(X)
+    L0, I0, p0 = _eval_target(scene, cam, X, cfg)
     film = jnp.zeros((height, width, C))
     carry = (X, L0, I0, p0, film)
     carry = jax.lax.fori_loop(0, n_steps, chain_step, carry)
-    film = carry[4]
+    return carry[4]
+
+
+def render_mlt(scene, cam, mutations_per_pixel=4, n_chains=4096,
+               n_bootstrap=16384, max_depth=5, seed=0,
+               integrator="path"):
+    """MLTIntegrator::Render (mlt.cpp:165+). The integrator dims read
+    static X columns, so `seed` only feeds the counter-RNG streams —
+    it is threaded as a TRACED argument and a seed change never
+    recompiles (the config/shape tuple keys the jit cache)."""
+    res = np.asarray(cam.resolution)
+    width, height = int(res[0]), int(res[1])
+    C = scene.n_channels
+    D = _n_dims(max_depth)
+    cfg = RenderConfig(integrator=integrator, max_depth=max_depth, seed=0)
+    seed_u = jnp.asarray(seed, jnp.uint32)
+
+    # --- bootstrap: b = E[I] over uniform primary samples (mlt.cpp:177-200)
+    boot_ids = jnp.arange(n_bootstrap, dtype=jnp.uint32)
+    Xb = rng_mod.u32_to_uniform(rng_mod.pcg4d(
+        jnp.broadcast_to(boot_ids[:, None], (n_bootstrap, D)),
+        jnp.broadcast_to(jnp.arange(D, dtype=jnp.uint32)[None, :],
+                         (n_bootstrap, D)),
+        jnp.broadcast_to(seed_u, (n_bootstrap, D)),
+        jnp.full((n_bootstrap, D), 11, jnp.uint32))[0])
+    _, I_boot, _ = _eval_target_jit(scene, cam, Xb, cfg)
+    b = float(jnp.mean(I_boot))
+    if b <= 0:
+        return jnp.zeros((height, width, C))
+
+    # initial chain states resampled from bootstrap ∝ I (mlt.cpp:204-210)
+    from pbrt_tpu.core.sampling import (make_distribution_1d,
+                                        sample_distribution_1d_discrete)
+    distr = make_distribution_1d(I_boot)
+    chain_ids = jnp.arange(n_chains, dtype=jnp.uint32)
+    u0 = rng_mod.uniform(chain_ids, 0, 9991, seed_u)
+    start_idx, _ = sample_distribution_1d_discrete(distr, u0)
+    X = Xb[start_idx]
+
+    n_steps = max(1, (width * height * mutations_per_pixel) // n_chains)
+    film = _mlt_chains(scene, cam, X, jnp.asarray(b, jnp.float32),
+                       seed_u, cfg, n_steps, width, height)
+    total_mutations = n_steps * n_chains
     total_mutations = n_steps * n_chains
     # NOTE: with Kelemen-style MIS weights the 1/b normalization already
     # lives inside w = ·/(I/b + pLarge); the final scale is only
