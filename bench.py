@@ -164,7 +164,10 @@ def worker():
     # comparison of the same workload.
     from pbrt_tpu.ops import fused_path as _fp
     fused_on = _fp.eligible(scene, cfg)
-    traces_per_bounce = 2 if fused_on else 3
+    # fused mode 1 (portal, light-only NEE) = 2 sweeps/bounce; mode 0
+    # (plain area light, two-sample MIS) = 3; XLA path = 3
+    fused_mode = scene.fused_profile[4] if fused_on else None
+    traces_per_bounce = 2 if (fused_on and fused_mode == 1) else 3
     bwd_factor = 1 if fused_on else 2
     rays_traced = W * H * SPP * bounces * traces_per_bounce * bwd_factor
     mrays_fwdbwd = rays_traced / t_fwdbwd / 1e6

@@ -25,10 +25,14 @@ are a.e. constant). The pallas call sits behind lax.stop_gradient —
 gradients flow only through the replay.
 
 Scope gate (Scene.fused_profile, scene/types.py): all-matte (lambertian,
-sigma 0) materials, one single-portal projection-strategy area light on
-the scene's single aaplane (the fork's light-through-opening scenario,
-lights/portal_arealight.cpp:29-239 + aaportal.cpp SampleProj), triangles
-+ that aaplane only, RGB, no media/SSS/motion/instancing/textures.
+sigma 0) materials, triangles + ONE aaplane that is the scene's single
+one-sided area light, RGB, no media/SSS/motion/instancing/textures; two
+light modes (static `mode`): 1 = single-portal projection-strategy
+portal light (the fork's light-through-opening scenario,
+lights/portal_arealight.cpp:29-239 + aaportal.cpp SampleProj; light-only
+NEE, 2 sweeps/bounce), 0 = plain diffuse area light (the classic
+cornell-box class; full two-sample-MIS NEE per EstimateDirect,
+integrator.cpp:142-250 — light half + BSDF half, 3 sweeps/bounce).
 Everything else falls back to the generic wavefront loop.
 
 Semantics mirrored 1:1 from the XLA path (file:line refs inline):
@@ -101,7 +105,7 @@ def _axes_of(ax: int):
 def _kernel(tri_ref, msc_ref, kd_ref, ox_ref, oy_ref, oz_ref, dx_ref,
             dy_ref, dz_ref, pid_ref, sid_ref, code_out, knee_out, kc_out,
             *, n_tri, n_b, ax, pl_facing, portal_facing, n_mat, seed,
-            rr_threshold):
+            rr_threshold, mode):
     ax0, ax1 = _axes_of(ax)
     f32 = jnp.float32
     sgn_pl = 1.0 if pl_facing else -1.0          # light-plane normal sign
@@ -344,11 +348,18 @@ def _kernel(tri_ref, msc_ref, kd_ref, ox_ref, oy_ref, oz_ref, dx_ref,
         pdf_pj = jnp.where(okp, d2p / jnp.maximum(cos_p * area_p, 1e-9),
                            0.0)
 
-        use_portal = in_front     # strategy==projection, behind→fallback
-        wix = jnp.where(use_portal, wpx, wlx_f)
-        wiy = jnp.where(use_portal, wpy, wly_f)
-        wiz = jnp.where(use_portal, wpz, wlz_f)
-        pdf_nee = jnp.where(use_portal, pdf_pj, pdf_fb)
+        if mode == 1:
+            use_portal = in_front  # strategy==projection, behind→fallback
+            wix = jnp.where(use_portal, wpx, wlx_f)
+            wiy = jnp.where(use_portal, wpy, wly_f)
+            wiz = jnp.where(use_portal, wpz, wlz_f)
+            pdf_nee = jnp.where(use_portal, pdf_pj, pdf_fb)
+        else:
+            # mode 0: plain diffuse area light — the light half of
+            # estimate_direct's two-sample MIS samples the rect
+            # uniformly (the fallback sampler above IS Sample_Li)
+            wix, wiy, wiz = wlx_f, wly_f, wlz_f
+            pdf_nee = pdf_fb
 
         # shadow/emission closest-hit from the offset origin
         # (trace_radiance → offset_ray_origin, vecmath.py:133-142)
@@ -376,6 +387,65 @@ def _kernel(tri_ref, msc_ref, kd_ref, ox_ref, oy_ref, oz_ref, dx_ref,
         ok_nee = active & (pdf_nee > 0.0) & refl & le_hit
         knee = jnp.where(ok_nee, jnp.abs(ndw)
                          / jnp.maximum(pdf_nee, 1e-20), 0.0)
+
+        if mode == 0:
+            # plain area light: two-sample MIS (EstimateDirect,
+            # integrator.cpp:142-250). Light half above gets the power
+            # heuristic against the cosine scatter pdf; then the BSDF
+            # half samples a cosine direction (mis_u dims, matching the
+            # XLA path's estimate_direct streams) and adds
+            # |cos|·w_b/pdf_b when its closest hit is the emitting side
+            # of the light plane. Both halves share the kd/π·emit
+            # factor, so they fold into the SAME knee residual.
+            p_scat = jnp.where(refl, jnp.abs(ndw) * f32(INV_PI), 0.0)
+            w_l = (pdf_nee * pdf_nee) / jnp.maximum(
+                pdf_nee * pdf_nee + p_scat * p_scat, 1e-20)
+            knee = knee * w_l
+
+            u_b0 = unif(base + 4)
+            u_b1 = unif(base + 5)
+            pi4b = f32(np.pi / 4)
+            pi2b = f32(np.pi / 2)
+            bxo = 2.0 * u_b0 - 1.0
+            byo = 2.0 * u_b1 - 1.0
+            zero_b = (bxo == 0.0) & (byo == 0.0)
+            use_xb = jnp.abs(bxo) > jnp.abs(byo)
+            rb_ = jnp.where(use_xb, bxo, byo)
+            thb = jnp.where(
+                use_xb, pi4b * (byo / jnp.where(bxo == 0.0, 1.0, bxo)),
+                pi2b - pi4b * (bxo / jnp.where(byo == 0.0, 1.0, byo)))
+            rb_ = jnp.where(zero_b, 0.0, rb_)
+            thb = jnp.where(zero_b, 0.0, thb)
+            bdx = rb_ * jnp.cos(thb)
+            bdy = rb_ * jnp.sin(thb)
+            bdz = jnp.sqrt(jnp.maximum(0.0, 1.0 - bdx * bdx - bdy * bdy))
+            sflip_b = jnp.sign(woz + 1e-20)
+            wbx_l = bdx * sflip_b
+            wby_l = bdy * sflip_b
+            wbz_l = bdz * sflip_b
+            wbx = wbx_l * t1x + wby_l * t2x + wbz_l * nx
+            wby = wbx_l * t1y + wby_l * t2y + wbz_l * ny
+            wbz = wbx_l * t1z + wby_l * t2z + wbz_l * nz
+            pdf_b = jnp.abs(wbz_l) * f32(INV_PI)
+            ndw_b = nx * wbx + ny * wby + nz * wbz
+            nfs_b = jnp.where(ndw_b < 0.0, -1.0, 1.0)
+            o3x = px + scale * nfs_b * nx
+            o3y = py + scale * nfs_b * ny
+            o3z = pz + scale * nfs_b * nz
+            bt3, bp3 = sweep(o3x, o3y, o3z, wbx, wby, wbz, False)
+            wb_ax = (wbx, wby, wbz)[ax]
+            le_front3 = (sgn_pl * (-wb_ax)) > 0.0
+            hit_l3 = (bp3 == n_tri) & le_front3
+            # Pdf_Li along wb (lights.py pdf_li area branch): the plane
+            # IS the closest hit when hit_l3, so bt3 is its distance
+            pdf_li_b = (bt3 * bt3) / jnp.maximum(
+                jnp.abs(wb_ax) * area_l, 1e-9)
+            w_b = (pdf_b * pdf_b) / jnp.maximum(
+                pdf_b * pdf_b + pdf_li_b * pdf_li_b, 1e-20)
+            knee_b = jnp.where(active & hit_l3 & (pdf_b > 0.0),
+                               jnp.abs(ndw_b) * w_b
+                               / jnp.maximum(pdf_b, 1e-20), 0.0)
+            knee = knee + knee_b
 
         # ---------------- continuation (matte cosine lobe)
         u_c0 = unif(base + 7)
@@ -467,9 +537,9 @@ def _kernel(tri_ref, msc_ref, kd_ref, ox_ref, oy_ref, oz_ref, dx_ref,
 @functools.partial(
     jax.jit, static_argnames=("n_tri", "n_b", "ax", "pl_facing",
                               "portal_facing", "n_mat", "seed",
-                              "rr_threshold", "interpret"))
+                              "rr_threshold", "mode", "interpret"))
 def _impl(tri_tab, msc, kd, o, d, pid, sidx, *, n_tri, n_b, ax, pl_facing,
-          portal_facing, n_mat, seed, rr_threshold, interpret=False):
+          portal_facing, n_mat, seed, rr_threshold, mode, interpret=False):
     R = o.shape[0]
     block = ROWS * LANES
     Rpad = ((R + block - 1) // block) * block
@@ -488,7 +558,7 @@ def _impl(tri_tab, msc, kd, o, d, pid, sidx, *, n_tri, n_b, ax, pl_facing,
     kernel = functools.partial(
         _kernel, n_tri=n_tri, n_b=n_b, ax=ax, pl_facing=pl_facing,
         portal_facing=portal_facing, n_mat=n_mat, seed=seed,
-        rr_threshold=rr_threshold)
+        rr_threshold=rr_threshold, mode=mode)
     smem = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0),
                                       memory_space=pltpu.SMEM)
     ray_spec = pl.BlockSpec((ROWS, LANES), lambda i: (i, 0),
@@ -544,7 +614,7 @@ def replay(kd, emit, code, knee, kc, rr_threshold=1.0):
     return L
 
 
-def pack_fused(scene):
+def pack_fused(scene, mode):
     """Trace-time packing of the prim/scene tables into SMEM layouts."""
     g = scene.geom
     nt = scene.n_tri
@@ -557,26 +627,31 @@ def pack_fused(scene):
     matf = scene.prim_mat[:nt].astype(jnp.float32)[:, None]
     tri_tab = jnp.concatenate(
         [v0, e1, e2, n, matf, jnp.zeros((nt, 3))], axis=-1)
+    if mode == 1:
+        po_lo = scene.lights.portal_lo[0, 0]
+        po_hi = scene.lights.portal_hi[0, 0]
+    else:
+        po_lo = jnp.zeros(3)
+        po_hi = jnp.zeros(3)
     msc = jnp.concatenate([
         g.pln_lo[0], g.pln_hi[0],
         scene.prim_mat[nt:nt + 1].astype(jnp.float32),
-        scene.lights.portal_lo[0, 0], scene.lights.portal_hi[0, 0],
-        jnp.zeros(3)])[None, :]
+        po_lo, po_hi, jnp.zeros(3)])[None, :]
     return tri_tab, msc
 
 
 def li_path_fused(scene, o, d, pid, sidx, cfg, interpret=False):
     """Fused-path Li: pallas residual kernel + XLA replay. Drop-in for
     _li_loop under the `eligible` gate (R,C) radiance out."""
-    ax, pl_facing, portal_facing, n_mat = scene.fused_profile
+    ax, pl_facing, portal_facing, n_mat, mode = scene.fused_profile
     n_b = cfg.max_depth + 1
-    tri_tab, msc = pack_fused(scene)
+    tri_tab, msc = pack_fused(scene, mode)
     code, knee, kc = _impl(
         jax.lax.stop_gradient(tri_tab), jax.lax.stop_gradient(msc),
         jax.lax.stop_gradient(scene.materials.kd), o, d, pid, sidx,
         n_tri=scene.n_tri, n_b=n_b, ax=ax, pl_facing=pl_facing,
         portal_facing=portal_facing, n_mat=n_mat, seed=cfg.seed,
-        rr_threshold=cfg.rr_threshold, interpret=interpret)
+        rr_threshold=cfg.rr_threshold, mode=mode, interpret=interpret)
     code = jax.lax.stop_gradient(code)
     knee = jax.lax.stop_gradient(knee)
     kc = jax.lax.stop_gradient(kc)

@@ -565,9 +565,16 @@ class SceneBuilder:
     def _fused_profile(self, scene):
         """Static profile for the fused path-bounce kernel
         (ops/fused_path.py): all-matte triangles + ONE aaplane that is
-        the scene's single one-sided projection-strategy portal area
-        light (one portal, parallel to the light plane). Returns
-        (axis, plane_facing, portal_facing, n_materials) or None."""
+        the scene's single one-sided area light, either
+
+        - mode 1 ("projection"): a projection-strategy portal light
+          (one portal, parallel to the light plane) — the fork's
+          light-through-opening scenario, or
+        - mode 0 ("area", r5): a plain diffuse area light (the classic
+          cornell-box class) with full two-sample-MIS NEE.
+
+        Returns (axis, plane_facing, portal_facing, n_materials, mode)
+        or None."""
         if (scene.bvh is not None or scene.n_sph or scene.n_dsk
                 or scene.n_crv or scene.n_vprims or scene.inst is not None):
             return None
@@ -591,16 +598,7 @@ class SceneBuilder:
         lr = self.light_rows[0]
         if lr.get("type") != "area" or lr.get("two_sided", False):
             return None
-        if lr.get("strategy") != "projection":
-            return None
-        portals = lr.get("portals") or ()
-        if len(portals) != 1:
-            return None
-        pax = int(portals[0][2])
-        pfac = bool(portals[0][3])
         pl = self.planes[0]
-        if int(pl["ax"]) != pax:       # SampleProj assumes parallel rects
-            return None
         if int(pl.get("med_in", -1)) != -1 or int(pl.get("med_out", -1)) \
                 != -1:
             return None
@@ -609,4 +607,16 @@ class SceneBuilder:
             return None
         if int(np.asarray(scene.lights.prim_id)[0]) != scene.n_tri:
             return None
-        return (pax, bool(pl["facing"]), pfac, len(self.materials))
+        portals = lr.get("portals") or ()
+        if not portals:
+            if lr.get("strategy") not in (None, "light"):
+                return None
+            return (int(pl["ax"]), bool(pl["facing"]), False,
+                    len(self.materials), 0)
+        if lr.get("strategy") != "projection" or len(portals) != 1:
+            return None
+        pax = int(portals[0][2])
+        pfac = bool(portals[0][3])
+        if int(pl["ax"]) != pax:       # SampleProj assumes parallel rects
+            return None
+        return (pax, bool(pl["facing"]), pfac, len(self.materials), 1)

@@ -44,8 +44,8 @@ def _rays(scene, res=24, chunk=2, max_depth=4):
 def test_fused_profile_detected_on_bench_scene():
     scene = ge._portal_scene()
     assert scene.fused_profile is not None
-    ax, pl_facing, portal_facing, n_mat = scene.fused_profile
-    assert ax == 1 and n_mat == 4
+    ax, pl_facing, portal_facing, n_mat, mode = scene.fused_profile
+    assert ax == 1 and n_mat == 4 and mode == 1
 
 
 def test_fused_pixel_equality_vs_xla_path():
@@ -123,3 +123,86 @@ def test_fused_profile_rejects_non_matte_scene():
                   facing_fw=False, mat=m, light=li)
     scene = b.build()
     assert scene.fused_profile is None
+
+
+def _plain_cornell():
+    """Classic cornell box: plain one-sided diffuse area light (no
+    portal) — the r5 mode-0 fused profile (full two-sample-MIS NEE)."""
+    from pbrt_tpu.core.spectrum import RGB
+    from pbrt_tpu.scene.types import SceneBuilder
+    b = SceneBuilder(RGB)
+    white = b.add_material(type=0, kd=(0.73, 0.73, 0.73))
+    red = b.add_material(type=0, kd=(0.63, 0.065, 0.05))
+    green = b.add_material(type=0, kd=(0.14, 0.45, 0.091))
+    black = b.add_material(type=0, kd=0.0)
+    for verts, m in [
+        ([(0, 0, 0), (1, 0, 0), (1, 0, 1), (0, 0, 1)], white),
+        ([(0, 0, 1), (1, 0, 1), (1, 1, 1), (0, 1, 1)], white),
+        ([(0, 0, 0), (0, 0, 1), (0, 1, 1), (0, 1, 0)], red),
+        ([(1, 0, 0), (1, 1, 0), (1, 1, 1), (1, 0, 1)], green),
+    ]:
+        b.add_mesh(verts, [(0, 1, 2), (0, 2, 3)], mat=m)
+    b.add_mesh([(0, 1, 0), (1, 1, 0), (1, 1, 0.3), (0, 1, 0.3)],
+               [(0, 1, 2), (0, 2, 3)], mat=white)
+    b.add_mesh([(0, 1, 0.7), (1, 1, 0.7), (1, 1, 1), (0, 1, 1)],
+               [(0, 1, 2), (0, 2, 3)], mat=white)
+    li = b.add_light(type="area", L=(15.0, 13.0, 9.0), prim=-1)
+    pid_l = b.add_aaplane((0.3, 0.99, 0.35), (0.7, 0.99, 0.65), axis=1,
+                          facing_fw=False, mat=black, light=li)
+    b.light_rows[li]["prim"] = b.prim_index("pln", pid_l)
+    return b.build()
+
+
+def test_fused_area_mode_profile_and_pixels():
+    """Mode 0 (plain diffuse area light, classic cornell): lane-for-lane
+    equality with the XLA path except geometry-seam lanes where float
+    order flips a hit/miss (measured 1/2048 and 9/36864; the XLA twin's
+    continuation ray leaks through the same corner there — both
+    estimators are unbiased at seams)."""
+    scene = _plain_cornell()
+    assert scene.fused_profile is not None
+    assert scene.fused_profile[4] == 0          # mode 0 = plain area
+    rays, pid, sidx, sfn, cfg = _rays(scene, res=32, chunk=2)
+    L_ref = np.asarray(_li_loop(scene, rays.o, rays.d, pid, sidx, sfn,
+                                cfg, None))
+    L_fus = np.asarray(fused_path.li_path_fused(
+        scene, rays.o, rays.d, pid, sidx, cfg, interpret=True))
+    assert L_ref.mean() > 0.05
+    bad = (np.abs(L_ref - L_fus).max(-1) > 1e-4)
+    assert bad.mean() < 1e-3, f"{bad.sum()} mismatched lanes"
+    ok = ~bad
+    np.testing.assert_allclose(L_fus[ok], L_ref[ok], atol=1.1e-4)
+    # image means agree to the seam-lane noise level
+    assert abs(L_fus.mean() - L_ref.mean()) / L_ref.mean() < 0.01
+
+
+def test_fused_area_mode_gradients():
+    """Mode 0 gradient replay vs autodiff of the XLA path (both MIS
+    halves fold into the same kd-linear residual)."""
+    scene = _plain_cornell()
+    rays, pid, sidx, sfn, cfg = _rays(scene, res=16, chunk=2)
+
+    def loss_xla(kd, emit):
+        s = dc.replace(scene,
+                       materials=dc.replace(scene.materials, kd=kd),
+                       lights=dc.replace(scene.lights, emit=emit))
+        return jnp.mean(_li_loop(s, rays.o, rays.d, pid, sidx, sfn, cfg,
+                                 None))
+
+    def loss_fused(kd, emit):
+        s = dc.replace(scene,
+                       materials=dc.replace(scene.materials, kd=kd),
+                       lights=dc.replace(scene.lights, emit=emit))
+        return jnp.mean(fused_path.li_path_fused(
+            s, rays.o, rays.d, pid, sidx, cfg, interpret=True))
+
+    kd, emit = scene.materials.kd, scene.lights.emit
+    v1, g1 = jax.value_and_grad(loss_xla, argnums=(0, 1))(kd, emit)
+    v2, g2 = jax.value_and_grad(loss_fused, argnums=(0, 1))(kd, emit)
+    # seam lanes put a small absolute floor under the agreement
+    np.testing.assert_allclose(float(v2), float(v1), rtol=5e-3)
+    np.testing.assert_allclose(np.asarray(g2[0]), np.asarray(g1[0]),
+                               atol=2e-4)
+    np.testing.assert_allclose(np.asarray(g2[1]), np.asarray(g1[1]),
+                               atol=2e-5)
+    assert np.abs(np.asarray(g1[0])).max() > 1e-3
