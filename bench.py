@@ -164,12 +164,20 @@ def worker():
     # comparison of the same workload.
     from pbrt_tpu.ops import fused_path as _fp
     fused_on = _fp.eligible(scene, cfg)
-    # fused mode 1 (portal, light-only NEE) = 2 sweeps/bounce; mode 0
-    # (plain area light, two-sample MIS) = 3; XLA path = 3
+    # r5 depth-convention fix: the FINAL iteration is emission-only
+    # (pbrt's break-before-NEE). Fused kernel sweeps per sample:
+    # mode 1 (portal, light-only NEE) = (md+1) extensions + md shadows;
+    # mode 0 (area, 2-sample MIS) = (md+1) + 2·md. XLA path still
+    # traces its (masked) NEE on the last iteration = 3·(md+1).
     fused_mode = scene.fused_profile[4] if fused_on else None
-    traces_per_bounce = 2 if (fused_on and fused_mode == 1) else 3
+    if fused_on and fused_mode == 1:
+        sweeps = (MAX_DEPTH + 1) + MAX_DEPTH
+    elif fused_on:
+        sweeps = (MAX_DEPTH + 1) + 2 * MAX_DEPTH
+    else:
+        sweeps = 3 * (MAX_DEPTH + 1)
     bwd_factor = 1 if fused_on else 2
-    rays_traced = W * H * SPP * bounces * traces_per_bounce * bwd_factor
+    rays_traced = W * H * SPP * sweeps * bwd_factor
     mrays_fwdbwd = rays_traced / t_fwdbwd / 1e6
     r4_formula_mrays = W * H * SPP * bounces * 3 * 2 / t_fwdbwd / 1e6
 
@@ -205,7 +213,7 @@ def worker():
             "t_fwdbwd_s": round(t_fwdbwd, 4),
             "t_compile_s": round(t_compile, 1),
             "fused_kernel": bool(fused_on),
-            "traces_per_bounce": traces_per_bounce,
+            "sweeps_per_sample": sweeps,
             "bwd_retrace": bwd_factor == 2,
             "r4_formula_mrays": round(r4_formula_mrays, 1),
             "resolution": [W, H], "spp": SPP, "max_depth": MAX_DEPTH,

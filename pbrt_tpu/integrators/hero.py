@@ -214,7 +214,10 @@ def _li_hero(scene, o, d, pid, sidx, sfn, cfg, power_distr, use_nee):
             w_nee = jnp.where(use_h, w_nee_h, w_nee_s)
             cosw = absdot(ls["wi"], hit.ns)[..., None]
             contrib = beta * li * f_sel * cosw * w_nee
-            L = L + jnp.where(vis[..., None], contrib, 0.0)
+            # no NEE on the final iteration (hero_path_mis.cpp:228
+            # breaks before the emitter sample — r5 depth fix)
+            L = L + jnp.where((vis & (b < cfg.max_depth))[..., None],
+                              contrib, 0.0)
 
         # ---- continuation (Sample_f at the hero wavelength)
         u_cl = sfn(pid, sidx, dims["cont_lobe"], cfg.seed)

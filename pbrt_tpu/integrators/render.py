@@ -176,6 +176,14 @@ def _li_loop(scene, o, d, pid, sidx, sfn, cfg: RenderConfig, power_distr,
         L, beta, active, specular, eta_scale, o_cur, d_cur, lv = state
         if cfg.collect_stats:
             lv = lv.at[b].set(jnp.sum(active.astype(jnp.float32)))
+        # pbrt's termination order (path.cpp:23-24 `if (!foundIntersection
+        # || bounces >= maxDepth) break;`): the FINAL iteration collects
+        # emission only — no NEE, no continuation. r5 fix: we previously
+        # ran a full NEE level on it, computing one bounce MORE transport
+        # than the reference for the same "maxdepth" (caught by the
+        # env-cavity oracle at 4.3% — open scenes hid it inside MC
+        # tolerances).
+        last = b >= (n_bounces - 1)
         dims = _bounce_dims(b)
         hit = isect_mod.intersect(scene, o_cur, d_cur,
                                   jnp.full(R, vecmath.INF), time=time)
@@ -216,7 +224,7 @@ def _li_loop(scene, o, d, pid, sidx, sfn, cfg: RenderConfig, power_distr,
                 scene, hit, mp, wo_w, u_sel, u_l, u_mu, u_ml,
                 power_distr=power_distr, with_bsdf_half=bsdf_half,
                 time=time)
-            L = L + jnp.where(active[..., None], beta * ld, 0.0)
+            L = L + jnp.where((active & ~last)[..., None], beta * ld, 0.0)
 
         # continuation (path.cpp:320-360)
         t1, t2 = common.shading_frame(hit, mp)
@@ -239,7 +247,7 @@ def _li_loop(scene, o, d, pid, sidx, sfn, cfg: RenderConfig, power_distr,
         throughput = f * (absdot(wi, hit.ns)
                           / jnp.maximum(pdf, 1e-20))[..., None]
         beta_new = beta * throughput
-        alive = (active & cont_ok & (pdf > 0)
+        alive = (active & ~last & cont_ok & (pdf > 0)
                  & (jnp.max(beta_new, axis=-1) > 0))
         # eta scaling for russian roulette (path.cpp:344-352)
         eta = mp.eta

@@ -295,7 +295,10 @@ def li_volpath(scene, o, d, pid, sidx, sfn, cfg, power_distr, time=None,
         alive_v = active & (in_medium | (hit.valid & ~is_null))
         ld = nee_from(p_v, ns_v, in_medium, cur_med, mp, -d_cur, b, dims,
                       hit)
-        L = L + jnp.where(alive_v[..., None], beta * ld, 0.0)
+        # no NEE on the final iteration (volpath.cpp:85,113 break BEFORE
+        # scattering — r5 depth-convention fix, see render.py _li_loop)
+        L = L + jnp.where((alive_v & (b < cfg.max_depth))[..., None],
+                          beta * ld, 0.0)
 
         # ---- continuation: phase sample (medium) or BSDF sample (surface)
         u_cl = sfn(pid, sidx, dims["cont_lobe"], cfg.seed)

@@ -262,6 +262,17 @@ def _kernel(tri_ref, msc_ref, kd_ref, ox_ref, oy_ref, oz_ref, dx_ref,
 
         active = active & hitv
 
+        if b == n_b - 1:
+            # pbrt's termination order (path.cpp:23-24): the final
+            # iteration collects emission only — no NEE, no
+            # continuation (r5 depth-convention fix, matching _li_loop;
+            # also saves the last iteration's shadow sweeps)
+            code = matf.astype(jnp.int32) + jnp.where(kemit, _B_EMIT, 0)
+            code_out[b, :, :] = code
+            knee_out[b, :, :] = zero
+            kc_out[b, :, :] = zero
+            continue
+
         # shading frame (Duff; vecmath.coordinate_system)
         s = jnp.where(nz >= 0.0, 1.0, -1.0)
         a = -1.0 / (s + nz)

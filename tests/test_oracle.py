@@ -482,3 +482,36 @@ def test_disney_full_matches_reference_binary():
     bl = _block_rel_l1(img, ref)
     assert md < 0.006, f"disney mean delta {md:.4f} vs reference binary"
     assert bl < 0.095, f"disney block rel-L1 {bl:.4f} vs reference binary"
+
+
+def test_env_cavity_bdpt_vs_reference_binary():
+    """Env-lit cavity (roofed floor, constant infinite light) — the
+    depth-convention probe established in r5: at maxdepth 4 the
+    reference binary's OWN bdpt renders only 0.889x its own path tracer
+    on this scene (pbrt's connect cap truncates deep families harder
+    than path's bounce cap; both images committed as refs, 1024 spp).
+    Ours must (a) match pbrt's PATH render with the path integrator and
+    (b) land CLOSER to that ground truth with bdpt than pbrt's own bdpt
+    does (our env light subpaths + env NEE reach one vertex deeper than
+    pbrt's bdpt, and unexecutable strategies are excluded from the MIS
+    denominators)."""
+    from pbrt_tpu.frontend import load_pbrt
+    from pbrt_tpu.integrators.bdpt import render_bdpt
+    from pbrt_tpu.integrators.render import render
+
+    ref_path = _load_ref("envcavity_path_ref.pfm")
+    ref_bdpt = _load_ref("envcavity_bdpt_ref.pfm")
+    scene, cam, opts = load_pbrt(
+        os.path.join(ORACLE, "envcavity_oracle.pbrt"))
+    img_p = np.asarray(render(scene, cam, spp=48, integrator="path",
+                              max_depth=opts["max_depth"], seed=1))
+    md_p = _mean_delta(img_p, ref_path)
+    assert md_p < 0.02, f"path mean delta {md_p:.4f}"
+
+    img_b = np.asarray(render_bdpt(scene, cam, spp=48,
+                                   max_depth=opts["max_depth"], seed=2))
+    ours_gap = abs(img_b.mean() - ref_path.mean()) / ref_path.mean()
+    pbrt_gap = abs(ref_bdpt.mean() - ref_path.mean()) / ref_path.mean()
+    # pbrt's own bdpt gap measured 0.111; ours ~0.03
+    assert pbrt_gap > 0.08, f"ref gap changed? {pbrt_gap:.4f}"
+    assert ours_gap < pbrt_gap * 0.6, (ours_gap, pbrt_gap)
