@@ -786,7 +786,12 @@ def _li_bdpt_impl(scene, o, d, pid, sidx, sfn, cfg, power_distr,
     # connection strategies s>=1, t>=2
     for t in range(2, max_v + 1):
         for s in range(1, max_v + 1):
-            if s + t > max_v + 1:
+            # pbrt's strategy cap (bdpt.cpp:382 `depth = t + s - 2 >
+            # maxDepth → skip`): every strategy constructs paths of at
+            # most max_v = maxDepth+2 vertices, the same set the path
+            # tracer's NEE reaches — r5 depth-convention alignment (was
+            # max_v+1, matching the pre-fix path's extra NEE level)
+            if s + t > max_v:
                 continue
             contrib, valid = connect_bdpt(scene, cam_sp, light_sp, s, t)
             w = mis_weight(scene, cam_sp, light_sp, s, t,
@@ -835,7 +840,13 @@ def _li_bdpt_impl(scene, o, d, pid, sidx, sfn, cfg, power_distr,
                               cam_sp.esc_beta[:, cv] * le
                               * w_esc[..., None], 0.0)
 
-            # env-NEE strategy at surface vertex cv
+            # env-NEE strategy at surface vertex cv — capped at
+            # t ≤ max_v−1 so the constructed path (t+1 vertices incl.
+            # the env endpoint) respects the max_v-vertex strategy cap
+            # (r5 depth alignment; this family at t==max_v was the one
+            # place bdpt sampled deeper than the path tracer)
+            if t >= max_v:
+                continue
             vok = cam_sp.vtype[:, cv] == VT_SURFACE
             u_env = jnp.stack([sfn(pid, sidx, 300 + 2 * t, cfg.seed),
                                sfn(pid, sidx, 301 + 2 * t, cfg.seed)], -1)
@@ -941,7 +952,8 @@ def light_splat_pass(scene, cam, n_paths: int, chunk_it: int, seed: int,
     p_cam_b = jnp.broadcast_to(p_cam, (n_paths, 3))
 
     film = jnp.zeros((height, width, C))
-    for s in range(1, max_v + 1):
+    # s ≤ max_v−1: a (s, t=1) path has s+1 vertices (r5 depth alignment)
+    for s in range(1, max_v):
         lv = s - 1
         valid = light_sp.vtype[:, lv] != VT_NONE
         d = light_sp.p[:, lv] - p_cam_b
