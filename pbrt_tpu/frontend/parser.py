@@ -809,13 +809,12 @@ class PbrtParser:
                 kw["thin"] = 1.0
             sd = p.spectrum_rgb("scatterdistance")
             if sd is not None and float(np.max(np.asarray(sd))) > 0:
-                import sys as _sys
                 # disney.cpp:519-527 swaps the diffuse lobe for a
-                # DisneyBSSRDF when scatterdistance is non-black;
-                # unimplemented here (documented delta, PARITY.md)
-                print("pbrt_tpu: warning: disney 'scatterdistance' "
-                      "(DisneyBSSRDF) is not implemented; rendering with "
-                      "the diffuse lobe instead", file=_sys.stderr)
+                # DisneyBSSRDF when scatterdistance is non-black and the
+                # surface is not thin (the thin branch at :506-517 wins
+                # and pbrt ignores scatterdistance there)
+                if not kw.get("thin"):
+                    kw["scatter_d"] = tuple(np.asarray(sd, np.float64))
         if name == "hair":
             # materials/hair.cpp CreateHairMaterial: absorption from
             # sigma_a | color | eumelanin/pheomelanin, in that priority

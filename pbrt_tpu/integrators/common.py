@@ -287,23 +287,43 @@ def subsurface_transport(scene, hit, mp, beta, wo_world, pid, sidx, sfn,
 
     C = scene.n_channels
     R = hit.p.shape[0]
-    is_sss = (mp.mtype == mat_mod.SUBSURFACE) & hit.valid
+    is_tab = (mp.mtype == mat_mod.SUBSURFACE) & hit.valid
+    has_dis = scene.materials.has_disney_sss
+    if has_dis:
+        # DisneyBSSRDF rows (disney.cpp:519-527): scatterdistance swaps
+        # the diffuse lobe for a SpecularTransmission entry + BSSRDF
+        is_dis = (mp.mtype == mat_mod.DISNEY) \
+            & mat_mod._disney_sss_mask(mp) & hit.valid
+    else:
+        is_dis = jnp.zeros_like(is_tab)
+    is_sss = is_tab | is_dis
     sseed = seed ^ 0x5550
     u_f = sfn(pid, sidx, dims["select"], sseed)
     u_ch = sfn(pid, sidx, dims["mis_lobe"], sseed)
     u_r = sfn(pid, sidx, dims["light_u"][0], sseed)
     u_phi = sfn(pid, sidx, dims["light_u"][1], sseed)
 
-    sigma_t = jnp.maximum(mp.sss_sigma_a + mp.sss_sigma_s, 1e-6)
-    albedo = mp.sss_sigma_s / sigma_t
-
     # interface fresnel — use the outward-oriented normal so mesh winding
     # cannot flip us into the TIR branch
     ns_o = vecmath.face_forward(hit.ns, wo_world)
     cos_o = dot(wo_world, ns_o)
     f_in = mat_mod.fr_dielectric(cos_o, jnp.ones(R), mp.eta)
-    spec_refl = is_sss & (u_f < f_in)
-    enter = is_sss & ~spec_refl
+    spec_refl = is_tab & (u_f < f_in)
+    enter = is_tab & ~spec_refl
+    if has_dis:
+        # Disney entry = the delta SpecularTransmission lobe of the
+        # census, picked with probability 1/n; the surviving weight is
+        # n·(1−Fr) (BSDF::Sample_f divides a sampled specular lobe's
+        # pdf by matchingComps, reflection.h:575-580 semantics). There
+        # is no mirror branch — Fr only attenuates the entry
+        _, _, _, _, n_dis, _ = mat_mod._disney_lobe_counts(mp)
+        p_entry = 1.0 / jnp.maximum(n_dis, 1.0)
+        enter_dis = is_dis & (u_f < p_entry)
+        enter = enter | enter_dis
+        beta = jnp.where(enter_dis[:, None],
+                         beta * (n_dis * (1.0 - f_in))[:, None], beta)
+    else:
+        enter_dis = jnp.zeros_like(is_tab)
 
     # projection-axis pick (Sample_Sp:336-353: ns ½, ss ¼, ts ¼) and
     # channel pick (uniform, :355-357), both folded into u_ch like
@@ -357,7 +377,17 @@ def subsurface_transport(scene, hit, mp, beta, wo_world, pid, sidx, sfn,
         pr = isect_mod.intersect(scene, o_cur, -vz, t_rem, time=time)
         pr_mp = mat_mod.gather_materials(scene.materials,
                                          scene.mat_at(pr.prim_id))
-        adm = pr.valid & (pr_mp.mtype == mat_mod.SUBSURFACE)
+        adm_kind = pr_mp.mtype == mat_mod.SUBSURFACE
+        if has_dis:
+            # pbrt admits probe hits on the SAME material
+            # (Sample_Sp:311: primitive->GetMaterial() == material). For
+            # Disney rows match the material row exactly (R and d are
+            # row parameters); SUBSURFACE keeps the family-level
+            # approximation documented in PARITY.md
+            adm_kind = jnp.where(is_dis,
+                                 scene.mat_at(pr.prim_id) == mat_id,
+                                 adm_kind)
+        adm = pr.valid & adm_kind
         chain.append((adm, pr))
         eps = 1e-4 * jnp.maximum(h_probe, 1.0)
         o_cur = pr.p - vz * eps[:, None]
@@ -431,6 +461,15 @@ def subsurface_transport(scene, hit, mp, beta, wo_world, pid, sidx, sfn,
     # profile tail can produce unbounded ratios (pbrt fires the same
     # fireflies; the tabulated profile support keeps this rare)
     w_ss = jnp.minimum(w_ss, 1e3)
+    if has_dis:
+        # Disney rows tabulate the NORMALIZED Burley profile p(r; d)
+        # (scene/bssrdf.py disney_profiles): the reflectance scale
+        # R = diffuseWeight·color (disney.cpp:524-525, textured at the
+        # entry point) multiplies here
+        from pbrt_tpu.scene import textures as tex_mod
+        kd_here = jnp.clip(tex_mod.resolve_kd(scene, mp, hit), 0.0, None)
+        dw_dis = ((1.0 - mp.metallic) * (1.0 - mp.spec_trans))[:, None]
+        w_ss = jnp.where(is_dis[:, None], w_ss * kd_here * dw_dis, w_ss)
 
     # probe found no admissible exit → the sample dies, exactly pbrt's
     # `if (S.IsBlack() || pdf == 0) break` (path.cpp bssrdf block). The
@@ -442,7 +481,7 @@ def subsurface_transport(scene, hit, mp, beta, wo_world, pid, sidx, sfn,
     new_hit = dc.replace(
         hit,
         p=jnp.where(ok[:, None], probe.p, hit.p),
-        ns=jnp.where((is_sss & ~spec_refl)[:, None],
+        ns=jnp.where(enter[:, None],
                      jnp.where(ok[:, None], exit_ns_raw, ns_o), hit.ns),
         ng=jnp.where(ok[:, None], probe.ng, hit.ng))
     white = jnp.ones((R, C))

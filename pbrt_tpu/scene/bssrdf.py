@@ -244,6 +244,16 @@ def invert_catmull_rom(x, values, u):
 _TABLE_CACHE: dict = {}
 
 
+def _radius_grid():
+    """The 64-sample geometric optical-radius grid shared by every
+    tabulated profile (bssrdf.cpp:152-155)."""
+    radius = np.zeros(N_RADIUS)
+    radius[1] = 2.5e-3
+    for i in range(2, N_RADIUS):
+        radius[i] = radius[i - 1] * 1.2
+    return radius
+
+
 def compute_table(g: float, eta: float):
     """ComputeBeamDiffusionBSSRDF (bssrdf.cpp:145-172): returns dict with
     rho (100,), radius (64,), profile (100,64), cdf (100,64), rho_eff
@@ -251,10 +261,7 @@ def compute_table(g: float, eta: float):
     key = (round(float(g), 6), round(float(eta), 6))
     if key in _TABLE_CACHE:
         return _TABLE_CACHE[key]
-    radius = np.zeros(N_RADIUS)
-    radius[1] = 2.5e-3
-    for i in range(2, N_RADIUS):
-        radius[i] = radius[i - 1] * 1.2
+    radius = _radius_grid()
     rho = (1 - np.exp(-8 * np.arange(N_RHO) / (N_RHO - 1))) \
         / (1 - np.exp(-8))
     rg = rho[:, None] * np.ones(N_RADIUS)[None, :]
@@ -323,6 +330,46 @@ def material_profiles(sigma_a, sigma_s, g: float, eta: float):
                 sigma_t=sigma_t, r_max=rmax, radius=t["radius"])
 
 
+def disney_profiles(sd):
+    """DisneyBSSRDF radial tables (materials/disney.cpp:365-470).
+
+    Burley's normalized diffusion Sr(r) = R·(e^{-r/d}+e^{-r/(3d)})/(8π d r)
+    with d = 0.2·scatterdistance (the empirical 0.2 of disney.cpp:371-372)
+    factors as R·p(r; d) where p is a normalized polar pdf. In optical
+    units x = r·sigma_t with sigma_t = 1/d, the tabulated integrand
+    2π·r·Sr/R becomes (e^{-x} + e^{-x/3})/4, whose integral over x is
+    exactly 1 — so these rows slot straight into the TabulatedBSSRDF
+    machinery (sample_sr / eval_profile) with rho_eff = cdf[-1] ≈ 1, and
+    the (possibly textured) R = diffuseWeight·color multiplies at eval
+    time in subsurface_transport. CDF inversion over the tabulated
+    profile is statistically equivalent to pbrt's two-exponential MIS
+    shortcut (disney.cpp:419-459): both sample the same normalized
+    density. Channels with scatterdistance 0 get sigma_t = 0 (never
+    sampled, zero contribution)."""
+    sd = np.atleast_1d(np.asarray(sd, np.float64))
+    C = sd.shape[0]
+    radius = _radius_grid()
+    prof = np.zeros((C, N_RADIUS))
+    cdf = np.zeros((C, N_RADIUS))
+    rho_eff = np.zeros(C)
+    sigma_t = np.zeros(C)
+    rmax = np.zeros(C)
+    shape = (np.exp(-radius) + np.exp(-radius / 3.0)) / 4.0
+    total, cdf_row = integrate_catmull_rom(radius, shape[None, :])
+    r_opt_999 = invert_catmull_rom(radius, cdf_row[0], 0.999 * total[0])
+    for c in range(C):
+        d = 0.2 * sd[c]
+        if d <= 0:
+            continue
+        sigma_t[c] = 1.0 / d
+        prof[c] = shape
+        cdf[c] = cdf_row[0]
+        rho_eff[c] = total[0]
+        rmax[c] = r_opt_999 * d
+    return dict(profile=prof, cdf=cdf, rho_eff=rho_eff,
+                sigma_t=sigma_t, r_max=rmax, radius=radius)
+
+
 # ---------------------------------------------------------------------------
 # scene-level table container
 # ---------------------------------------------------------------------------
@@ -344,10 +391,23 @@ class SSSTables:
     r_max: Array       # (M*C,) world-space 0.999-quantile radius
 
 
-def build_scene_tables(rows, n_channels: int) -> SSSTables | None:
-    """Build SSSTables for a SceneBuilder material-row list (cold path)."""
+def row_is_disney_sss(r: dict) -> bool:
+    """Material row builds a DisneyBSSRDF: disney type, non-black
+    scatterdistance, not thin (disney.cpp:506-527 takes the thin branch
+    before the BSSRDF one)."""
     from pbrt_tpu.scene import materials as mat_mod
-    if not any(r.get("type") == mat_mod.SUBSURFACE for r in rows):
+    return (r.get("type") == mat_mod.DISNEY
+            and float(np.max(np.asarray(r.get("scatter_d", 0.0)))) > 0
+            and not r.get("thin", 0.0))
+
+
+def build_scene_tables(rows, n_channels: int) -> SSSTables | None:
+    """Build SSSTables for a SceneBuilder material-row list (cold path).
+    Covers both TabulatedBSSRDF rows (SUBSURFACE material) and
+    DisneyBSSRDF rows (disney material with scatterdistance)."""
+    from pbrt_tpu.scene import materials as mat_mod
+    if not any(r.get("type") == mat_mod.SUBSURFACE or row_is_disney_sss(r)
+               for r in rows):
         return None
     m = len(rows)
     C = n_channels
@@ -356,16 +416,21 @@ def build_scene_tables(rows, n_channels: int) -> SSSTables | None:
     rho_eff = np.zeros((m, C), np.float32)
     sigma_t = np.zeros((m, C), np.float32)
     r_max = np.zeros((m, C), np.float32)
-    radius = None
+    radius = _radius_grid()
     for i, r in enumerate(rows):
-        if r.get("type") != mat_mod.SUBSURFACE:
+        if row_is_disney_sss(r):
+            sd = np.broadcast_to(np.asarray(r.get("scatter_d", 0.0),
+                                            np.float64), (C,))
+            p = disney_profiles(sd)
+        elif r.get("type") == mat_mod.SUBSURFACE:
+            sa = np.broadcast_to(np.asarray(r.get("sss_sigma_a", 0.01),
+                                            np.float64), (C,))
+            ss = np.broadcast_to(np.asarray(r.get("sss_sigma_s", 1.0),
+                                            np.float64), (C,))
+            p = material_profiles(sa, ss, float(r.get("sss_g", 0.0)),
+                                  float(r.get("eta", 1.33)))
+        else:
             continue
-        sa = np.broadcast_to(np.asarray(r.get("sss_sigma_a", 0.01),
-                                        np.float64), (C,))
-        ss = np.broadcast_to(np.asarray(r.get("sss_sigma_s", 1.0),
-                                        np.float64), (C,))
-        p = material_profiles(sa, ss, float(r.get("sss_g", 0.0)),
-                              float(r.get("eta", 1.33)))
         prof[i] = p["profile"]
         cdf[i] = p["cdf"]
         rho_eff[i] = p["rho_eff"]

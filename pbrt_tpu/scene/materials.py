@@ -91,6 +91,9 @@ class MaterialTable:
     diff_trans: Array      # (M,) raw difftrans (halved at eval, :490-491)
     flatness: Array        # (M,) thin-surface fake-subsurface blend
     thin: Array            # (M,) 0/1 thin-surface flag
+    scatter_d: Array       # (M,C) disney scatterdistance; non-black on a
+                           # non-thin row swaps DisneyDiffuse for a
+                           # DisneyBSSRDF (disney.cpp:506-527)
     # hair fiber parameters (materials/hair.cpp; absorption rides in
     # sss_sigma_a)
     beta_m: Array          # (M,) longitudinal roughness
@@ -115,6 +118,10 @@ class MaterialTable:
     # Disney transmission lobes — disney.cpp:566-589 only builds them then)
     has_disney_trans: bool = dataclasses.field(metadata=dict(static=True),
                                                default=False)
+    # static: any non-thin Disney row with non-black scatterdistance?
+    # (guards the DisneyBSSRDF entry lobe + subsurface relocation)
+    has_disney_sss: bool = dataclasses.field(metadata=dict(static=True),
+                                             default=False)
     # sorted tuple of material types present in the table. pbrt's virtual
     # dispatch only executes the BxDF subclasses a scene instantiates; the
     # branchless equivalent is to only *trace* the present families —
@@ -163,6 +170,7 @@ def make_material_table(rows: list[dict], n_channels: int) -> MaterialTable:
         diff_trans=jnp.asarray(f("diff_trans", 1.0)),
         flatness=jnp.asarray(f("flatness", 0.0)),
         thin=jnp.asarray(f("thin", 0.0)),
+        scatter_d=jnp.asarray(fc("scatter_d", 0.0)),
         beta_m=jnp.asarray(f("beta_m", 0.3)),
         beta_n=jnp.asarray(f("beta_n", 0.3)),
         hair_alpha=jnp.asarray(f("hair_alpha", 2.0)),
@@ -176,18 +184,31 @@ def make_material_table(rows: list[dict], n_channels: int) -> MaterialTable:
             r.get("type") == DISNEY
             and (r.get("spec_trans", 0.0) > 0 or r.get("thin", 0.0))
             for r in rows),
+        has_disney_sss=any(
+            r.get("type") == DISNEY
+            and float(np.max(np.asarray(r.get("scatter_d", 0.0)))) > 0
+            and not r.get("thin", 0.0)
+            for r in rows),
         has_fourier=any(r.get("type") == FOURIER for r in rows),
-        present=_close_present({int(r.get("type", MATTE)) for r in rows}
-                               or {MATTE}),
+        present=_close_present(
+            {int(r.get("type", MATTE)) for r in rows} or {MATTE},
+            disney_sss=any(
+                r.get("type") == DISNEY
+                and float(np.max(np.asarray(r.get("scatter_d", 0.0)))) > 0
+                and not r.get("thin", 0.0)
+                for r in rows)),
     )
 
 
-def _close_present(types: set) -> tuple:
+def _close_present(types: set, disney_sss: bool = False) -> tuple:
     """Close the present-type set under runtime row rewrites:
     subsurface_transport (integrators/common.py) turns SUBSURFACE rows into
-    SSS_EXIT (Sw exit lobe) or MIRROR (interface reflection)."""
+    SSS_EXIT (Sw exit lobe) or MIRROR (interface reflection), and entered
+    DisneyBSSRDF rows (scatterdistance) into SSS_EXIT."""
     if SUBSURFACE in types:
         types = types | {MATTE, MIRROR, SSS_EXIT}
+    if disney_sss:
+        types = types | {MATTE, SSS_EXIT}
     return tuple(sorted(types))
 
 
@@ -772,6 +793,15 @@ def _disney_cc_gloss(mp: MaterialTable):
     return (1.0 - mp.clearcoat_gloss) * 0.1 + mp.clearcoat_gloss * 0.001
 
 
+def _disney_sss_mask(mp: MaterialTable):
+    """Rows whose DisneyDiffuse lobe is replaced by {SpecularTransmission
+    entry + DisneyBSSRDF} (disney.cpp:506-527: non-thin, diffuseWeight>0,
+    scatterdistance non-black)."""
+    dw = (1.0 - mp.metallic) * (1.0 - mp.spec_trans)
+    return ((jnp.max(mp.scatter_d, axis=-1) > 0)
+            & ~(mp.thin > 0.5) & (dw > 0))
+
+
 def _disney_lobe_counts(mp: MaterialTable):
     """Per-row lobe census matching DisneyMaterial::
     ComputeScatteringFunctions (disney.cpp:504-589). pbrt's BSDF::Sample_f
@@ -780,7 +810,14 @@ def _disney_lobe_counts(mp: MaterialTable):
     Sheen) all cosine-sample, so they fold into one cosine lobe with
     multiplicity k_diff.
 
-    Returns (k_diff, n_cc, n_mt, n_lt, n_total), all (R,) float."""
+    scatterdistance rows (non-thin) swap DisneyDiffuse for a delta
+    SpecularTransmission BSSRDF-entry lobe (:519-527): k_diff drops by
+    one and n_entry = 1 joins the census. The entry lobe counts in
+    n_total (BSDF::Pdf's matchingComps includes specular components) but
+    is SAMPLED by subsurface_transport, not by the direction sampler.
+
+    Returns (k_diff, n_cc, n_mt, n_lt, n_total, n_entry), all (R,)
+    float."""
     thin = mp.thin > 0.5
     dw = (1.0 - mp.metallic) * (1.0 - mp.spec_trans)
     has_diff = dw > 0
@@ -788,11 +825,17 @@ def _disney_lobe_counts(mp: MaterialTable):
         has_diff,
         jnp.where(thin, 3.0, 2.0) + (mp.sheen > 0).astype(jnp.float32),
         0.0)
+    n_entry = jnp.zeros_like(k_diff)
+    if mp.has_disney_sss:
+        sss = _disney_sss_mask(mp)
+        k_diff = jnp.where(sss, k_diff - 1.0, k_diff)
+        n_entry = jnp.where(sss, 1.0, 0.0)
     n_cc = (mp.clearcoat > 0).astype(jnp.float32)
     n_mt = (mp.spec_trans > 0).astype(jnp.float32)
     n_lt = thin.astype(jnp.float32)       # LambertianTransmission (:585-589)
-    n = k_diff + 1.0 + n_cc + n_mt + n_lt  # +1 = MicrofacetReflection
-    return k_diff, n_cc, n_mt, n_lt, n
+    # +1 = MicrofacetReflection
+    n = k_diff + 1.0 + n_cc + n_mt + n_lt + n_entry
+    return k_diff, n_cc, n_mt, n_lt, n, n_entry
 
 
 def _disney_f_refl(mp: MaterialTable, kd, wo, wi):
@@ -834,6 +877,10 @@ def _disney_f_refl(mp: MaterialTable, kd, wo, wi):
     fake_ss = c * (INV_PI * ss)[..., None]
     w_base = jnp.where(thin, (1.0 - mp.flatness) * (1.0 - dt), 1.0)
     w_fake = jnp.where(thin, mp.flatness * (1.0 - dt), 0.0)
+    if mp.has_disney_sss:
+        # scatterdistance rows have no DisneyDiffuse lobe — the BSSRDF
+        # replaces it (:519-527); retro and sheen stay
+        w_base = jnp.where(_disney_sss_mask(mp), 0.0, w_base)
     # DisneyRetro (:182-197)
     rr = 2.0 * rough * cos_d * cos_d
     retro = c * (INV_PI * rr * (fo + fi + fo * fi * (rr - 1.0)))[..., None]
@@ -978,7 +1025,7 @@ def _disney_pdf(mp: MaterialTable, wo, wi):
     """BSDF::Pdf over the Disney lobe set: the average of per-lobe pdfs
     (reflection.cpp:637-650 with the uniform lobe weighting), with the
     cosine-sampled diffuse family folded to multiplicity k_diff."""
-    k_diff, n_cc, n_mt, n_lt, n = _disney_lobe_counts(mp)
+    k_diff, n_cc, n_mt, n_lt, n, _ = _disney_lobe_counts(mp)
     refl = same_hemisphere(wo, wi)
     cos_pdf = abs_cos_theta(wi) * INV_PI
     ax, ay = _disney_alphas(mp)
@@ -1276,7 +1323,16 @@ def bsdf_sample(mp: MaterialTable, wo: Array, u_lobe: Array, u: Array,
     # (multiplicity k_diff) | aniso-GGX specular | GTR1 clearcoat |
     # microfacet transmission | lambertian transmission
     if _present(mp, DISNEY):
-        k_diff_d, n_cc_d, n_mt_d, n_lt_d, n_d = _disney_lobe_counts(mp)
+        k_diff_d, n_cc_d, n_mt_d, n_lt_d, n_d, n_en_d = \
+            _disney_lobe_counts(mp)
+        # the BSSRDF entry lobe's 1/n probability mass was already
+        # consumed by subsurface_transport (which rewrites entered rows
+        # away from DISNEY before this sampler runs), so the direction
+        # sampler partitions u_lobe over the SURFACE lobes only; the
+        # reported pdf still divides by the full n (below, _disney_pdf),
+        # which makes the unconditional sample density exactly pbrt's
+        # BSDF::Sample_f density: (n_surf/n)·Σpdf_j/n_surf = Σpdf_j/n
+        n_pick_d = jnp.maximum(n_d - n_en_d, 1.0)
         ax_d, ay_d = _disney_alphas(mp)
         wh_d = tr_sample_wh_aniso(wo, u, ax_d, ay_d)
         wi_spec_d = vecmath.reflect(wo, wh_d)
@@ -1291,10 +1347,10 @@ def bsdf_sample(mp: MaterialTable, wo: Array, u_lobe: Array, u: Array,
                            st_cc * jnp.sin(phi_cc), ct_cc], axis=-1)
         wh_cc = wh_cc * jnp.sign(wo[..., 2:3] + 1e-20)
         wi_cc = vecmath.reflect(wo, wh_cc)
-        c1_d = k_diff_d / n_d
-        c2_d = c1_d + 1.0 / n_d
-        c3_d = c2_d + n_cc_d / n_d
-        c4_d = c3_d + n_mt_d / n_d
+        c1_d = k_diff_d / n_pick_d
+        c2_d = c1_d + 1.0 / n_pick_d
+        c3_d = c2_d + n_cc_d / n_pick_d
+        c4_d = c3_d + n_mt_d / n_pick_d
         wi_dis = jnp.where((u_lobe < c1_d)[..., None], wi_cos, wi_spec_d)
         wi_dis = jnp.where(((u_lobe >= c2_d) & (u_lobe < c3_d))[..., None],
                            wi_cc, wi_dis)

@@ -519,11 +519,12 @@ class SceneBuilder:
         materials = make_material_table(
             self.materials or [dict()], self.cfg.n_channels)
         from pbrt_tpu.scene import materials as mat_mod
+        from pbrt_tpu.scene import bssrdf as bssrdf_mod
         has_sss = any(r.get("type") == mat_mod.SUBSURFACE
+                      or bssrdf_mod.row_is_disney_sss(r)
                       for r in self.materials)
         sss_tables = None
         if has_sss:
-            from pbrt_tpu.scene import bssrdf as bssrdf_mod
             sss_tables = bssrdf_mod.build_scene_tables(
                 self.materials, self.cfg.n_channels)
         scene = Scene(

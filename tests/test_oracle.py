@@ -188,6 +188,28 @@ def test_subsurface_matches_reference_binary_energy():
     assert bl < 0.05, f"sss block rel-L1 {bl:.4f}"
 
 
+def test_disney_sss_matches_reference_binary():
+    """DisneyBSSRDF (disney.cpp:365-470, wired at :519-527): a disney
+    sphere with per-channel "rgb scatterdistance" vs the reference
+    binary's 256-spp path render. The Burley normalized-diffusion
+    profile is tabulated into the shared SSSTables machinery
+    (scene/bssrdf.py disney_profiles) and entered through the census's
+    delta SpecularTransmission slot (subsurface_transport). Measured at
+    this configuration: md 0.026 / bl16 0.031 @ 32 spp (r5)."""
+    ref = _load_ref("disney_sss_ref.pfm")
+    from pbrt_tpu.frontend import load_pbrt
+    from pbrt_tpu.integrators.render import render
+
+    scene, cam, opts = load_pbrt(
+        os.path.join(ORACLE, "disney_sss_oracle.pbrt"))
+    img = np.asarray(render(scene, cam, spp=32, integrator="path",
+                            max_depth=opts["max_depth"], seed=2))
+    md = _mean_delta(img, ref)
+    bl = _block_rel_l1(img, ref, k=16)
+    assert md < 0.05, f"disney sss mean delta {md:.4f}"
+    assert bl < 0.06, f"disney sss block rel-L1 {bl:.4f}"
+
+
 def test_caustic_sppm_matches_reference_binary():
     """SPPM (photon pass) on the caustic oracle: photons must emit from
     the SPHERE area light's surface (sppm.cpp photon pass; the r3 fix —
