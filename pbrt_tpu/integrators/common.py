@@ -259,7 +259,7 @@ def estimate_direct(scene, hit, mp, wo_world: Array,
 # ---------------------------------------------------------------------------
 
 def subsurface_transport(scene, hit, mp, beta, wo_world, pid, sidx, sfn,
-                         seed, dims, time=None):
+                         seed, dims, time=None, eligible=None):
     """Separable-BSSRDF traversal for SUBSURFACE material hits, with the
     TabulatedBSSRDF beam-diffusion radial profile (scene/bssrdf.py).
 
@@ -287,13 +287,17 @@ def subsurface_transport(scene, hit, mp, beta, wo_world, pid, sidx, sfn,
 
     C = scene.n_channels
     R = hit.p.shape[0]
-    is_tab = (mp.mtype == mat_mod.SUBSURFACE) & hit.valid
+    # `eligible` lets callers exclude lanes that are not at a real
+    # surface vertex this bounce (volpath: lanes whose distance sample
+    # scattered in the medium before the surface)
+    valid = hit.valid if eligible is None else hit.valid & eligible
+    is_tab = (mp.mtype == mat_mod.SUBSURFACE) & valid
     has_dis = scene.materials.has_disney_sss
     if has_dis:
         # DisneyBSSRDF rows (disney.cpp:519-527): scatterdistance swaps
         # the diffuse lobe for a SpecularTransmission entry + BSSRDF
         is_dis = (mp.mtype == mat_mod.DISNEY) \
-            & mat_mod._disney_sss_mask(mp) & hit.valid
+            & mat_mod._disney_sss_mask(mp) & valid
     else:
         is_dis = jnp.zeros_like(is_tab)
     is_sss = is_tab | is_dis

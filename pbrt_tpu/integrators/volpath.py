@@ -169,7 +169,11 @@ def li_volpath(scene, o, d, pid, sidx, sfn, cfg, power_distr, time=None,
         # power-heuristic weight. r4: this half was missing while the
         # light half was already MIS-down-weighted — non-delta lights
         # lost their scatter-sampled share in volumetric scenes.
-        sseed = jnp.uint32(cfg.seed) ^ jnp.uint32(0x777)
+        # static python int: samplers with host-side scrambling tables
+        # (halton/sobol) require a concrete seed (samplers/__init__.py
+        # `int(seed)`) — a jnp scalar here crashed every scene-file
+        # volpath render with a low-discrepancy sampler
+        sseed = int(cfg.seed) ^ 0x777
         u_bl = sfn(pid, sidx, dims["mis_lobe"], sseed)
         u_bu = _sample2(sfn, pid, sidx, dims["mis_u"], sseed)
         wi_b_loc, f_b, pdf_b, flags_b = mat_mod.bsdf_sample(
@@ -288,12 +292,22 @@ def li_volpath(scene, o, d, pid, sidx, sfn, cfg, power_distr, time=None,
             scene.mat_at(hit.prim_id))
         is_null = mp.mtype == mat_mod.NONE
 
+        # ---- subsurface relocation on real surface vertices: pbrt's
+        # volpath runs the same bssrdf block as path
+        # (volpath.cpp:151-163); lanes whose distance sample scattered
+        # in the medium are not surface vertices this bounce
+        wo_w = -d_cur
+        if scene.has_sss:
+            hit, mp, beta, _, wo_w = common.subsurface_transport(
+                scene, hit, mp, beta, -d_cur, pid, sidx, sfn, cfg.seed,
+                dims, eligible=~in_medium)
+
         # ---- NEE from the actual vertex (medium point or surface point);
         # null-material surfaces are not scattering vertices
         p_v = jnp.where(in_medium[..., None], p_med, hit.p)
         ns_v = jnp.where(in_medium[..., None], -d_cur, hit.ns)
         alive_v = active & (in_medium | (hit.valid & ~is_null))
-        ld = nee_from(p_v, ns_v, in_medium, cur_med, mp, -d_cur, b, dims,
+        ld = nee_from(p_v, ns_v, in_medium, cur_med, mp, wo_w, b, dims,
                       hit)
         # no NEE on the final iteration (volpath.cpp:85,113 break BEFORE
         # scattering — r5 depth-convention fix, see render.py _li_loop)
@@ -309,7 +323,7 @@ def li_volpath(scene, o, d, pid, sidx, sfn, cfg, power_distr, time=None,
         wi_med, _ = media_mod.sample_hg(-d_cur, u_cu, g_lane)
 
         t1, t2 = common.shading_frame(hit, mp)
-        wo = common.to_local(t1, t2, hit.ns, -d_cur)
+        wo = common.to_local(t1, t2, hit.ns, wo_w)
         wi_loc, f, pdf, flags = mat_mod.bsdf_sample(
             mp, wo, u_cl, u_cu, h=common.hair_offset(mp, hit),
             fourier=scene.fourier)

@@ -111,3 +111,53 @@ def test_render_dispatch_params_reach_sppm(monkeypatch):
                                          "radius": 0.25})
     assert seen == dict(n_iterations=3, photons_per_iter=128,
                         initial_radius=0.25)
+
+
+MEDIA_SCENE = """
+LookAt 0 1.2 -3.2  0 0.5 0  0 1 0
+Camera "perspective" "float fov" [45]
+Film "image" "integer xresolution" [16] "integer yresolution" [16]
+  "string filename" "out.pfm"
+Sampler "halton" "integer pixelsamples" [2]
+Integrator "volpath" "integer maxdepth" 3
+MakeNamedMedium "fog" "string type" "homogeneous"
+  "rgb sigma_a" [0.1 0.1 0.1] "rgb sigma_s" [0.3 0.3 0.3] "float g" [0.1]
+WorldBegin
+AttributeBegin
+Material "matte" "rgb Kd" [0.6 0.5 0.4]
+Shape "trianglemesh" "integer indices" [0 1 2 0 2 3]
+  "point P" [-3 0 -3  3 0 -3  3 0 3  -3 0 3]
+AttributeEnd
+AttributeBegin
+Material ""
+MediumInterface "fog" ""
+Translate 0 0.7 0
+Shape "sphere" "float radius" [0.6]
+AttributeEnd
+AttributeBegin
+AreaLightSource "diffuse" "rgb L" [8 8 8]
+Translate 0 2.5 0
+Shape "trianglemesh" "integer indices" [0 1 2 0 2 3]
+  "point P" [-0.5 0 -0.5  0.5 0 -0.5  0.5 0 0.5  -0.5 0 0.5]
+AttributeEnd
+WorldEnd
+"""
+
+
+def test_cli_volpath_with_media_and_ld_sampler(tmp_path):
+    """volpath's REAL loop (media present — the media-free scene above
+    falls back to li_path) through the CLI with a low-discrepancy
+    sampler. r5 regression gate: the NEE scatter-half seed was a traced
+    jnp scalar, crashing every scene-file volpath render whose sampler
+    needs a concrete seed (halton/sobol ConcretizationTypeError)."""
+    from pbrt_tpu.utils import cli
+    from pbrt_tpu.utils import imageio
+
+    scene = tmp_path / "volpath_media.pbrt"
+    scene.write_text(MEDIA_SCENE)
+    out = tmp_path / "volpath_media.pfm"
+    rc = cli.main([str(scene), "--cpu", "--quiet", "-o", str(out)])
+    assert rc in (0, None)
+    assert out.exists()
+    img = np.asarray(imageio.read_image(str(out)))
+    assert np.isfinite(img).all() and img.max() > 0

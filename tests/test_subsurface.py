@@ -77,3 +77,28 @@ class TestSubsurface:
         assert scene.has_sss
         mt = np.asarray(scene.materials.mtype)
         assert (mt == mat_mod.SUBSURFACE).any()
+
+
+class TestSubsurfaceVolpath:
+    def test_volpath_agrees_with_path(self):
+        """pbrt's volpath runs the same bssrdf block as path
+        (volpath.cpp:151-163); in a medium-free scene the two integrators
+        estimate the same quantity, so the sss slab must agree to MC
+        noise."""
+        s = slab_scene(True)
+        i_path = np.asarray(render(s, cam(), spp=192, integrator="path",
+                                   max_depth=4, seed=6)).mean()
+        i_vol = np.asarray(render(s, cam(), spp=192, integrator="volpath",
+                                  max_depth=4, seed=6)).mean()
+        assert abs(i_vol - i_path) < 0.12 * max(i_path, 1e-6)
+
+    def test_volpath_disney_sss_agrees_with_path(self):
+        from tests.test_disney_sss import _slab_scene, _cam
+        s = _slab_scene((0.2, 0.2, 0.2))
+        i_path = np.asarray(render(s, _cam(), spp=192, integrator="path",
+                                   max_depth=4, seed=6)).mean()
+        i_vol = np.asarray(render(s, _cam(), spp=192,
+                                  integrator="volpath",
+                                  max_depth=4, seed=6)).mean()
+        assert i_vol > 0.3 * i_path  # volpath previously dropped sss
+        assert abs(i_vol - i_path) < 0.15 * max(i_path, 1e-6)
