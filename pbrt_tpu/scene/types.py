@@ -233,7 +233,8 @@ class SceneBuilder:
 
     # -- materials ---------------------------------------------------------
     def add_material(self, **params) -> int:
-        for key in ("kd", "ks", "kr", "kt", "metal_eta", "metal_k"):
+        for key in ("kd", "ks", "kr", "kt", "metal_eta", "metal_k",
+                    "scatter_d"):
             if key in params:
                 params[key] = self._to_spec(params[key])
         self.materials.append(params)

@@ -195,7 +195,8 @@ def test_disney_sss_matches_reference_binary():
     profile is tabulated into the shared SSSTables machinery
     (scene/bssrdf.py disney_profiles) and entered through the census's
     delta SpecularTransmission slot (subsurface_transport). Measured at
-    this configuration: md 0.026 / bl16 0.031 @ 32 spp (r5)."""
+    this configuration: md 0.026 / bl16 0.031 @ 32 spp CPU; md 0.021 @
+    64 spp on the real TPU v5 chip (r5)."""
     ref = _load_ref("disney_sss_ref.pfm")
     from pbrt_tpu.frontend import load_pbrt
     from pbrt_tpu.integrators.render import render
