@@ -59,6 +59,8 @@ LANES = 128
 ROWS = 32           # rays per block = 4096 (r5 scan: 8/16/32/64/128 →
                     # 27.1/18.3/16.1/16.1/16.1 ms/pass on-chip; 32 is the
                     # plateau knee)
+CLUSTER = 32        # triangles per cull cluster (SMEM mini-BVH leaves)
+CLUSTER_MIN_TRI = 64  # below this the flat all-pairs sweep wins
 BIG = 1e30
 INV_PI = 1.0 / np.pi
 ONE_MINUS_EPS = float(np.nextafter(np.float32(1.0), np.float32(0.0)))
@@ -102,10 +104,10 @@ def _axes_of(ax: int):
     return {2: (0, 1), 0: (1, 2), 1: (2, 0)}[ax]
 
 
-def _kernel(tri_ref, msc_ref, kd_ref, ox_ref, oy_ref, oz_ref, dx_ref,
-            dy_ref, dz_ref, pid_ref, sid_ref, code_out, knee_out, kc_out,
-            *, n_tri, n_b, ax, pl_facing, portal_facing, n_mat, seed,
-            rr_threshold, mode):
+def _kernel(tri_ref, msc_ref, kd_ref, clu_ref, ox_ref, oy_ref, oz_ref,
+            dx_ref, dy_ref, dz_ref, pid_ref, sid_ref, code_out, knee_out,
+            kc_out, *, n_tri, n_b, ax, pl_facing, portal_facing, n_mat,
+            seed, rr_threshold, mode, n_clu):
     ax0, ax1 = _axes_of(ax)
     f32 = jnp.float32
     sgn_pl = 1.0 if pl_facing else -1.0          # light-plane normal sign
@@ -206,11 +208,49 @@ def _kernel(tri_ref, msc_ref, kd_ref, ox_ref, oy_ref, oz_ref, dx_ref,
                 return bt_, bp_, nx_, ny_, nz_, m_
             return bt_, bp_
 
-        if want_attrs:
-            bt, bp, nxb, nyb, nzb, mb = jax.lax.fori_loop(
-                0, n_tri, tri_body, (bt, bp, nxb, nyb, nzb, mb))
+        carry0 = (bt, bp, nxb, nyb, nzb, mb) if want_attrs else (bt, bp)
+        if n_clu == 0:
+            carry = jax.lax.fori_loop(0, n_tri, tri_body, carry0)
         else:
-            bt, bp = jax.lax.fori_loop(0, n_tri, tri_body, (bt, bp))
+            # SMEM mini-BVH (r5 widening): triangles are grouped into
+            # CLUSTER-row leaves (builder order preserved — culling is
+            # conservative, so results are bit-identical to the flat
+            # sweep); a block-uniform slab test against the cluster AABB
+            # skips the whole leaf when NO lane's [0, t_best] segment
+            # overlaps it. Divergence-free: all lanes agree on the skip.
+            def _inv(dd):
+                mag = jnp.maximum(jnp.abs(dd), 1e-30)
+                return jnp.where(dd >= 0.0, 1.0, -1.0) / mag
+
+            ivx = _inv(rdx)
+            ivy = _inv(rdy)
+            ivz = _inv(rdz)
+
+            def clu_body(ci, carry):
+                bt_ = carry[0]
+                tnear = zero - BIG
+                tfar = zero + BIG
+                for k, (ro, iv) in enumerate(
+                        ((rox, ivx), (roy, ivy), (roz, ivz))):
+                    t0 = (clu_ref[ci, k] - ro) * iv
+                    t1 = (clu_ref[ci, 3 + k] - ro) * iv
+                    tnear = jnp.maximum(tnear, jnp.minimum(t0, t1))
+                    tfar = jnp.minimum(tfar, jnp.maximum(t0, t1))
+                ov = (tfar >= jnp.maximum(tnear, 0.0)) & (tnear <= bt_)
+
+                def inner(c):
+                    return jax.lax.fori_loop(ci * CLUSTER,
+                                             ci * CLUSTER + CLUSTER,
+                                             tri_body, c)
+
+                return jax.lax.cond(jnp.any(ov), inner, lambda c: c,
+                                    carry)
+
+            carry = jax.lax.fori_loop(0, n_clu, clu_body, carry0)
+        if want_attrs:
+            bt, bp, nxb, nyb, nzb, mb = carry
+        else:
+            bt, bp = carry
 
         # the single aaplane (static axis; plane.cpp:15-55 slab test)
         o_ax = (rox, roy, roz)[ax]
@@ -548,9 +588,11 @@ def _kernel(tri_ref, msc_ref, kd_ref, ox_ref, oy_ref, oz_ref, dx_ref,
 @functools.partial(
     jax.jit, static_argnames=("n_tri", "n_b", "ax", "pl_facing",
                               "portal_facing", "n_mat", "seed",
-                              "rr_threshold", "mode", "interpret"))
-def _impl(tri_tab, msc, kd, o, d, pid, sidx, *, n_tri, n_b, ax, pl_facing,
-          portal_facing, n_mat, seed, rr_threshold, mode, interpret=False):
+                              "rr_threshold", "mode", "n_clu",
+                              "interpret"))
+def _impl(tri_tab, msc, kd, clu, o, d, pid, sidx, *, n_tri, n_b, ax,
+          pl_facing, portal_facing, n_mat, seed, rr_threshold, mode,
+          n_clu=0, interpret=False):
     R = o.shape[0]
     block = ROWS * LANES
     Rpad = ((R + block - 1) // block) * block
@@ -569,7 +611,7 @@ def _impl(tri_tab, msc, kd, o, d, pid, sidx, *, n_tri, n_b, ax, pl_facing,
     kernel = functools.partial(
         _kernel, n_tri=n_tri, n_b=n_b, ax=ax, pl_facing=pl_facing,
         portal_facing=portal_facing, n_mat=n_mat, seed=seed,
-        rr_threshold=rr_threshold, mode=mode)
+        rr_threshold=rr_threshold, mode=mode, n_clu=n_clu)
     smem = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0),
                                       memory_space=pltpu.SMEM)
     ray_spec = pl.BlockSpec((ROWS, LANES), lambda i: (i, 0),
@@ -579,7 +621,8 @@ def _impl(tri_tab, msc, kd, o, d, pid, sidx, *, n_tri, n_b, ax, pl_facing,
     code, knee, kc = pl.pallas_call(
         kernel,
         grid=(n_blocks,),
-        in_specs=[smem(tri_tab.shape), smem(msc.shape), smem(kd.shape)]
+        in_specs=[smem(tri_tab.shape), smem(msc.shape), smem(kd.shape),
+                  smem(clu.shape)]
         + [ray_spec] * 8,
         out_specs=[res_spec, res_spec, res_spec],
         out_shape=[
@@ -588,7 +631,7 @@ def _impl(tri_tab, msc, kd, o, d, pid, sidx, *, n_tri, n_b, ax, pl_facing,
             jax.ShapeDtypeStruct((n_b, Rpad // LANES, LANES), jnp.float32),
         ],
         interpret=interpret,
-    )(tri_tab, msc, kd, *comps)
+    )(tri_tab, msc, kd, clu, *comps)
     return (code.reshape(n_b, -1)[:, :R], knee.reshape(n_b, -1)[:, :R],
             kc.reshape(n_b, -1)[:, :R])
 
@@ -626,7 +669,14 @@ def replay(kd, emit, code, knee, kc, rr_threshold=1.0):
 
 
 def pack_fused(scene, mode):
-    """Trace-time packing of the prim/scene tables into SMEM layouts."""
+    """Trace-time packing of the prim/scene tables into SMEM layouts.
+
+    For scenes past CLUSTER_MIN_TRI triangles, also emits a (n_clu, 8)
+    cluster-AABB table over contiguous CLUSTER-row runs (builder order —
+    preserving the exact flat-sweep hit results) for the kernel's
+    block-uniform leaf culling; rows are padded to a cluster multiple
+    with degenerate (e1=e2=0 → det=0 → never hit) copies of the last
+    triangle so the padded rows cannot expand the final cluster's box."""
     g = scene.geom
     nt = scene.n_tri
     v0 = g.tri_v0[:nt]
@@ -638,6 +688,30 @@ def pack_fused(scene, mode):
     matf = scene.prim_mat[:nt].astype(jnp.float32)[:, None]
     tri_tab = jnp.concatenate(
         [v0, e1, e2, n, matf, jnp.zeros((nt, 3))], axis=-1)
+    n_clu = 0
+    clu = jnp.zeros((1, 8), jnp.float32)
+    if nt > CLUSTER_MIN_TRI:
+        n_clu = -(-nt // CLUSTER)
+        pad = n_clu * CLUSTER - nt
+        if pad:
+            prow = tri_tab[-1:].at[:, 3:9].set(0.0)
+            tri_tab = jnp.concatenate(
+                [tri_tab, jnp.tile(prow, (pad, 1))], axis=0)
+        p0 = v0
+        p1 = v0 + e1
+        p2 = v0 + e2
+        lo = jnp.minimum(jnp.minimum(p0, p1), p2)
+        hi = jnp.maximum(jnp.maximum(p0, p1), p2)
+        if pad:
+            lo = jnp.concatenate([lo, jnp.tile(lo[-1:], (pad, 1))], 0)
+            hi = jnp.concatenate([hi, jnp.tile(hi[-1:], (pad, 1))], 0)
+        lo = jnp.min(lo.reshape(n_clu, CLUSTER, 3), axis=1)
+        hi = jnp.max(hi.reshape(n_clu, CLUSTER, 3), axis=1)
+        # conservative float padding so slab-test rounding can't cull a
+        # box the exact triangle test would hit
+        eps = 1e-5 * jnp.maximum(jnp.abs(lo), jnp.abs(hi)) + 1e-6
+        clu = jnp.concatenate(
+            [lo - eps, hi + eps, jnp.zeros((n_clu, 2))], axis=-1)
     if mode == 1:
         po_lo = scene.lights.portal_lo[0, 0]
         po_hi = scene.lights.portal_hi[0, 0]
@@ -648,7 +722,7 @@ def pack_fused(scene, mode):
         g.pln_lo[0], g.pln_hi[0],
         scene.prim_mat[nt:nt + 1].astype(jnp.float32),
         po_lo, po_hi, jnp.zeros(3)])[None, :]
-    return tri_tab, msc
+    return tri_tab, msc, clu, n_clu
 
 
 def li_path_fused(scene, o, d, pid, sidx, cfg, interpret=False):
@@ -656,13 +730,15 @@ def li_path_fused(scene, o, d, pid, sidx, cfg, interpret=False):
     _li_loop under the `eligible` gate (R,C) radiance out."""
     ax, pl_facing, portal_facing, n_mat, mode = scene.fused_profile
     n_b = cfg.max_depth + 1
-    tri_tab, msc = pack_fused(scene, mode)
+    tri_tab, msc, clu, n_clu = pack_fused(scene, mode)
     code, knee, kc = _impl(
         jax.lax.stop_gradient(tri_tab), jax.lax.stop_gradient(msc),
-        jax.lax.stop_gradient(scene.materials.kd), o, d, pid, sidx,
+        jax.lax.stop_gradient(scene.materials.kd),
+        jax.lax.stop_gradient(clu), o, d, pid, sidx,
         n_tri=scene.n_tri, n_b=n_b, ax=ax, pl_facing=pl_facing,
         portal_facing=portal_facing, n_mat=n_mat, seed=cfg.seed,
-        rr_threshold=cfg.rr_threshold, mode=mode, interpret=interpret)
+        rr_threshold=cfg.rr_threshold, mode=mode, n_clu=n_clu,
+        interpret=interpret)
     code = jax.lax.stop_gradient(code)
     knee = jax.lax.stop_gradient(knee)
     kc = jax.lax.stop_gradient(kc)

@@ -577,10 +577,15 @@ class SceneBuilder:
 
         Returns (axis, plane_facing, portal_facing, n_materials, mode)
         or None."""
-        if (scene.bvh is not None or scene.n_sph or scene.n_dsk
-                or scene.n_crv or scene.n_vprims or scene.inst is not None):
+        if (scene.n_sph or scene.n_dsk or scene.n_crv or scene.n_vprims
+                or scene.inst is not None):
             return None
-        if scene.n_pln != 1 or scene.n_tri < 1 or scene.n_tri > 255:
+        # A built BVH does not disqualify: the fused kernel reads the
+        # builder-order geom arrays directly (build_bvh keeps its own
+        # leaf-ordered copies) and culls via its SMEM cluster AABBs;
+        # the XLA fallback still uses scene.bvh. Cap = SMEM budget for
+        # the (n_tri, 16) f32 triangle table + cluster boxes.
+        if scene.n_pln != 1 or scene.n_tri < 1 or scene.n_tri > 1024:
             return None
         if (scene.has_motion or scene.has_sss or scene.media
                 or scene.textures is not None or scene.fourier
