@@ -176,6 +176,28 @@ def test_fused_area_mode_profile_and_pixels():
     assert abs(L_fus.mean() - L_ref.mean()) / L_ref.mean() < 0.01
 
 
+def _add_sphere_mesh(b, c, r, m, nseg):
+    """Lat-long tessellated sphere as a triangle mesh (2·nseg²−2·nseg
+    non-degenerate faces; pole bands emit a single triangle)."""
+    th = np.linspace(0, np.pi, nseg + 1)
+    ph = np.linspace(0, 2 * np.pi, nseg + 1)
+    vs, fs = [], []
+    for i in range(nseg + 1):
+        for j in range(nseg + 1):
+            vs.append((c[0] + r * np.sin(th[i]) * np.cos(ph[j]),
+                       c[1] + r * np.cos(th[i]),
+                       c[2] + r * np.sin(th[i]) * np.sin(ph[j])))
+    for i in range(nseg):
+        for j in range(nseg):
+            a = i * (nseg + 1) + j
+            d = a + nseg + 1
+            if i > 0:
+                fs.append((a, a + 1, d + 1))
+            if i < nseg - 1:
+                fs.append((a, d + 1, d))
+    b.add_mesh(vs, fs, mat=m)
+
+
 def _tessellated_cornell(nseg=16):
     """Cornell box + two lat-long tessellated matte spheres as triangle
     meshes (~2·2·nseg² tris) — exercises the r5 SMEM cluster-culling
@@ -200,27 +222,8 @@ def _tessellated_cornell(nseg=16):
     b.add_mesh([(0, 1, 0.7), (1, 1, 0.7), (1, 1, 1), (0, 1, 1)],
                [(0, 1, 2), (0, 2, 3)], mat=white)
 
-    def sphere_mesh(c, r, m):
-        th = np.linspace(0, np.pi, nseg + 1)
-        ph = np.linspace(0, 2 * np.pi, nseg + 1)
-        vs, fs = [], []
-        for i in range(nseg + 1):
-            for j in range(nseg + 1):
-                vs.append((c[0] + r * np.sin(th[i]) * np.cos(ph[j]),
-                           c[1] + r * np.cos(th[i]),
-                           c[2] + r * np.sin(th[i]) * np.sin(ph[j])))
-        for i in range(nseg):
-            for j in range(nseg):
-                a = i * (nseg + 1) + j
-                d = a + nseg + 1
-                if i > 0:
-                    fs.append((a, a + 1, d + 1))
-                if i < nseg - 1:
-                    fs.append((a, d + 1, d))
-        b.add_mesh(vs, fs, mat=m)
-
-    sphere_mesh((0.32, 0.24, 0.4), 0.24, white)
-    sphere_mesh((0.7, 0.16, 0.72), 0.16, green)
+    _add_sphere_mesh(b, (0.32, 0.24, 0.4), 0.24, white, nseg)
+    _add_sphere_mesh(b, (0.7, 0.16, 0.72), 0.16, green, nseg)
     li = b.add_light(type="area", L=(15.0, 13.0, 9.0), prim=-1)
     pid_l = b.add_aaplane((0.3, 0.99, 0.35), (0.7, 0.99, 0.65), axis=1,
                           facing_fw=False, mat=black, light=li)
@@ -252,6 +255,63 @@ def test_fused_cluster_culling_big_scene():
     # sweeps builder order → hit TIES at tessellation seams may break
     # differently (measured 2-4/1152 lanes, max diff 4e-4; culled vs
     # flat kernel sweep itself is bit-identical, diff 0.0)
+    bad = (np.abs(L_ref - L_fus).max(-1) > 1e-4)
+    assert bad.mean() < 6e-3, f"{bad.sum()} mismatched lanes"
+    ok = ~bad
+    np.testing.assert_allclose(L_fus[ok], L_ref[ok], atol=1.1e-4)
+    assert abs(L_fus.mean() - L_ref.mean()) / L_ref.mean() < 0.01
+
+
+def _tessellated_portal(nseg=13):
+    """The graft portal scene (light through a ceiling opening,
+    projection strategy — fused mode 1) plus a tessellated sphere, so
+    the cluster-culled sweep is exercised on the flagship portal
+    profile too (>255 tris)."""
+    from pbrt_tpu.core.spectrum import RGB
+    from pbrt_tpu.scene.types import SceneBuilder
+    b = SceneBuilder(RGB)
+    white = b.add_material(type=0, kd=(0.73, 0.73, 0.73))
+    red = b.add_material(type=0, kd=(0.63, 0.065, 0.05))
+    green = b.add_material(type=0, kd=(0.14, 0.45, 0.091))
+    black = b.add_material(type=0, kd=0.0)
+    for verts, m in [
+        ([(0, 0, 0), (1, 0, 0), (1, 0, 1), (0, 0, 1)], white),
+        ([(0, 0, 1), (1, 0, 1), (1, 1, 1), (0, 1, 1)], white),
+        ([(0, 0, 0), (0, 0, 1), (0, 1, 1), (0, 1, 0)], red),
+        ([(1, 0, 0), (1, 1, 0), (1, 1, 1), (1, 0, 1)], green),
+    ]:
+        b.add_mesh(verts, [(0, 1, 2), (0, 2, 3)], mat=m)
+    for lo, hi in [((0.0, 0.0), (0.35, 1.0)), ((0.65, 0.0), (1.0, 1.0)),
+                   ((0.35, 0.0), (0.65, 0.35)),
+                   ((0.35, 0.65), (0.65, 1.0))]:
+        b.add_mesh([(lo[0], 1.0, lo[1]), (hi[0], 1.0, lo[1]),
+                    (hi[0], 1.0, hi[1]), (lo[0], 1.0, hi[1])],
+                   [(0, 1, 2), (0, 2, 3)], mat=white)
+    _add_sphere_mesh(b, (0.35, 0.22, 0.45), 0.22, white, nseg)
+    li = b.add_light(type="area", L=(18.4, 15.6, 8.0), prim=-1,
+                     strategy="projection", two_sided=False,
+                     portals=[((0.35, 1.0, 0.35), (0.65, 1.0, 0.65), 1,
+                               False)])
+    pid_l = b.add_aaplane((0.3, 1.2, 0.3), (0.7, 1.2, 0.7), axis=1,
+                          facing_fw=False, mat=black, light=li)
+    b.light_rows[li]["prim"] = b.prim_index("pln", pid_l)
+    return b.build()
+
+
+def test_fused_cluster_portal_mode():
+    """Mode-1 (portal projection) variant of the cluster-culled
+    widening: >255-tri portal scene agrees with the XLA loop
+    lane-for-lane except seam-tie lanes."""
+    scene = _tessellated_portal(nseg=13)
+    assert scene.n_tri > 255
+    assert scene.fused_profile is not None
+    assert scene.fused_profile[4] == 1          # portal projection mode
+    rays, pid, sidx, sfn, cfg = _rays(scene, res=24, chunk=2)
+    L_ref = np.asarray(_li_loop(scene, rays.o, rays.d, pid, sidx, sfn,
+                                cfg, None))
+    L_fus = np.asarray(fused_path.li_path_fused(
+        scene, rays.o, rays.d, pid, sidx, cfg, interpret=True))
+    assert L_ref.mean() > 0.01
     bad = (np.abs(L_ref - L_fus).max(-1) > 1e-4)
     assert bad.mean() < 6e-3, f"{bad.sum()} mismatched lanes"
     ok = ~bad
